@@ -1,0 +1,27 @@
+"""Kernel library: oracle, tiled XLA executor, Pallas TPU kernels, FP8."""
+
+from flashattention_tpu.ops.api import (
+    fa1_attention,
+    fa2_attention,
+    fa3_attention,
+    flash_attention,
+)
+from flashattention_tpu.ops.pallas_attn import pallas_attention
+from flashattention_tpu.ops.reference import (
+    causal_mask,
+    reference_attention,
+    reference_attention_grads,
+)
+from flashattention_tpu.ops.tiled import tiled_attention
+
+__all__ = [
+    "fa1_attention",
+    "fa2_attention",
+    "fa3_attention",
+    "flash_attention",
+    "pallas_attention",
+    "tiled_attention",
+    "reference_attention",
+    "reference_attention_grads",
+    "causal_mask",
+]

@@ -1,0 +1,151 @@
+"""Public attention API + backend dispatch.
+
+The TPU-native equivalent of the reference's L4 dispatchers
+(src/fa1/op.py, src/fa2/op.py, src/fa3/op.py): ``faX_attention(q, k, v,
+causal=False, softmax_scale=None, backend="auto")`` returning ``(o, lse)``.
+
+Backends:
+- ``"pallas"``    — the Pallas TPU kernels (the real kernel path; runs in
+                    interpreter mode off-TPU).
+- ``"xla"``       — the tiled lax.scan executor (the reference's pure-torch
+                    backend analogue; runs anywhere).
+- ``"reference"`` — the dense fp32 oracle (src/common/correctness.py).
+- ``"auto"``      — pallas on TPU, else xla. Unlike the reference's auto
+                    chain, failures are NOT silently swallowed (reference
+                    quirk Q5, src/fa1/op.py:15-19, hides real bugs).
+
+All three algorithm generations share one kernel core; the generation picks
+the schedule/spec (FA1: conservative tiles; FA2: deferred-normalization tiles;
+FA3: + FP8 with per-block descale), mirroring how the reference's FA1/FA3
+Triton kernels are byte-identical (SURVEY.md C23) — the *algorithm* is the
+schedule, not a separate code path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_tpu.ops import quant
+from flashattention_tpu.ops.pallas_attn import pallas_attention
+from flashattention_tpu.ops.reference import reference_attention
+from flashattention_tpu.ops.specs import (
+    pick_fa1_spec,
+    pick_fa2_spec,
+    pick_fa3_spec,
+)
+from flashattention_tpu.ops.tiled import tiled_attention
+
+_BACKENDS = ("auto", "pallas", "xla", "reference")
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend not in _BACKENDS:
+        raise ValueError(f"backend must be one of {_BACKENDS}, got {backend!r}")
+    if backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return backend
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    softmax_scale: float | None = None,
+    backend: str = "auto",
+    block_q: int = 256,
+    block_k: int = 512,
+    mask: jax.Array | None = None,
+    dropout_rate: float = 0.0,
+    dropout_key: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
+
+    ``mask``/``dropout`` currently route through the XLA executor (the Pallas
+    kernels handle the dense/causal fast path).
+    """
+    backend = _resolve_backend(backend)
+    if mask is not None or dropout_rate > 0.0:
+        if backend == "reference":
+            raise ValueError("reference backend has no dropout path")
+        return tiled_attention(
+            q, k, v, causal=causal, softmax_scale=softmax_scale,
+            block_k=min(block_k, 128) if k.shape[-2] < block_k else block_k,
+            mask=mask, dropout_rate=dropout_rate, dropout_key=dropout_key,
+        )
+    if backend == "pallas":
+        return pallas_attention(
+            q, k, v, causal=causal, softmax_scale=softmax_scale,
+            block_q=block_q, block_k=block_k, interpret=interpret,
+        )
+    if backend == "xla":
+        return tiled_attention(
+            q, k, v, causal=causal, softmax_scale=softmax_scale,
+            block_k=min(block_k, 512),
+        )
+    return reference_attention(q, k, v, causal=causal, softmax_scale=softmax_scale)
+
+
+def fa1_attention(
+    q, k, v, causal: bool = False, softmax_scale=None, backend: str = "auto"
+):
+    """FA1 generation (reference src/fa1/op.py:7)."""
+    spec = pick_fa1_spec(q.shape[-1])
+    return flash_attention(
+        q, k, v, causal=causal, softmax_scale=softmax_scale, backend=backend,
+        block_q=spec.block_q, block_k=spec.block_k,
+    )
+
+
+def fa2_attention(
+    q, k, v, causal: bool = False, softmax_scale=None, backend: str = "auto"
+):
+    """FA2 generation (reference src/fa2/op.py:7). Deferred normalization is
+    done once (the reference divides twice — bug B2)."""
+    spec = pick_fa2_spec(q.shape[-1])
+    return flash_attention(
+        q, k, v, causal=causal, softmax_scale=softmax_scale, backend=backend,
+        block_q=spec.block_q, block_k=spec.block_k,
+    )
+
+
+def fa3_attention(
+    q, k, v, causal: bool = False, softmax_scale=None, backend: str = "auto",
+    fp8: bool = False, fp8_seed: int = 0,
+):
+    """FA3 generation (reference src/fa3/op.py:7): FA2 schedule + optional FP8.
+
+    fp8=True: incoherent (randomized-Hadamard) processing of q/k, then real
+    float8_e4m3fn per-block quantization of q/k/v before the attention
+    matmuls — the reference's fp16 fake-quant path (src/fa3/torch/impl.py:
+    118-133) upgraded to real 8-bit storage with correct Hadamard math
+    (bug B5 fixed; see ops/quant.py).
+    """
+    spec = pick_fa3_spec(q.shape[-1])
+    if not fp8:
+        return flash_attention(
+            q, k, v, causal=causal, softmax_scale=softmax_scale,
+            backend=backend, block_q=spec.block_q, block_k=spec.block_k,
+        )
+    qr, kr = quant.incoherent_process(q, k, seed=fp8_seed)
+    blk_q = _fp8_block(q.shape[-2], spec.block_q)
+    blk_k = _fp8_block(k.shape[-2], spec.block_k)
+    qq = quant.fake_quant_fp8(qr, blk_q)
+    kq = quant.fake_quant_fp8(kr, blk_k)
+    vq = quant.fake_quant_fp8(v, blk_k)
+    return flash_attention(
+        qq, kq, vq, causal=causal, softmax_scale=softmax_scale,
+        backend=backend, block_q=spec.block_q, block_k=spec.block_k,
+    )
+
+
+def _fp8_block(n: int, preferred: int) -> int:
+    """Largest block <= preferred that divides n (scales are per-block over
+    the un-padded sequence)."""
+    b = min(preferred, n)
+    while n % b:
+        b -= 1
+    return max(b, 1)

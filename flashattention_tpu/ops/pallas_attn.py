@@ -1,0 +1,474 @@
+"""Pallas TPU flash-attention kernels (forward + backward).
+
+The TPU-native kernel path — replaces the reference's Triton kernels
+(src/fa{1,2,3}/triton/kernels_{fwd,bwd}.py) and its "CUDA" host loops
+(csrc/fa{1,2,3}/*.cu). Design deltas from the reference, all deliberate:
+
+- One kernel family, FA2-schedule (deferred normalization, single divide at
+  the end — the reference's FA2 divides twice, bug B2 in SURVEY.md §2.6).
+- Output is stored in the input dtype (the reference's Triton kernels force
+  fp16, quirk Q2).
+- softmax_scale is applied inside the kernel (the reference's FA2 Triton
+  kernel drops it, bug B4).
+- Backward is split into a dKV kernel (grid over KV tiles, loop over Q tiles)
+  and a dQ kernel (grid over Q tiles, loop over KV tiles) — no atomics, which
+  do not exist on TPU (the reference uses fp16 ``tl.atomic_add`` for dQ,
+  src/fa1/triton/kernels_bwd.py:89).
+- Causal masking: whole KV tiles above the diagonal are skipped
+  (reference ``causal_block_skip``, src/common/mask.py:3-5), and the in-tile
+  mask is built from absolute indices with a ``k_len - q_len`` offset so
+  decode (q_len != k_len) works (reference look_ahead_mask_,
+  src/fa3/torch/flashattention_pytorch.py:176-190).
+
+Grids iterate (batch, head, tiles...) with
+``dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")`` so
+the batch/head/Q dims spread across TPU megacores while the KV dim runs the
+online-softmax reduction sequentially.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
+from flashattention_tpu.ops.specs import MIN_BLOCK
+
+LANES = 128  # lane width for fp32 m/l scratch rows
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _causal_should_run(iq, ik, block_q, block_k, offset):
+    """True unless the whole (iq, ik) tile is above the causal diagonal.
+
+    Query row r attends to cols <= r + offset (offset = n_k - n_q).
+    The tile's most permissive row is its last: iq*bq + bq - 1.
+    """
+    return (iq * block_q + block_q - 1 + offset) >= ik * block_k
+
+
+def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset):
+    """Boolean (block_q, block_k) mask from absolute indices; None if no-op."""
+    need_kv_edge = n_k % block_k != 0
+    need_q_edge = n_q % block_q != 0  # only matters for causal offset math
+    if not causal and not need_kv_edge and not need_q_edge:
+        return None
+    rows = iq * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+    cols = ik * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    mask = cols < n_k
+    if causal:
+        mask = mask & (cols <= rows + offset)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, softmax_scale, causal, n_q, n_k, block_q, block_k,
+):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    n_kv_tiles = pl.num_programs(3)
+    offset = n_k - n_q
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    run = _causal_should_run(iq, ik, block_q, block_k, offset) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= softmax_scale
+        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+        if mask is not None:
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
+        m_next = jnp.maximum(m_prev, m_curr)        # (bq, LANES)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+
+        v = v_ref[0, 0]
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == n_kv_tiles - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l_safe)
+
+
+def _flash_fwd(
+    q, k, v, *, causal, softmax_scale, block_q, block_k, interpret,
+    n_q, n_k,
+):
+    b, h, n_q_pad, d = q.shape
+    n_k_pad = k.shape[2]
+    grid = (b, h, n_q_pad // block_q, n_k_pad // block_k)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        softmax_scale=softmax_scale,
+        causal=causal,
+        n_q=n_q,
+        n_k=n_k,
+        block_q=block_q,
+        block_k=block_k,
+    )
+    flops_mm = 4 * b * h * n_q * n_k * d
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+            # LSE rides as (B, H, N, 1): TPU block shapes need the last two
+            # dims divisible by (8, 128) or equal to the array dims.
+            pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n_q_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n_q_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_mm,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * n_q * n_k,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, softmax_scale, causal, n_q, n_k, block_q, block_k,
+):
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    n_q_tiles = pl.num_programs(3)
+    offset = n_k - n_q
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    run = _causal_should_run(iq, ik, block_q, block_k, offset) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]  # (bq, 1)
+        di = di_ref[0, 0]    # (bq, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= softmax_scale
+        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+        if mask is not None:
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)  # (bq, bk)
+
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * softmax_scale
+        dk_scr[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(iq == n_q_tiles - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
+    *, softmax_scale, causal, n_q, n_k, block_q, block_k,
+):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    n_kv_tiles = pl.num_programs(3)
+    offset = n_k - n_q
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    run = _causal_should_run(iq, ik, block_q, block_k, offset) if causal else True
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]  # (bq, 1)
+        di = di_ref[0, 0]    # (bq, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s *= softmax_scale
+        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+        if mask is not None:
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di) * softmax_scale
+        dq_scr[...] += jax.lax.dot(
+            ds.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ik == n_kv_tiles - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _flash_bwd(
+    q, k, v, o, lse, do, *, causal, softmax_scale, block_q, block_k,
+    interpret, n_q, n_k,
+):
+    b, h, n_q_pad, d = q.shape
+    n_k_pad = k.shape[2]
+    # di = rowsum(o * do), shared by both backward kernels; carried as
+    # (B, H, N, 1) for TPU block-shape legality (see forward LSE note).
+    di = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
+    )
+
+    common = dict(
+        softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
+        block_q=block_q, block_k=block_k,
+    )
+    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, j, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0))
+    row_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, j, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid=(b, h, n_k_pad // block_k, n_q_pad // block_q),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=[kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+
+    q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0))
+    kv_spec2 = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0))
+    row_spec2 = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(b, h, n_q_pad // block_q, n_k_pad // block_k),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2],
+        out_specs=q_spec2,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse, di)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Padding wrapper + custom_vjp
+# ---------------------------------------------------------------------------
+
+
+def _pad_dim(x, axis, multiple, value=0.0):
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _choose_blocks(n_q, n_k, block_q, block_k):
+    bq = min(block_q, max(MIN_BLOCK, _round_up(n_q, 8)))
+    bk = min(block_k, max(MIN_BLOCK, _round_up(n_k, MIN_BLOCK)))
+    # Keep tiles aligned: bq multiple of 8, bk multiple of 128.
+    bq = max(8, (bq // 8) * 8)
+    bk = max(MIN_BLOCK, (bk // MIN_BLOCK) * MIN_BLOCK)
+    return bq, bk
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def _prepare(q, k, v, block_q, block_k):
+    """Pad seq dims to tile multiples and head dim to a lane multiple."""
+    n_q, d = q.shape[-2], q.shape[-1]
+    n_k = k.shape[-2]
+    bq, bk = _choose_blocks(n_q, n_k, block_q, block_k)
+    q = _pad_dim(q, 2, bq)
+    k = _pad_dim(k, 2, bk)
+    v = _pad_dim(v, 2, bk)
+    if d % LANES and d != 64:
+        q = _pad_dim(q, 3, LANES)
+        k = _pad_dim(k, 3, LANES)
+        v = _pad_dim(v, 3, LANES)
+    return q, k, v, bq, bk, n_q, n_k, d
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+)
+def _flash_attention(q, k, v, causal, softmax_scale, block_q, block_k, interpret):
+    o, lse = _flash_attention_fwd_rule(
+        q, k, v, causal, softmax_scale, block_q, block_k, interpret
+    )[0]
+    return o, lse
+
+
+def _flash_attention_fwd_rule(
+    q, k, v, causal, softmax_scale, block_q, block_k, interpret
+):
+    qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
+    o, lse = _flash_fwd(
+        qp, kp, vp, causal=causal, softmax_scale=softmax_scale,
+        block_q=bq, block_k=bk, interpret=interpret, n_q=n_q, n_k=n_k,
+    )
+    o_out = o[:, :, :n_q, :d]
+    lse_out = lse[:, :, :n_q, 0]
+    return (o_out, lse_out), (q, k, v, o_out, lse_out)
+
+
+def _flash_attention_bwd_rule(
+    causal, softmax_scale, block_q, block_k, interpret, residuals, cotangents
+):
+    q, k, v, o, lse = residuals
+    do, _ = cotangents
+    n_q, d = q.shape[-2], q.shape[-1]
+    n_k = k.shape[-2]
+    qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
+    op = _pad_dim(o, 2, bq)
+    dop = _pad_dim(do, 2, bq)
+    if op.shape[-1] != qp.shape[-1]:
+        op = _pad_dim(op, 3, LANES)
+        dop = _pad_dim(dop, 3, LANES)
+    # Padded query rows: force p = exp(s - lse) = 0 via a huge lse.
+    lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
+    dq, dk, dv = _flash_bwd(
+        qp, kp, vp, op, lsep, dop, causal=causal,
+        softmax_scale=softmax_scale, block_q=bq, block_k=bk,
+        interpret=interpret, n_q=n_q, n_k=n_k,
+    )
+    return (
+        dq[:, :, :n_q, :d].astype(q.dtype),
+        dk[:, :, :n_k, :d].astype(k.dtype),
+        dv[:, :, :n_k, :d].astype(v.dtype),
+    )
+
+
+_flash_attention.defvjp(_flash_attention_fwd_rule, _flash_attention_bwd_rule)
+
+
+def pallas_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    softmax_scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
+
+    Differentiable via a custom VJP that recomputes P from the saved LSE
+    (O(N) residual memory — the FlashAttention memory story).
+    Runs in interpreter mode automatically off-TPU so the same tests execute
+    on CPU (the reference's capability-gated-skip strategy, inverted: we
+    emulate instead of skipping; SURVEY.md §4.3).
+    """
+    if q.ndim != 4:
+        raise ValueError(f"expected (B, H, N, D), got {q.shape}")
+    d = q.shape[-1]
+    if softmax_scale is None:
+        softmax_scale = d ** -0.5
+    if interpret is None:
+        interpret = _interpret_default()
+    return _flash_attention(
+        q, k, v, causal, float(softmax_scale), int(block_q), int(block_k),
+        bool(interpret),
+    )

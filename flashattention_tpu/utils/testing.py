@@ -1,0 +1,61 @@
+"""Test helpers: seeded QKV factories and the reference tolerance ladder.
+
+Mirrors the reference's tests/utils.py: ``make_qkv`` (seeded randn, utils.py:
+7-16) and ``dtype_tolerances`` (fp16/bf16 -> 5e-2, fp32 -> 1e-4, utils.py:
+31-36); LSE is always checked at 1e-3 except under fp8 quantization, where
+the reference's unconditional 1e-3 is unsatisfiable (bug B6) — here the fp8
+LSE is compared against a quantized-input oracle instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LSE_TOL = 1e-3
+FP8_O_TOL = 1e-1
+
+
+def dtype_tolerances(dtype) -> tuple[float, float]:
+    """(rtol, atol) per dtype — reference tests/utils.py:31-36."""
+    dtype = jnp.dtype(dtype)
+    if dtype in (jnp.dtype(jnp.float16), jnp.dtype(jnp.bfloat16)):
+        return 5e-2, 5e-2
+    return 1e-4, 1e-4
+
+
+def make_qkv(
+    batch: int,
+    heads: int,
+    seq: int,
+    head_dim: int,
+    *,
+    dtype=jnp.float32,
+    seed: int = 0,
+    kv_seq: int | None = None,
+):
+    """Seeded (B, H, N, D) q/k/v triples (reference tests/utils.py:7-16)."""
+    key = jax.random.key(seed)
+    kq, kk, kv = jax.random.split(key, 3)
+    n_k = kv_seq if kv_seq is not None else seq
+    q = jax.random.normal(kq, (batch, heads, seq, head_dim), dtype=jnp.float32)
+    k = jax.random.normal(kk, (batch, heads, n_k, head_dim), dtype=jnp.float32)
+    v = jax.random.normal(kv, (batch, heads, n_k, head_dim), dtype=jnp.float32)
+    return q.astype(dtype), k.astype(dtype), v.astype(dtype)
+
+
+def assert_allclose(actual, expected, rtol=None, atol=None, err_msg=""):
+    """np.testing wrapper matching the reference's assert_allclose
+    (src/common/correctness.py:36-37)."""
+    if rtol is None or atol is None:
+        r, a = dtype_tolerances(jnp.asarray(expected).dtype)
+        rtol = r if rtol is None else rtol
+        atol = a if atol is None else atol
+    np.testing.assert_allclose(
+        np.asarray(actual, dtype=np.float32),
+        np.asarray(expected, dtype=np.float32),
+        rtol=rtol,
+        atol=atol,
+        err_msg=err_msg,
+    )

@@ -1,0 +1,113 @@
+"""Dispatch API + backend-consistency tests (the reference's archetype-5,
+tests/test_correctness_fa1.py:113-150) and FP8/FA3 + spec tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_tpu import (
+    fa1_attention,
+    fa2_attention,
+    fa3_attention,
+    pick_fa1_spec,
+    pick_fa2_spec,
+    pick_fa3_spec,
+)
+from flashattention_tpu.ops import quant
+from flashattention_tpu.ops.reference import reference_attention
+from flashattention_tpu.utils.testing import (
+    FP8_O_TOL,
+    LSE_TOL,
+    assert_allclose,
+    make_qkv,
+)
+
+ALGOS = [fa1_attention, fa2_attention, fa3_attention]
+
+
+@pytest.mark.parametrize("fn", ALGOS)
+@pytest.mark.parametrize("causal", [False, True])
+def test_algo_forward_vs_oracle(fn, causal):
+    q, k, v = make_qkv(2, 2, 64, 64)
+    o, lse = fn(q, k, v, causal=causal)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_backend_consistency(causal):
+    """All available backends agree on identical inputs (archetype-5)."""
+    q, k, v = make_qkv(1, 2, 128, 64)
+    outs = {}
+    for backend in ("pallas", "xla", "reference"):
+        o, lse = fa2_attention(q, k, v, causal=causal, backend=backend)
+        outs[backend] = (np.asarray(o, np.float32), np.asarray(lse, np.float32))
+    for b in ("pallas", "xla"):
+        np.testing.assert_allclose(
+            outs[b][0], outs["reference"][0], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            outs[b][1], outs["reference"][1], rtol=LSE_TOL, atol=LSE_TOL
+        )
+
+
+def test_bad_backend_raises():
+    q, k, v = make_qkv(1, 1, 16, 32)
+    with pytest.raises(ValueError):
+        fa1_attention(q, k, v, backend="cuda")
+
+
+def test_specs_are_tpu_aligned():
+    for d in (32, 64, 128, 256):
+        for pick in (pick_fa1_spec, pick_fa2_spec, pick_fa3_spec):
+            pick(d).validate()
+
+
+def test_fa3_fp8_vs_quantized_oracle():
+    """FP8 output stays within the relaxed tolerance of the exact oracle, and
+    matches a quantized-input oracle tightly (the well-defined version of the
+    reference's unsatisfiable fp8 LSE check, bug B6)."""
+    q, k, v = make_qkv(1, 2, 128, 64)
+    o8, lse8 = fa3_attention(q, k, v, fp8=True, backend="xla")
+    o_ref, _ = reference_attention(q, k, v)
+    assert_allclose(o8, o_ref, rtol=FP8_O_TOL, atol=FP8_O_TOL)
+
+    # Quantized-input oracle: same preprocessing, dense math.
+    qr, kr = quant.incoherent_process(q, k, seed=0)
+    qq = quant.fake_quant_fp8(qr, 128)
+    kq = quant.fake_quant_fp8(kr, 128)
+    vq = quant.fake_quant_fp8(v, 128)
+    o_qref, lse_qref = reference_attention(qq, kq, vq)
+    assert_allclose(o8, o_qref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse8, lse_qref, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+def test_hadamard_is_orthonormal():
+    """Bug B5 regression: the transform must satisfy H H^T = I."""
+    eye = jnp.eye(16, dtype=jnp.float32)
+    h = quant.hadamard_transform(eye, normalize=True)
+    hh = h @ h.T
+    np.testing.assert_allclose(np.asarray(hh), np.eye(16), atol=1e-5)
+
+
+def test_incoherent_process_preserves_scores():
+    q, k, _ = make_qkv(1, 1, 8, 32)
+    qr, kr = quant.incoherent_process(q, k, seed=1)
+    s0 = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    s1 = jnp.einsum("bhqd,bhkd->bhqk", qr, kr)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), atol=1e-4)
+
+
+def test_incoherent_process_noops_on_non_pow2():
+    q, k, _ = make_qkv(1, 1, 8, 40)
+    qr, kr = quant.incoherent_process(q, k)
+    np.testing.assert_array_equal(np.asarray(qr), np.asarray(q))
+
+
+def test_fp8_quant_roundtrip_accuracy():
+    q, _, _ = make_qkv(1, 2, 64, 64)
+    x = quant.fake_quant_fp8(q, 32)
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(q), rtol=0.1, atol=0.1
+    )
