@@ -1,0 +1,100 @@
+// Page allocator for the paged KV cache — the framework's host-native
+// runtime component (the reference's native layer, csrc/*.cu, is host-side
+// C++ too; here the host-native piece is the serving allocator, while the
+// device math lives in Pallas kernels where it belongs on TPU).
+//
+// Free-list allocator with per-sequence page chains:
+//  - O(1) page alloc/free via a stack of free physical page ids
+//  - sequences acquire pages as they grow and release them on completion
+//  - copy-on-extend bookkeeping kept minimal: the scheduler (Python) asks
+//    "how many pages would seq growth need" and commits atomically, so a
+//    continuous-batching step either fully schedules a sequence or leaves
+//    it untouched (no partial allocation states).
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Allocator {
+  int64_t num_pages = 0;
+  std::vector<int32_t> free_stack;           // available physical pages
+  std::unordered_map<int64_t, std::vector<int32_t>> seq_pages;
+  std::mutex mu;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Create an allocator managing `num_pages` physical pages. Returns a handle.
+void* fat_allocator_create(int64_t num_pages) {
+  auto* a = new Allocator();
+  a->num_pages = num_pages;
+  a->free_stack.reserve(num_pages);
+  // LIFO: hand out low page ids first (stable layouts for tests/debugging).
+  for (int64_t i = num_pages - 1; i >= 0; --i) {
+    a->free_stack.push_back(static_cast<int32_t>(i));
+  }
+  return a;
+}
+
+void fat_allocator_destroy(void* handle) {
+  delete static_cast<Allocator*>(handle);
+}
+
+int64_t fat_allocator_free_pages(void* handle) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  return static_cast<int64_t>(a->free_stack.size());
+}
+
+// Ensure `seq_id` owns at least `num_pages` pages. Appends newly allocated
+// page ids to the sequence chain. Returns 0 on success, -1 if out of pages
+// (in which case nothing is allocated — all-or-nothing).
+int32_t fat_allocator_grow(void* handle, int64_t seq_id, int64_t num_pages) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  auto& chain = a->seq_pages[seq_id];
+  int64_t need = num_pages - static_cast<int64_t>(chain.size());
+  if (need <= 0) return 0;
+  if (static_cast<int64_t>(a->free_stack.size()) < need) return -1;
+  for (int64_t i = 0; i < need; ++i) {
+    chain.push_back(a->free_stack.back());
+    a->free_stack.pop_back();
+  }
+  return 0;
+}
+
+// Copy the sequence's page chain into `out` (caller-sized to `capacity`).
+// Returns the chain length, or -1 if the sequence is unknown.
+int64_t fat_allocator_get_pages(void* handle, int64_t seq_id, int32_t* out,
+                                int64_t capacity) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  auto it = a->seq_pages.find(seq_id);
+  if (it == a->seq_pages.end()) return -1;
+  int64_t n = static_cast<int64_t>(it->second.size());
+  int64_t m = n < capacity ? n : capacity;
+  std::memcpy(out, it->second.data(), m * sizeof(int32_t));
+  return n;
+}
+
+// Release all pages owned by `seq_id`. Returns number of pages freed.
+int64_t fat_allocator_release(void* handle, int64_t seq_id) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  auto it = a->seq_pages.find(seq_id);
+  if (it == a->seq_pages.end()) return 0;
+  int64_t n = static_cast<int64_t>(it->second.size());
+  for (int32_t p : it->second) a->free_stack.push_back(p);
+  a->seq_pages.erase(it);
+  return n;
+}
+
+}  // extern "C"

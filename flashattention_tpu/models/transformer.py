@@ -1,0 +1,316 @@
+"""Decoder-only transformer LM on the flash-attention kernel library.
+
+Functional re-design of the reference's GPT-style model
+(src/fa3/torch/flashattention_pytorch.py):
+
+- ``Embedding``/``PositionalEncoding`` (ln 620-647): token embedding scaled
+  by sqrt(d_model) + learned positional embeddings (init std 0.02).
+- ``MultiHeadAttention`` (ln 18-92): fused QKV projection (w_qkv: d -> 3d,
+  ln 31), temperature ``tau``, optional block-sparse mask (ln 77-78),
+  attention dropout — all routed through the framework's flash kernels
+  instead of the reference's hand-rolled tiled loops.
+- ``Decoder``/``DecoderStack`` (ln 192-226): post-LN blocks
+  (MHA -> residual+LN -> FFN -> residual+LN).
+- ``look_ahead_mask_`` (ln 176-190): causal masking with q_len != k_len via
+  the kernels' absolute-index offset math (KV-cache decode).
+- ``Transformer`` (ln 649-675): tok-emb -> pos-enc -> N blocks -> lm head.
+
+Params are plain nested dicts (pytrees): everything jits, shards with pjit /
+shard_map, and checkpoints with orbax without framework glue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_tpu.ops.api import flash_attention
+from flashattention_tpu.ops.tiled import tiled_attention
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    """Reference FlashAttentionConfig (flashattention_pytorch.py:679-711):
+    GPT-3-small-ish defaults."""
+
+    vocab_size: int = 50257
+    d_model: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    d_ff: int = 3072
+    max_seq_len: int = 512
+    dropout_rate: float = 0.1
+    block_size: int = 128          # attention tile size (reference ln 706)
+    tau: float | None = None       # softmax temperature; default sqrt(d_head)
+    use_block_sparse: bool = False
+    dtype: Any = jnp.bfloat16      # activation/compute dtype
+    param_dtype: Any = jnp.float32
+    attention_backend: str = "auto"
+    remat: bool = True             # jax.checkpoint each block (HBM saver)
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def softmax_scale(self) -> float:
+        # tau temperature (reference ln 81-87); default 1/sqrt(d_head).
+        return 1.0 / self.tau if self.tau else self.d_head ** -0.5
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _dense_init(key, shape, dtype, scale=0.02):
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
+    keys = jax.random.split(key, 4 + cfg.n_layers)
+    pd = cfg.param_dtype
+    d, dff = cfg.d_model, cfg.d_ff
+    params: Params = {
+        "tok_emb": _dense_init(keys[0], (cfg.vocab_size, d), pd),
+        "pos_emb": _dense_init(keys[1], (cfg.max_seq_len, d), pd),
+        "lm_head": {
+            "w": _dense_init(keys[2], (d, cfg.vocab_size), pd),
+            "b": jnp.zeros((cfg.vocab_size,), pd),
+        },
+        "final_ln": {"g": jnp.ones((d,), pd), "b": jnp.zeros((d,), pd)},
+        "blocks": [],
+    }
+    for i in range(cfg.n_layers):
+        bk = jax.random.split(keys[4 + i], 6)
+        # residual-branch projections scaled down by depth (GPT-2 init)
+        out_scale = 0.02 / math.sqrt(2 * cfg.n_layers)
+        params["blocks"].append(
+            {
+                "attn": {
+                    # fused QKV (reference w_qkv, ln 31)
+                    "w_qkv": _dense_init(bk[0], (d, 3 * d), pd),
+                    "b_qkv": jnp.zeros((3 * d,), pd),
+                    "w_o": _dense_init(bk[1], (d, d), pd, out_scale),
+                    "b_o": jnp.zeros((d,), pd),
+                },
+                "ln1": {"g": jnp.ones((d,), pd), "b": jnp.zeros((d,), pd)},
+                "mlp": {
+                    "w_in": _dense_init(bk[2], (d, dff), pd),
+                    "b_in": jnp.zeros((dff,), pd),
+                    "w_out": _dense_init(bk[3], (dff, d), pd, out_scale),
+                    "b_out": jnp.zeros((d,), pd),
+                },
+                "ln2": {"g": jnp.ones((d,), pd), "b": jnp.zeros((d,), pd)},
+            }
+        )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _layer_norm(x, p, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)).astype(
+        x.dtype
+    )
+
+
+def block_sparse_mask(
+    n_q: int, n_k: int, block: int, pattern: jax.Array
+) -> jax.Array:
+    """Expand an (n_q_blocks, n_k_blocks) block pattern to an elementwise
+    (n_q, n_k) bool mask (reference block_sparse_mask, ln 124)."""
+    reps_q = -(-n_q // pattern.shape[0])
+    reps_k = -(-n_k // pattern.shape[1])
+    m = jnp.repeat(jnp.repeat(pattern.astype(bool), reps_q, 0), reps_k, 1)
+    return m[:n_q, :n_k]
+
+
+def _attention(
+    x: jax.Array,
+    p: Params,
+    cfg: TransformerConfig,
+    *,
+    dropout_key: jax.Array | None,
+    train: bool,
+    sparse_mask: jax.Array | None,
+    kv_cache: Params | None = None,
+    cache_index: jax.Array | None = None,
+):
+    b, n, d = x.shape
+    h, dh = cfg.n_heads, cfg.d_head
+    qkv = x @ p["w_qkv"].astype(x.dtype) + p["b_qkv"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):  # (B, N, D) -> (B, H, N, dh)
+        return t.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+
+    if kv_cache is not None:
+        # Decode: append this step's K/V at cache_index, attend to the prefix.
+        k_cache = jax.lax.dynamic_update_slice(
+            kv_cache["k"], k.astype(kv_cache["k"].dtype), (0, 0, cache_index, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            kv_cache["v"], v.astype(kv_cache["v"].dtype), (0, 0, cache_index, 0)
+        )
+        new_cache = {"k": k_cache, "v": v_cache}
+        # Mask out not-yet-written cache slots AND future positions: a
+        # length mask over absolute positions (the kernels' causal offset
+        # handles q_len != k_len, but the cache tail beyond cache_index + n
+        # must be excluded explicitly).
+        n_cache = k_cache.shape[2]
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n, n_cache), 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n, n_cache), 0)
+        mask = cols <= rows + cache_index
+        o, _ = tiled_attention(
+            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+            softmax_scale=cfg.softmax_scale,
+            block_k=min(cfg.block_size, n_cache),
+            mask=mask,
+        )
+    else:
+        new_cache = None
+        rate = cfg.dropout_rate if train else 0.0
+        o, _ = flash_attention(
+            q, k, v,
+            causal=True,
+            softmax_scale=cfg.softmax_scale,
+            backend=cfg.attention_backend,
+            block_q=cfg.block_size,
+            block_k=cfg.block_size,
+            mask=sparse_mask,
+            dropout_rate=rate,
+            dropout_key=dropout_key if rate > 0 else None,
+        )
+
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    out = o @ p["w_o"].astype(o.dtype) + p["b_o"].astype(o.dtype)
+    return out, new_cache
+
+
+def _mlp(x, p, cfg):
+    hgelu = jax.nn.gelu(x @ p["w_in"].astype(x.dtype) + p["b_in"].astype(x.dtype))
+    return hgelu @ p["w_out"].astype(x.dtype) + p["b_out"].astype(x.dtype)
+
+
+def _dropout(x, key, rate):
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _block(x, bp, cfg, *, keys, train, sparse_mask):
+    # Post-LN (reference Decoder, ln 192-226): sublayer -> residual -> LN.
+    attn_out, _ = _attention(
+        x, bp["attn"], cfg,
+        dropout_key=keys[0], train=train, sparse_mask=sparse_mask,
+    )
+    if train and cfg.dropout_rate > 0:
+        attn_out = _dropout(attn_out, keys[1], cfg.dropout_rate)
+    x = _layer_norm(x + attn_out, bp["ln1"])
+    mlp_out = _mlp(x, bp["mlp"], cfg)
+    if train and cfg.dropout_rate > 0:
+        mlp_out = _dropout(mlp_out, keys[2], cfg.dropout_rate)
+    return _layer_norm(x + mlp_out, bp["ln2"])
+
+
+def apply_transformer(
+    params: Params,
+    tokens: jax.Array,
+    cfg: TransformerConfig,
+    *,
+    train: bool = False,
+    dropout_key: jax.Array | None = None,
+    sparse_pattern: jax.Array | None = None,
+) -> jax.Array:
+    """tokens (B, N) int32 -> logits (B, N, vocab) in fp32."""
+    b, n = tokens.shape
+    x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
+    x = x + params["pos_emb"][:n].astype(cfg.dtype)
+    if train and cfg.dropout_rate > 0:
+        dropout_key, sub = jax.random.split(dropout_key)
+        x = _dropout(x, sub, cfg.dropout_rate)
+
+    sparse_mask = None
+    if sparse_pattern is not None:
+        sparse_mask = block_sparse_mask(n, n, cfg.block_size, sparse_pattern)
+
+    def one_block(x, bp, keys):
+        return _block(x, bp, cfg, keys=keys, train=train, sparse_mask=sparse_mask)
+
+    block_fn = jax.checkpoint(one_block) if cfg.remat else one_block
+
+    keys = (
+        list(jax.random.split(dropout_key, 3 * cfg.n_layers))
+        if (train and cfg.dropout_rate > 0)
+        else [None] * (3 * cfg.n_layers)
+    )
+    for i, bp in enumerate(params["blocks"]):
+        x = block_fn(x, bp, tuple(keys[3 * i: 3 * i + 3]))
+    x = _layer_norm(x, params["final_ln"])
+    logits = x.astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
+    return logits + params["lm_head"]["b"].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(
+    cfg: TransformerConfig, batch: int, max_len: int | None = None,
+    dtype=None,
+) -> list[Params]:
+    max_len = max_len or cfg.max_seq_len
+    dtype = dtype or cfg.dtype
+    shape = (batch, cfg.n_heads, max_len, cfg.d_head)
+    return [
+        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        for _ in range(cfg.n_layers)
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params: Params,
+    caches: list[Params],
+    tokens: jax.Array,       # (B, 1) current token
+    cache_index: jax.Array,  # scalar: write position
+    cfg: TransformerConfig,
+):
+    """One decode step: returns (logits (B, vocab), updated caches)."""
+    b, n = tokens.shape
+    x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
+    pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], cache_index, n, 0)
+    x = x + pos.astype(cfg.dtype)
+
+    new_caches = []
+    for bp, cache in zip(params["blocks"], caches):
+        attn_out, new_cache = _attention(
+            x, bp["attn"], cfg,
+            dropout_key=None, train=False, sparse_mask=None,
+            kv_cache=cache, cache_index=cache_index,
+        )
+        new_caches.append(new_cache)
+        x = _layer_norm(x + attn_out, bp["ln1"])
+        mlp_out = _mlp(x, bp["mlp"], cfg)
+        x = _layer_norm(x + mlp_out, bp["ln2"])
+    x = _layer_norm(x, params["final_ln"])
+    logits = x.astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
+    logits = logits + params["lm_head"]["b"].astype(jnp.float32)
+    return logits[:, -1], new_caches

@@ -39,6 +39,8 @@ from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 from flashattention_tpu.ops.specs import MIN_BLOCK
 
 LANES = 128  # lane width for fp32 m/l scratch rows
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 
 def _interpret_default() -> bool:
@@ -54,22 +56,28 @@ def _causal_should_run(iq, ik, block_q, block_k, offset):
     return (iq * block_q + block_q - 1 + offset) >= ik * block_k
 
 
+def _causal_needs_mask(iq, ik, block_q, block_k, offset):
+    """True when the (iq, ik) tile straddles the diagonal (its last column can
+    exceed what the tile's *first* row may attend to). Tiles fully below the
+    diagonal take the unmasked fast path — this is the main VPU saving for
+    causal attention (the per-element where/iota work is O(N^2))."""
+    return (ik * block_k + block_k - 1) > (iq * block_q + offset)
+
+
 def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset):
-    """Boolean (block_q, block_k) mask from absolute indices; None if no-op."""
-    need_kv_edge = n_k % block_k != 0
-    need_q_edge = n_q % block_q != 0  # only matters for causal offset math
-    if not causal and not need_kv_edge and not need_q_edge:
-        return None
-    rows = iq * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 0
-    )
-    cols = ik * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, (block_q, block_k), 1
-    )
-    mask = cols < n_k
+    """Boolean (block_q, block_k) mask from absolute indices.
+
+    Built from a (bq, 1) row iota and a (1, bk) col iota so the compare
+    broadcasts directly — one VPU pass instead of materializing two full
+    (bq, bk) int32 index planes."""
+    rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     if causal:
-        mask = mask & (cols <= rows + offset)
-    return mask
+        mask = cols <= rows + offset
+        if n_k % block_k:
+            mask = mask & (cols < n_k)
+        return mask
+    return jnp.broadcast_to(cols < n_k, (block_q, block_k))
 
 
 # ---------------------------------------------------------------------------
@@ -85,6 +93,7 @@ def _fwd_kernel(
     ik = pl.program_id(3)
     n_kv_tiles = pl.num_programs(3)
     offset = n_k - n_q
+    kv_edge = n_k % block_k != 0  # static
 
     @pl.when(ik == 0)
     def _init():
@@ -92,18 +101,18 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    run = _causal_should_run(iq, ik, block_q, block_k, offset) if causal else True
-
-    @pl.when(run)
-    def _compute():
+    def _update(use_mask):
+        # NOTE: exp2-domain softmax was tried and reverted — Mosaic lowers
+        # jnp.exp2 through a slow path on v5e (5-8x whole-kernel regression,
+        # measured 2026-08-16). Natural exp it is.
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s *= softmax_scale
-        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
-        if mask is not None:
+        s = s * jnp.float32(softmax_scale)
+        if use_mask:
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -119,6 +128,30 @@ def _fwd_kernel(
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
+
+    if causal:
+        run = _causal_should_run(iq, ik, block_q, block_k, offset)
+        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        if kv_edge:
+            needs_mask = needs_mask | (ik == n_kv_tiles - 1)
+
+        @pl.when(run & needs_mask)
+        def _masked():
+            _update(True)
+
+        @pl.when(run & jnp.logical_not(needs_mask))
+        def _unmasked():
+            _update(False)
+    elif kv_edge:
+        @pl.when(ik == n_kv_tiles - 1)
+        def _edge():
+            _update(True)
+
+        @pl.when(ik != n_kv_tiles - 1)
+        def _body():
+            _update(False)
+    else:
+        _update(False)
 
     @pl.when(ik == n_kv_tiles - 1)
     def _store():
@@ -192,53 +225,87 @@ def _bwd_dkv_kernel(
     dk_scr, dv_scr,
     *, softmax_scale, causal, n_q, n_k, block_q, block_k,
 ):
+    """dK/dV: one grid cell per KV tile, sequential loop over Q tiles.
+
+    Recomputes p = exp(s*scale - lse) from the saved LSE; softmax_scale is
+    folded into the dk store (once per KV tile) so ds needs no per-element
+    scale multiply.
+    """
     ik = pl.program_id(2)
     iq = pl.program_id(3)
     n_q_tiles = pl.num_programs(3)
     offset = n_k - n_q
+    kv_edge = n_k % block_k != 0
 
     @pl.when(iq == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
-    run = _causal_should_run(iq, ik, block_q, block_k, offset) if causal else True
-
-    @pl.when(run)
-    def _compute():
+    def _update(use_mask):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0]  # (bq, 1)
-        di = di_ref[0, 0]    # (bq, 1)
+        do = do_ref[0, 0]
+        lse2 = lse_ref[0, 0]  # (bq, 1)
+        di = di_ref[0, 0]     # (bq, 1)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        s *= softmax_scale
-        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
-        if mask is not None:
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-        p = jnp.exp(s - lse)  # (bq, bk)
+        s2 = s2 * jnp.float32(softmax_scale)
+        if use_mask:
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+            s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s2 - lse2)  # (bq, bk) softmax probabilities
 
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - di) * softmax_scale
+        ds = p * (dp - di)
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
+    if causal:
+        run = _causal_should_run(iq, ik, block_q, block_k, offset)
+        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        if kv_edge:
+            needs_mask = needs_mask | (ik == pl.num_programs(2) - 1)
+
+        @pl.when(run & needs_mask)
+        def _masked():
+            _update(True)
+
+        @pl.when(run & jnp.logical_not(needs_mask))
+        def _unmasked():
+            _update(False)
+    elif kv_edge:
+        is_edge = ik == pl.num_programs(2) - 1
+
+        @pl.when(is_edge)
+        def _edge():
+            _update(True)
+
+        @pl.when(jnp.logical_not(is_edge))
+        def _body():
+            _update(False)
+    else:
+        _update(False)
+
     @pl.when(iq == n_q_tiles - 1)
     def _store():
-        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        # softmax_scale folded in once per KV tile instead of per ds element.
+        dk_ref[0, 0] = (
+            dk_scr[...] * jnp.float32(softmax_scale)
+        ).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
@@ -251,41 +318,70 @@ def _bwd_dq_kernel(
     n_kv_tiles = pl.num_programs(3)
     offset = n_k - n_q
 
+    kv_edge = n_k % block_k != 0
+
     @pl.when(ik == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
-    run = _causal_should_run(iq, ik, block_q, block_k, offset) if causal else True
-
-    @pl.when(run)
-    def _compute():
+    def _update(use_mask):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0]  # (bq, 1)
-        di = di_ref[0, 0]    # (bq, 1)
+        do = do_ref[0, 0]
+        lse2 = lse_ref[0, 0]  # (bq, 1)
+        di = di_ref[0, 0]     # (bq, 1)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s *= softmax_scale
-        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
-        if mask is not None:
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - di) * softmax_scale
+        s2 = s2 * jnp.float32(softmax_scale)
+        if use_mask:
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+            s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s2 - lse2)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di)
         dq_scr[...] += jax.lax.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
 
+    if causal:
+        run = _causal_should_run(iq, ik, block_q, block_k, offset)
+        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        if kv_edge:
+            needs_mask = needs_mask | (ik == n_kv_tiles - 1)
+
+        @pl.when(run & needs_mask)
+        def _masked():
+            _update(True)
+
+        @pl.when(run & jnp.logical_not(needs_mask))
+        def _unmasked():
+            _update(False)
+    elif kv_edge:
+        is_edge = ik == n_kv_tiles - 1
+
+        @pl.when(is_edge)
+        def _edge():
+            _update(True)
+
+        @pl.when(jnp.logical_not(is_edge))
+        def _body():
+            _update(False)
+    else:
+        _update(False)
+
     @pl.when(ik == n_kv_tiles - 1)
     def _store():
-        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+        # softmax_scale applied once here instead of on every O(N^2) ds tile.
+        dq_ref[0, 0] = (
+            dq_scr[...] * jnp.float32(softmax_scale)
+        ).astype(dq_ref.dtype)
 
 
 def _flash_bwd(
@@ -449,8 +545,8 @@ def pallas_attention(
     *,
     causal: bool = False,
     softmax_scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.

@@ -56,26 +56,20 @@ class FA3Spec:
 
 def pick_fa1_spec(head_dim: int) -> FA1Spec:
     """Reference picks br=128/bc=128 for d<=64 else br=64 (src/fa1/spec.py:9-12).
-    On TPU, larger Q tiles amortize the fp32 m/l scratch; VMEM budget shrinks
-    the Q tile as head_dim grows."""
-    if head_dim <= 64:
-        return FA1Spec(block_q=256, block_k=256)
+    On TPU the sweep (scripts/tune_attention.py, v5e, N=8K) favors large
+    tiles: 512x1024 beats 256x512 by 1.5x."""
     if head_dim <= 128:
-        return FA1Spec(block_q=256, block_k=256)
-    return FA1Spec(block_q=128, block_k=128)
+        return FA1Spec(block_q=512, block_k=1024)
+    return FA1Spec(block_q=256, block_k=512)
 
 
 def pick_fa2_spec(head_dim: int) -> FA2Spec:
-    if head_dim <= 64:
-        return FA2Spec(block_q=256, block_k=512)
     if head_dim <= 128:
-        return FA2Spec(block_q=256, block_k=512)
-    return FA2Spec(block_q=128, block_k=256)
+        return FA2Spec(block_q=512, block_k=1024)
+    return FA2Spec(block_q=256, block_k=512)
 
 
 def pick_fa3_spec(head_dim: int) -> FA3Spec:
-    if head_dim <= 64:
-        return FA3Spec(block_q=256, block_k=512, stages=2)
     if head_dim <= 128:
-        return FA3Spec(block_q=256, block_k=512, stages=2)
-    return FA3Spec(block_q=128, block_k=256, stages=2)
+        return FA3Spec(block_q=512, block_k=1024, stages=2)
+    return FA3Spec(block_q=256, block_k=512, stages=2)

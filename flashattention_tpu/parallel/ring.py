@@ -1,0 +1,167 @@
+"""Context parallelism: ring attention and all-gather attention.
+
+The online-softmax m/l merge is associative (reference fa1 torch impl's
+running update, src/fa1/torch/impl.py:53-61), so partial attention against
+KV shards on different chips merges exactly like KV tiles inside one kernel.
+Ring attention rotates KV shards around the ICI ring with ``ppermute`` while
+each chip computes the current partial — communication hides behind compute
+(SURVEY.md §5.7 plan; scaling-book ring recipe).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_tpu.ops.api import flash_attention
+
+
+def _merge_partials(m, l, acc, o_p, lse_p):
+    """Merge a normalized partial (o_p, lse_p) into running (m, l, acc).
+
+    Running state: m = running max (B,H,N), l = running sum weight,
+    acc = unnormalized output. Final o = acc / l, lse = m + log l.
+    """
+    m_new = jnp.maximum(m, lse_p)
+    alpha = jnp.exp(m - m_new)          # rescale old
+    w = jnp.exp(lse_p - m_new)          # weight of the new partial
+    l_new = l * alpha + w
+    acc_new = acc * alpha[..., None] + o_p.astype(jnp.float32) * w[..., None]
+    return m_new, l_new, acc_new
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    softmax_scale: float | None = None,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Ring attention over a sequence-sharded mesh axis.
+
+    Call inside shard_map with q/k/v sharded on their N dim over
+    ``axis_name``. Each step computes a partial against the KV shard
+    currently resident, then rotates K/V to the next chip with ppermute;
+    after axis_size steps every chip has attended to the full sequence.
+
+    Causal handling per step (shard-granular, like tile-granular skipping
+    inside the kernel): KV shards strictly in the past -> full attention;
+    the diagonal shard -> causal attention; future shards -> skipped.
+
+    Returns local (o, lse) for this chip's query shard.
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    b, h, n_local, d_head = q.shape
+    if softmax_scale is None:
+        softmax_scale = d_head ** -0.5
+
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def partial_full(qkv):
+        q_, k_, v_ = qkv
+        return flash_attention(
+            q_, k_, v_, causal=False, softmax_scale=softmax_scale,
+            backend=backend,
+        )
+
+    def partial_diag(qkv):
+        q_, k_, v_ = qkv
+        return flash_attention(
+            q_, k_, v_, causal=True, softmax_scale=softmax_scale,
+            backend=backend,
+        )
+
+    def partial_skip(qkv):
+        q_ = qkv[0]
+        return (
+            jnp.zeros_like(q_),
+            jnp.full((b, h, n_local), -jnp.inf, jnp.float32),
+        )
+
+    m = jnp.full((b, h, n_local), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, n_local), jnp.float32)
+    acc = jnp.zeros((b, h, n_local, d_head), jnp.float32)
+
+    k_blk, v_blk = k, v
+    for step in range(n_dev):  # static: n_dev known at trace time
+        src = (my_idx - step) % n_dev  # which shard we hold right now
+        if causal:
+            # 0: past shard (full), 1: diagonal (causal), 2: future (skip)
+            case = jnp.where(src < my_idx, 0, jnp.where(src == my_idx, 1, 2))
+            o_p, lse_p = jax.lax.switch(
+                case, [partial_full, partial_diag, partial_skip],
+                (q, k_blk, v_blk),
+            )
+        else:
+            o_p, lse_p = partial_full((q, k_blk, v_blk))
+        m, l, acc = _merge_partials(m, l, acc, o_p, lse_p)
+        if step < n_dev - 1:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = (acc / l_safe[..., None]).astype(q.dtype)
+    lse = m + jnp.log(l_safe)
+    return o, lse
+
+
+def all_gather_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    softmax_scale: float | None = None,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Context parallelism, all-gather variant: gather the full K/V on every
+    chip, run local flash attention on the local Q shard. Simpler than the
+    ring and optimal when seq_kv is small enough to replicate; causal masking
+    uses the global offset of this chip's query shard."""
+    my_idx = jax.lax.axis_index(axis_name)
+    n_local = q.shape[2]
+    k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
+    v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+    if not causal:
+        return flash_attention(
+            q, k_full, v_full, causal=False, softmax_scale=softmax_scale,
+            backend=backend,
+        )
+    # Causal with a per-chip offset: query row r is global position
+    # my_idx * n_local + r. The kernels' built-in offset is k_len - q_len;
+    # here we need an explicit mask because the offset varies per chip.
+    n_k = k_full.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_local, n_k), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n_local, n_k), 1)
+    mask = cols <= rows + my_idx * n_local
+    return flash_attention(
+        q, k_full, v_full, softmax_scale=softmax_scale, mask=mask,
+    )
+
+
+def make_ring_attention(mesh, *, causal=False, softmax_scale=None,
+                        backend: str = "auto"):
+    """shard_map-wrapped ring attention: (B, H, N, D) global arrays sharded
+    (batch on 'data', sequence on 'context')."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data", None, "context", None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, P("data", None, "context")), check_vma=False,
+    )
+    def _ring(q, k, v):
+        return ring_attention(
+            q, k, v, axis_name="context", causal=causal,
+            softmax_scale=softmax_scale, backend=backend,
+        )
+
+    return _ring

@@ -1,0 +1,128 @@
+"""Page allocator: ctypes binding to the C++ runtime (csrc/page_allocator.cc)
+with a pure-Python fallback so the framework runs from a clean checkout.
+
+(The reference's native extension can never be imported from a clean checkout
+because its build system is gitignored — SURVEY.md §1-L1. Here the build is
+one ``make -C csrc`` and the fallback keeps tests green without it.)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "_native"
+_LIB_PATH = _NATIVE_DIR / "libfat_runtime.so"
+_CSRC = Path(__file__).resolve().parent.parent.parent / "csrc"
+
+
+def _load_native(build_if_missing: bool = True):
+    if not _LIB_PATH.exists() and build_if_missing and _CSRC.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(_CSRC)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, OSError):
+            return None
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.fat_allocator_create.restype = ctypes.c_void_p
+    lib.fat_allocator_create.argtypes = [ctypes.c_int64]
+    lib.fat_allocator_destroy.argtypes = [ctypes.c_void_p]
+    lib.fat_allocator_free_pages.restype = ctypes.c_int64
+    lib.fat_allocator_free_pages.argtypes = [ctypes.c_void_p]
+    lib.fat_allocator_grow.restype = ctypes.c_int32
+    lib.fat_allocator_grow.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64
+    ]
+    lib.fat_allocator_get_pages.restype = ctypes.c_int64
+    lib.fat_allocator_get_pages.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    lib.fat_allocator_release.restype = ctypes.c_int64
+    lib.fat_allocator_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    return lib
+
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _get_lib():
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB_TRIED = True
+        if os.environ.get("FAT_DISABLE_NATIVE") != "1":
+            _LIB = _load_native()
+    return _LIB
+
+
+class PageAllocator:
+    """Free-list page allocator with per-sequence page chains.
+
+    grow() is all-or-nothing: a continuous-batching step either fully
+    schedules a sequence's growth or leaves it untouched.
+    """
+
+    def __init__(self, num_pages: int, *, native: bool | None = None):
+        self.num_pages = num_pages
+        lib = _get_lib() if native in (None, True) else None
+        if native is True and lib is None:
+            raise RuntimeError("native allocator requested but not buildable")
+        self._lib = lib
+        if lib is not None:
+            self._handle = lib.fat_allocator_create(num_pages)
+        else:
+            self._free = list(range(num_pages - 1, -1, -1))
+            self._seq_pages: dict[int, list[int]] = {}
+
+    @property
+    def is_native(self) -> bool:
+        return self._lib is not None
+
+    def free_pages(self) -> int:
+        if self._lib:
+            return self._lib.fat_allocator_free_pages(self._handle)
+        return len(self._free)
+
+    def grow(self, seq_id: int, num_pages: int) -> bool:
+        """Ensure seq owns >= num_pages pages. False if out of memory."""
+        if self._lib:
+            return self._lib.fat_allocator_grow(self._handle, seq_id, num_pages) == 0
+        chain = self._seq_pages.setdefault(seq_id, [])
+        need = num_pages - len(chain)
+        if need <= 0:
+            return True
+        if len(self._free) < need:
+            return False
+        for _ in range(need):
+            chain.append(self._free.pop())
+        return True
+
+    def pages(self, seq_id: int) -> list[int]:
+        if self._lib:
+            cap = self.num_pages
+            buf = (ctypes.c_int32 * cap)()
+            n = self._lib.fat_allocator_get_pages(self._handle, seq_id, buf, cap)
+            if n < 0:
+                raise KeyError(seq_id)
+            return list(buf[: min(n, cap)])
+        if seq_id not in self._seq_pages:
+            raise KeyError(seq_id)
+        return list(self._seq_pages[seq_id])
+
+    def release(self, seq_id: int) -> int:
+        if self._lib:
+            return self._lib.fat_allocator_release(self._handle, seq_id)
+        chain = self._seq_pages.pop(seq_id, [])
+        self._free.extend(chain)
+        return len(chain)
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None:
+            self._lib.fat_allocator_destroy(self._handle)

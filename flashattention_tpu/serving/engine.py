@@ -1,0 +1,349 @@
+"""Continuous-batching serving engine over the paged KV cache.
+
+Host-side scheduler (admission, page growth, completion) around two jitted
+device programs with fixed shapes:
+
+- ``prefill``: one sequence's (padded) prompt -> first sampled token, with
+  per-layer K/V appended into that sequence's pages.
+- ``decode``: ALL active slots advance one token in a single batched step
+  against the paged cache (the continuous-batching hot loop).
+
+Inactive slots point at a reserved dump page so the batched decode keeps a
+fixed shape (no recompiles as sequences come and go); their outputs are
+discarded. Page bookkeeping is the C++ allocator (serving/allocator.py).
+
+The model weights are the same pytree the training stack produces
+(models/transformer.py) — train here, serve here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flashattention_tpu.models.transformer import (
+    TransformerConfig,
+    _layer_norm,
+)
+from flashattention_tpu.ops.tiled import tiled_attention
+from flashattention_tpu.serving.allocator import PageAllocator
+from flashattention_tpu.serving.paged_kv import (
+    PagedKVCache,
+    append_to_pages,
+    init_paged_cache,
+    paged_attention_decode,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_batch_size: int = 8        # decode slots
+    page_size: int = 16
+    num_pages: int = 512           # physical pages per layer
+    max_seq_len: int = 512         # per-sequence cap
+    prefill_pad: int = 64          # prompts padded to a multiple of this
+    quant: str | None = None       # None | "int8" | "fp8" page payloads
+    eos_token: int | None = None
+
+    @property
+    def pages_per_seq(self) -> int:
+        return -(-self.max_seq_len // self.page_size)
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    request_id: int
+    prompt: list[int]
+    max_new_tokens: int = 32
+
+
+@dataclasses.dataclass
+class _Slot:
+    request: GenerationRequest | None = None
+    length: int = 0
+    generated: list[int] = dataclasses.field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# Jitted model programs (prefill / decode) over the paged cache
+# ---------------------------------------------------------------------------
+
+
+def _qkv(x, bp, cfg):
+    b, n, d = x.shape
+    h, dh = cfg.n_heads, cfg.d_head
+    qkv = x @ bp["w_qkv"].astype(x.dtype) + bp["b_qkv"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    to_heads = lambda t: t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+    return to_heads(q), to_heads(k), to_heads(v)
+
+
+def _proj_out(o, bp):
+    # o: (B, H, N, dh) -> (B, N, D)
+    b, h, n, dh = o.shape
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+    return o @ bp["w_o"].astype(o.dtype) + bp["b_o"].astype(o.dtype)
+
+
+def _mlp(x, mp):
+    h = jax.nn.gelu(x @ mp["w_in"].astype(x.dtype) + mp["b_in"].astype(x.dtype))
+    return h @ mp["w_out"].astype(x.dtype) + mp["b_out"].astype(x.dtype)
+
+
+def _embed(params, tokens, cfg, position0):
+    x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
+    n = tokens.shape[1]
+    pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], position0, n, 0)
+    return x + pos.astype(cfg.dtype)
+
+
+def _lm_logits(params, x):
+    xf = x.astype(jnp.float32)
+    return xf @ params["lm_head"]["w"].astype(jnp.float32) + params["lm_head"][
+        "b"
+    ].astype(jnp.float32)
+
+
+def make_prefill_fn(cfg: TransformerConfig):
+    """Returns jitted prefill(params, caches, tokens(1,Tp), page_indices(1,P),
+    prompt_len) -> (next_token (1,), caches)."""
+
+    def prefill(params, caches, tokens, page_indices, prompt_len):
+        b, tp = tokens.shape
+        x = _embed(params, tokens, cfg, 0)
+        # prompt-internal causal attention with padding masked out
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+        mask = (cols <= rows) & (cols < prompt_len)
+        new_caches = []
+        zero_len = jnp.zeros((b,), jnp.int32)
+        for bp, cache in zip(params["blocks"], caches):
+            a = bp["attn"]
+            q, k, v = _qkv(x, a, cfg)
+            cache = append_to_pages(
+                cache, k, v, page_indices, zero_len,
+                valid_len=jnp.full((b,), prompt_len, jnp.int32),
+            )
+            new_caches.append(cache)
+            o, _ = tiled_attention(
+                q, k, v, softmax_scale=cfg.softmax_scale,
+                block_k=min(cfg.block_size, tp), mask=mask,
+            )
+            x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
+            x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
+        x = _layer_norm(x, params["final_ln"])
+        last = jax.lax.dynamic_slice_in_dim(x, prompt_len - 1, 1, 1)  # (1,1,D)
+        logits = _lm_logits(params, last)[:, 0]
+        return jnp.argmax(logits, axis=-1), new_caches
+
+    return jax.jit(prefill, donate_argnums=(1,))
+
+
+def make_decode_fn(cfg: TransformerConfig):
+    """Returns jitted decode(params, caches, tokens(B,1), page_indices(B,P),
+    lengths(B,)) -> (next_tokens (B,), caches).
+
+    lengths = tokens already in cache for each slot; the new token is written
+    at position lengths[b] and attends to lengths[b]+1 entries.
+    """
+
+    def decode(params, caches, tokens, page_indices, lengths):
+        b, _ = tokens.shape
+        x = _embed_decode(params, tokens, cfg, lengths)
+        new_caches = []
+        for bp, cache in zip(params["blocks"], caches):
+            a = bp["attn"]
+            q, k, v = _qkv(x, a, cfg)  # (B, H, 1, dh)
+            cache = append_to_pages(cache, k, v, page_indices, lengths)
+            new_caches.append(cache)
+            o = paged_attention_decode(
+                q[:, :, 0, :], cache, page_indices, lengths + 1,
+                softmax_scale=cfg.softmax_scale,
+            )
+            o = o[:, :, None, :]  # (B, H, 1, dh)
+            x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
+            x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
+        x = _layer_norm(x, params["final_ln"])
+        logits = _lm_logits(params, x)[:, 0]
+        return jnp.argmax(logits, axis=-1), new_caches
+
+    return jax.jit(decode, donate_argnums=(1,))
+
+
+def _embed_decode(params, tokens, cfg, lengths):
+    x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
+    pos = params["pos_emb"][lengths]  # (B, D) — position = current length
+    return x + pos[:, None, :].astype(cfg.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        params,
+        cfg: TransformerConfig,
+        ecfg: EngineConfig,
+        *,
+        native_allocator: bool | None = None,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.caches = [
+            init_paged_cache(
+                cfg.n_heads, ecfg.num_pages, ecfg.page_size, cfg.d_head,
+                quant=ecfg.quant, dtype=cfg.dtype,
+            )
+            for _ in range(cfg.n_layers)
+        ]
+        self.allocator = PageAllocator(ecfg.num_pages, native=native_allocator)
+        # Reserve a dump page for inactive decode slots / padded prefill.
+        assert self.allocator.grow(-1, 1)
+        self.dump_page = self.allocator.pages(-1)[0]
+        self.slots = [_Slot() for _ in range(ecfg.max_batch_size)]
+        self.waiting: list[GenerationRequest] = []
+        self.finished: dict[int, list[int]] = {}
+        self._prefill = make_prefill_fn(cfg)
+        self._decode = make_decode_fn(cfg)
+        self._steps = 0
+
+    # -- public API --------------------------------------------------------
+
+    def submit(self, request: GenerationRequest) -> None:
+        self.waiting.append(request)
+
+    def run(self, max_steps: int = 10_000) -> dict[int, list[int]]:
+        """Drive until all submitted work completes; returns
+        {request_id: generated tokens}."""
+        while (self.waiting or self._num_active()) and max_steps > 0:
+            self.step()
+            max_steps -= 1
+        return dict(self.finished)
+
+    def step(self) -> None:
+        """One scheduler tick: admit -> batched decode -> retire."""
+        self._admit()
+        if self._num_active():
+            self._decode_once()
+        self._steps += 1
+
+    # -- internals ----------------------------------------------------------
+
+    def _num_active(self) -> int:
+        return sum(s.request is not None for s in self.slots)
+
+    def _pages_needed(self, length: int) -> int:
+        return -(-length // self.ecfg.page_size)
+
+    def _admit(self) -> None:
+        for slot in self.slots:
+            if slot.request is not None or not self.waiting:
+                continue
+            req = self.waiting[0]
+            prompt_len = len(req.prompt)
+            if prompt_len + req.max_new_tokens > self.ecfg.max_seq_len:
+                self.waiting.pop(0)
+                self.finished[req.request_id] = []  # rejected: too long
+                continue
+            # all-or-nothing page reservation for prompt + one decode token
+            if not self.allocator.grow(
+                req.request_id, self._pages_needed(prompt_len + 1)
+            ):
+                return  # out of pages: retry next tick (backpressure)
+            self.waiting.pop(0)
+            slot.request = req
+            slot.length = prompt_len
+            slot.generated = []
+
+            pad = self.ecfg.prefill_pad
+            tp = -(-prompt_len // pad) * pad
+            tokens = np.zeros((1, tp), np.int32)
+            tokens[0, :prompt_len] = req.prompt
+            first_tok, self.caches = self._prefill(
+                self.params, self.caches, jnp.asarray(tokens),
+                self._page_row(req.request_id)[None],
+                jnp.int32(prompt_len),
+            )
+            slot.generated.append(int(first_tok[0]))
+            slot.length = prompt_len  # cache holds the prompt only
+            self._maybe_finish(slot)
+
+    def _page_row(self, seq_id: int | None) -> jnp.ndarray:
+        row = np.full((self.ecfg.pages_per_seq,), self.dump_page, np.int32)
+        if seq_id is not None:
+            pages = self.allocator.pages(seq_id)
+            row[: len(pages)] = pages
+        return jnp.asarray(row)
+
+    def _decode_once(self) -> None:
+        B = self.ecfg.max_batch_size
+        tokens = np.zeros((B, 1), np.int32)
+        lengths = np.zeros((B,), np.int32)
+        page_rows = []
+        for i, slot in enumerate(self.slots):
+            if slot.request is None:
+                page_rows.append(self._page_row(None))
+                continue
+            # grow pages to hold position `length` (the token being written)
+            if not self.allocator.grow(
+                slot.request.request_id, self._pages_needed(slot.length + 1)
+            ):
+                # OOM mid-flight: evict (release + requeue) — the bench
+                # harness's catch-and-continue analogue (SURVEY.md §5.3).
+                self._evict(slot)
+                page_rows.append(self._page_row(None))
+                continue
+            tokens[i, 0] = slot.generated[-1]
+            lengths[i] = slot.length
+            page_rows.append(self._page_row(slot.request.request_id))
+
+        next_tokens, self.caches = self._decode(
+            self.params, self.caches, jnp.asarray(tokens),
+            jnp.stack(page_rows), jnp.asarray(lengths),
+        )
+        next_np = np.asarray(next_tokens)
+        for i, slot in enumerate(self.slots):
+            if slot.request is None:
+                continue
+            slot.length += 1  # the fed token is now in cache
+            slot.generated.append(int(next_np[i]))
+            self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: _Slot) -> None:
+        req = slot.request
+        done_len = len(slot.generated) >= req.max_new_tokens
+        done_eos = (
+            self.ecfg.eos_token is not None
+            and slot.generated
+            and slot.generated[-1] == self.ecfg.eos_token
+        )
+        if done_len or done_eos:
+            self.finished[req.request_id] = list(slot.generated)
+            self.allocator.release(req.request_id)
+            slot.request = None
+            slot.generated = []
+            slot.length = 0
+
+    def _evict(self, slot: _Slot) -> None:
+        req = slot.request
+        self.allocator.release(req.request_id)
+        # requeue from scratch (prompt + already-generated tokens)
+        self.waiting.append(
+            GenerationRequest(
+                request_id=req.request_id,
+                prompt=list(req.prompt) + list(slot.generated[:-1]),
+                max_new_tokens=req.max_new_tokens - len(slot.generated) + 1,
+            )
+        )
+        slot.request = None
+        slot.generated = []
+        slot.length = 0

@@ -1,0 +1,190 @@
+"""Paged KV cache with optional int8/fp8 page quantization.
+
+Page-table layout (the jax/pallas paged-attention convention; see
+/opt/skills/guides/boom_attention_tricks.md §8):
+
+    k_pages, v_pages: (num_kv_heads, num_pages, page_size, head_dim)
+    page_indices:     (batch, pages_per_seq)  — logical -> physical
+    lengths:          (batch,)                — tokens written per sequence
+
+Quantized caches store an int8 or float8_e4m3fn payload plus per
+(head, page, slot) fp32 scales — per-token scales quantize correctly under
+incremental appends (a page-wide absmax would re-scale already-written
+slots). Loading 1-byte payloads halves decode HBM bandwidth, which is the
+decode bottleneck.
+
+The decode attention here is the XLA gather-based executor (correctness
+anchor + works everywhere); the Pallas double-buffered paged kernel rides on
+top in ops/pallas_paged.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+INT8_MAX = 127.0
+FP8_MAX = 448.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """One layer's paged cache. ``quant`` in {None, "int8", "fp8"}."""
+
+    k_pages: jax.Array            # (H_kv, P, page, D) payload
+    v_pages: jax.Array
+    k_scales: jax.Array | None    # (H_kv, P, page, 1) fp32 or None
+    v_scales: jax.Array | None
+    quant: str | None = dataclasses.field(metadata=dict(static=True), default=None)
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k_pages.shape[1]
+
+
+def init_paged_cache(
+    num_kv_heads: int,
+    num_pages: int,
+    page_size: int,
+    head_dim: int,
+    *,
+    quant: str | None = None,
+    dtype=jnp.bfloat16,
+) -> PagedKVCache:
+    if quant == "int8":
+        payload_dtype = jnp.int8
+    elif quant == "fp8":
+        payload_dtype = jnp.float8_e4m3fn
+    elif quant is None:
+        payload_dtype = dtype
+    else:
+        raise ValueError(f"quant must be None|'int8'|'fp8', got {quant!r}")
+    shape = (num_kv_heads, num_pages, page_size, head_dim)
+    scale_shape = (num_kv_heads, num_pages, page_size, 1)
+    return PagedKVCache(
+        k_pages=jnp.zeros(shape, payload_dtype),
+        v_pages=jnp.zeros(shape, payload_dtype),
+        k_scales=jnp.ones(scale_shape, jnp.float32) if quant else None,
+        v_scales=jnp.ones(scale_shape, jnp.float32) if quant else None,
+        quant=quant,
+    )
+
+
+def _quantize_token(x: jax.Array, quant: str, payload_dtype):
+    """x fp32 (H, D) -> (payload (H, D), scale (H,)) per-token absmax scale."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    qmax = INT8_MAX if quant == "int8" else FP8_MAX
+    scale = jnp.maximum(absmax / qmax, 1e-6)
+    y = x / scale[:, None]
+    if quant == "int8":
+        return jnp.round(y).astype(jnp.int8), scale
+    return y.astype(payload_dtype), scale
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def append_to_pages(
+    cache: PagedKVCache,
+    k_new: jax.Array,   # (B, H_kv, T, D) new tokens (T=1 decode, T=n prefill)
+    v_new: jax.Array,
+    page_indices: jax.Array,  # (B, pages_per_seq)
+    lengths: jax.Array,       # (B,) current lengths BEFORE this append
+    valid_len: jax.Array | None = None,  # (B,) tokens of the T that are real
+) -> PagedKVCache:
+    """Scatter new K/V tokens into their pages.
+
+    ``valid_len`` masks padded prefill tokens: positions t >= valid_len[b]
+    write their target's existing value back (a no-op write), so padding
+    never pollutes pages even when its computed slot lands out of range
+    (gather/scatter indices clamp in XLA).
+    """
+    b, h, t, d = k_new.shape
+    page = cache.page_size
+
+    def write_one(pages, scales, new, b_idx, t_idx):
+        """Write token (b_idx, :, t_idx) into its page slot."""
+        pos = lengths[b_idx] + t_idx
+        logical_page = jnp.minimum(pos // page, page_indices.shape[1] - 1)
+        slot = pos % page
+        phys = page_indices[b_idx, logical_page]
+        token = new[b_idx, :, t_idx].astype(jnp.float32)  # (H, D)
+        if cache.quant:
+            payload, scale = _quantize_token(token, cache.quant, pages.dtype)
+        else:
+            payload, scale = token.astype(pages.dtype), None
+        if valid_len is not None:
+            ok = t_idx < valid_len[b_idx]
+            payload = jnp.where(ok, payload, pages[:, phys, slot, :])
+            if scale is not None:
+                scale = jnp.where(ok, scale, scales[:, phys, slot, 0])
+        if scale is not None:
+            scales = scales.at[:, phys, slot, 0].set(scale)
+        return pages.at[:, phys, slot, :].set(payload), scales
+
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    k_scales, v_scales = cache.k_scales, cache.v_scales
+    for b_idx in range(b):          # static loops: B and T are jit-static
+        for t_idx in range(t):
+            k_pages, k_scales = write_one(k_pages, k_scales, k_new, b_idx, t_idx)
+            v_pages, v_scales = write_one(v_pages, v_scales, v_new, b_idx, t_idx)
+    return dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages,
+        k_scales=k_scales, v_scales=v_scales,
+    )
+
+
+def gather_pages(cache: PagedKVCache, page_indices: jax.Array):
+    """Materialize per-sequence contiguous K/V: (B, H, pages*page, D) fp32."""
+    # (H, P, page, D)[:, idx] -> (H, B, pages, page, D)
+    k = cache.k_pages[:, page_indices]
+    v = cache.v_pages[:, page_indices]
+    k = k.astype(jnp.float32)
+    v = v.astype(jnp.float32)
+    if cache.quant:
+        k = k * cache.k_scales[:, page_indices]
+        v = v * cache.v_scales[:, page_indices]
+    b = page_indices.shape[0]
+    h = k.shape[0]
+    k = k.transpose(1, 0, 2, 3, 4).reshape(b, h, -1, k.shape[-1])
+    v = v.transpose(1, 0, 2, 3, 4).reshape(b, h, -1, v.shape[-1])
+    return k, v
+
+
+@partial(jax.jit, static_argnames=("softmax_scale",))
+def paged_attention_decode(
+    q: jax.Array,             # (B, H, D) one query token per sequence
+    cache: PagedKVCache,
+    page_indices: jax.Array,  # (B, pages_per_seq)
+    lengths: jax.Array,       # (B,) valid tokens per sequence
+    *,
+    softmax_scale: float | None = None,
+) -> jax.Array:
+    """Decode attention against the paged cache (XLA executor).
+
+    GQA: H query heads attend to H_kv cache heads with H % H_kv == 0.
+    Returns (B, H, D) in q.dtype.
+    """
+    b, h_q, d = q.shape
+    if softmax_scale is None:
+        softmax_scale = d ** -0.5
+    k, v = gather_pages(cache, page_indices)  # (B, H_kv, L, D) fp32
+    h_kv = k.shape[1]
+    groups = h_q // h_kv
+    qf = q.astype(jnp.float32).reshape(b, h_kv, groups, d)
+    s = jnp.einsum("bhgd,bhld->bhgl", qf, k) * softmax_scale
+    length_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        < lengths[:, None, None, None]
+    )
+    s = jnp.where(length_mask, s, -0.7 * jnp.finfo(jnp.float32).max)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgl,bhld->bhgd", p, v)
+    return o.reshape(b, h_q, d).astype(q.dtype)

@@ -1,0 +1,184 @@
+"""Model + training tests — covering the reference's L6 application, which
+had ZERO tests in the reference (SURVEY.md §4.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_tpu.models.train import (
+    TrainConfig,
+    loss_fn,
+    make_optimizer,
+    train,
+    train_step,
+)
+from flashattention_tpu.models.transformer import (
+    TransformerConfig,
+    apply_transformer,
+    block_sparse_mask,
+    decode_step,
+    init_kv_cache,
+    init_transformer,
+)
+
+TINY = TransformerConfig(
+    vocab_size=97,
+    d_model=64,
+    n_layers=2,
+    n_heads=4,
+    d_ff=128,
+    max_seq_len=64,
+    block_size=32,
+    dropout_rate=0.1,
+    dtype=jnp.float32,
+    attention_backend="xla",
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_transformer(jax.random.key(0), TINY)
+
+
+def test_forward_shapes_and_finite(tiny_params):
+    tokens = jax.random.randint(jax.random.key(1), (2, 16), 0, TINY.vocab_size)
+    logits = apply_transformer(tiny_params, tokens, TINY)
+    assert logits.shape == (2, 16, TINY.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_causality(tiny_params):
+    """Changing a future token must not change past logits."""
+    tokens = jax.random.randint(jax.random.key(2), (1, 16), 0, TINY.vocab_size)
+    logits1 = apply_transformer(tiny_params, tokens, TINY)
+    tokens2 = tokens.at[0, 10].set((tokens[0, 10] + 1) % TINY.vocab_size)
+    logits2 = apply_transformer(tiny_params, tokens2, TINY)
+    np.testing.assert_allclose(
+        np.asarray(logits1[0, :10]), np.asarray(logits2[0, :10]),
+        rtol=1e-5, atol=1e-5,
+    )
+    assert not np.allclose(
+        np.asarray(logits1[0, 10:]), np.asarray(logits2[0, 10:]), atol=1e-5
+    )
+
+
+def test_decode_matches_full_forward(tiny_params):
+    """KV-cache decode must reproduce the full (teacher-forced) forward —
+    exercises the q_len != k_len mask (reference look_ahead_mask_)."""
+    n = 12
+    tokens = jax.random.randint(jax.random.key(3), (2, n), 0, TINY.vocab_size)
+    full_logits = apply_transformer(tiny_params, tokens, TINY)
+
+    caches = init_kv_cache(TINY, batch=2, max_len=n, dtype=jnp.float32)
+    step_logits = []
+    for i in range(n):
+        logits_i, caches = decode_step(
+            tiny_params, caches, tokens[:, i: i + 1], jnp.int32(i), TINY
+        )
+        step_logits.append(logits_i)
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full_logits),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_block_sparse_mask_pattern():
+    pattern = jnp.asarray([[1, 0], [1, 1]])
+    m = block_sparse_mask(4, 4, 2, pattern)
+    expected = np.array(
+        [
+            [1, 1, 0, 0],
+            [1, 1, 0, 0],
+            [1, 1, 1, 1],
+            [1, 1, 1, 1],
+        ],
+        dtype=bool,
+    )
+    np.testing.assert_array_equal(np.asarray(m), expected)
+
+
+def test_block_sparse_forward_runs(tiny_params):
+    tokens = jax.random.randint(jax.random.key(4), (1, 16), 0, TINY.vocab_size)
+    pattern = jnp.tril(jnp.ones((2, 2), jnp.int32))
+    logits = apply_transformer(
+        tiny_params, tokens, TINY, sparse_pattern=pattern
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_train_step_reduces_loss():
+    cfg = TINY
+    tc = TrainConfig(
+        batch_size=2, seq_len=16, total_steps=30, grad_accum=1,
+        warmup_steps=2, learning_rate=1e-2, log_every=5,
+    )
+    # Learnable synthetic task: constant repetition of a short pattern.
+    pattern = np.resize(np.arange(7), tc.seq_len + 1)
+    batch = {
+        "tokens": jnp.asarray(
+            np.tile(pattern, (tc.batch_size, 1)), jnp.int32
+        )
+    }
+    _, _, losses = train(
+        cfg, tc, batches=(batch for _ in range(tc.total_steps)), verbose=False
+    )
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_grad_accum_matches_large_batch():
+    """MultiSteps(k) over k microbatches == one step on the concatenated batch."""
+    cfg = TINY
+    key = jax.random.key(0)
+    params = init_transformer(key, cfg)
+    tokens = jax.random.randint(jax.random.key(5), (4, 17), 0, cfg.vocab_size)
+    dkey = jax.random.key(9)
+
+    cfg_nodrop = TransformerConfig(**{
+        **{f.name: getattr(cfg, f.name) for f in cfg.__dataclass_fields__.values()},
+        "dropout_rate": 0.0,
+    })
+
+    tc_acc = TrainConfig(grad_accum=2, warmup_steps=1, total_steps=4,
+                         grad_clip=1e9, weight_decay=0.0)
+    tx = make_optimizer(tc_acc)
+    # train_step donates params/opt_state; keep an undonated copy for run 2.
+    p1 = jax.tree.map(jnp.copy, params)
+    st = tx.init(p1)
+    for mb in (tokens[:2], tokens[2:]):
+        p1, st, _ = train_step(p1, st, {"tokens": mb}, dkey, cfg_nodrop, tx)
+
+    tc_full = TrainConfig(grad_accum=1, warmup_steps=1, total_steps=4,
+                          grad_clip=1e9, weight_decay=0.0)
+    tx2 = make_optimizer(tc_full)
+    st2 = tx2.init(params)
+    p2, st2, _ = train_step(params, st2, {"tokens": tokens}, dkey, cfg_nodrop, tx2)
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_checkpoint_save_restore(tmp_path):
+    from flashattention_tpu.models.train import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    cfg = TINY
+    params = init_transformer(jax.random.key(0), cfg)
+    tc = TrainConfig(grad_accum=1)
+    tx = make_optimizer(tc)
+    opt_state = tx.init(params)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, 7, params, opt_state)
+    restored = restore_checkpoint(path, params, opt_state)
+    assert restored is not None
+    step, rp, _ = restored
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rp)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

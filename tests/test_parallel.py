@@ -1,0 +1,104 @@
+"""Sharding tests on the 8-virtual-device CPU mesh: outputs must match the
+single-device reference (the cross-host parity suite SURVEY.md §4.4 calls
+for) — sharded vs unsharded is a tolerance check, not a trust-me."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flashattention_tpu.models.train import TrainConfig, loss_fn, make_optimizer
+from flashattention_tpu.models.transformer import (
+    TransformerConfig,
+    init_transformer,
+)
+from flashattention_tpu.ops.reference import reference_attention
+from flashattention_tpu.parallel import (
+    head_sharded_attention,
+    make_mesh,
+    make_sharded_train_state,
+    make_sharded_train_step,
+    param_partition_specs,
+)
+from flashattention_tpu.parallel.ring import make_ring_attention
+from flashattention_tpu.utils.testing import assert_allclose, make_qkv
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=2, model=4)
+    assert mesh.shape == {"data": 2, "model": 4, "context": 1}
+    with pytest.raises(ValueError):
+        make_mesh(data=16, model=4)
+
+
+def test_head_sharded_attention_matches_oracle():
+    mesh = make_mesh(data=2, model=4)
+    q, k, v = make_qkv(2, 8, 64, 32)  # batch 2 over data, 8 heads over model
+    attn = head_sharded_attention(mesh, causal=True)
+    o, lse = jax.jit(attn)(q, k, v)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=True)
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_oracle(causal):
+    mesh = make_mesh(data=2, model=1, context=4)
+    q, k, v = make_qkv(2, 2, 128, 32)  # seq 128 -> 32 per context shard
+    ring = make_ring_attention(mesh, causal=causal)
+    o, lse = jax.jit(ring)(q, k, v)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_train_step_matches_single_device():
+    """dp x tp train step == single-device train step (grad + update parity)."""
+    cfg = TransformerConfig(
+        vocab_size=64, d_model=64, n_layers=2, n_heads=4, d_ff=128,
+        max_seq_len=32, block_size=16, dropout_rate=0.0, dtype=jnp.float32,
+        attention_backend="xla",
+    )
+    tc = TrainConfig(grad_accum=1, warmup_steps=1, total_steps=4,
+                     learning_rate=1e-3, weight_decay=0.0)
+    params = init_transformer(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (4, 17), 0, cfg.vocab_size)
+    batch = {"tokens": tokens}
+    key = jax.random.key(2)
+
+    # single-device
+    tx = make_optimizer(tc)
+    st = tx.init(params)
+    loss0, grads = jax.value_and_grad(loss_fn)(params, batch, cfg, key)
+    import optax
+    updates, _ = tx.update(grads, st, params)
+    p_single = optax.apply_updates(params, updates)
+
+    # sharded (2 data x 4 model)
+    mesh = make_mesh(data=2, model=4)
+    tx2 = make_optimizer(tc)
+    p_sh, st_sh, _ = make_sharded_train_state(mesh, params, tx2)
+    step = make_sharded_train_step(mesh, cfg, tx2, loss_fn)
+    p_sh, st_sh, loss_sh = step(p_sh, st_sh, batch, key)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss0), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(jax.device_get(b), np.float32),
+            rtol=1e-4, atol=1e-5,
+        )
+
+
+def test_param_partition_specs_cover_tree():
+    cfg = TransformerConfig(
+        vocab_size=64, d_model=64, n_layers=1, n_heads=4, d_ff=128,
+        max_seq_len=32,
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    specs = param_partition_specs(params)
+    # same tree structure
+    assert jax.tree.structure(specs) == jax.tree.structure(params)
+    flat = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert any(s == P(None, "model") for s in flat)
+    assert any(s == P("model", None) for s in flat)

@@ -1,0 +1,219 @@
+"""Serving tests: allocator (native C++ and Python), paged cache numerics,
+and end-to-end continuous batching vs. naive full-forward greedy decoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_tpu.models.transformer import (
+    TransformerConfig,
+    apply_transformer,
+    init_transformer,
+)
+from flashattention_tpu.ops.reference import reference_attention
+from flashattention_tpu.serving import (
+    EngineConfig,
+    GenerationRequest,
+    PageAllocator,
+    ServingEngine,
+)
+from flashattention_tpu.serving.paged_kv import (
+    append_to_pages,
+    gather_pages,
+    init_paged_cache,
+    paged_attention_decode,
+)
+
+CFG = TransformerConfig(
+    vocab_size=89, d_model=64, n_layers=2, n_heads=4, d_ff=128,
+    max_seq_len=128, block_size=32, dropout_rate=0.0, dtype=jnp.float32,
+    attention_backend="xla",
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_transformer(jax.random.key(0), CFG)
+
+
+# -- allocator ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize("native", [False, None])
+def test_allocator_grow_release(native):
+    a = PageAllocator(8, native=native)
+    assert a.free_pages() == 8
+    assert a.grow(1, 3)
+    assert a.free_pages() == 5
+    assert len(a.pages(1)) == 3
+    assert a.grow(1, 2)  # shrink request: no-op
+    assert len(a.pages(1)) == 3
+    assert a.grow(2, 5)
+    assert not a.grow(3, 1)  # out of pages — all-or-nothing
+    assert a.release(1) == 3
+    assert a.free_pages() == 3
+    with pytest.raises(KeyError):
+        a.pages(99)
+
+
+def test_native_allocator_builds_and_matches_python():
+    a = PageAllocator(16, native=None)
+    if not a.is_native:
+        pytest.skip("native allocator not built (no toolchain)")
+    b = PageAllocator(16, native=False)
+    for alloc in (a, b):
+        assert alloc.grow(7, 4)
+        assert alloc.grow(8, 4)
+        alloc.release(7)
+        assert alloc.grow(9, 6)
+    assert a.free_pages() == b.free_pages() == 6
+    assert len(a.pages(9)) == len(b.pages(9)) == 6
+
+
+# -- paged cache numerics -----------------------------------------------------
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "fp8"])
+def test_paged_roundtrip(quant):
+    h, pages, psize, d = 2, 8, 4, 16
+    cache = init_paged_cache(h, pages, psize, d, quant=quant, dtype=jnp.float32)
+    k_new = jax.random.normal(jax.random.key(0), (1, h, 10, d))
+    v_new = jax.random.normal(jax.random.key(1), (1, h, 10, d))
+    page_indices = jnp.asarray([[3, 1, 6]])  # 3 pages hold 10 tokens
+    cache = append_to_pages(
+        cache, k_new, v_new, page_indices, jnp.zeros((1,), jnp.int32)
+    )
+    k, v = gather_pages(cache, page_indices)
+    tol = 0.0 if quant is None else (0.02 if quant == "int8" else 0.1)
+    np.testing.assert_allclose(
+        np.asarray(k[0, :, :10]), np.asarray(k_new[0]), atol=tol, rtol=tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(v[0, :, :10]), np.asarray(v_new[0]), atol=tol, rtol=tol
+    )
+
+
+def test_paged_append_valid_len_masks_padding():
+    h, pages, psize, d = 1, 4, 4, 8
+    cache = init_paged_cache(h, pages, psize, d, dtype=jnp.float32)
+    k_new = jnp.ones((1, h, 8, d))
+    page_indices = jnp.asarray([[0, 1]])
+    cache = append_to_pages(
+        cache, k_new, k_new, page_indices, jnp.zeros((1,), jnp.int32),
+        valid_len=jnp.asarray([5]),
+    )
+    k, _ = gather_pages(cache, page_indices)
+    assert np.asarray(k[0, 0, :5]).sum() == 5 * d   # 5 real tokens
+    assert np.asarray(k[0, 0, 5:]).sum() == 0       # padding masked
+
+
+def test_paged_decode_matches_reference():
+    b, h, d = 2, 4, 32
+    lengths = jnp.asarray([10, 7])
+    cache = init_paged_cache(h, 16, 4, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, 12, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h, 12, d))
+    page_indices = jnp.asarray([[0, 1, 2], [4, 5, 6]])
+    cache = append_to_pages(
+        cache, kf, vf, page_indices, jnp.zeros((b,), jnp.int32),
+        valid_len=lengths,
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h, d))
+    o = paged_attention_decode(q, cache, page_indices, lengths)
+    for i in range(b):
+        n = int(lengths[i])
+        o_ref, _ = reference_attention(
+            q[i][None, :, None, :], kf[i][None, :, :n], vf[i][None, :, :n]
+        )
+        np.testing.assert_allclose(
+            np.asarray(o[i]), np.asarray(o_ref[0, :, 0]), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_paged_decode_gqa():
+    b, h_q, h_kv, d = 1, 8, 2, 16
+    cache = init_paged_cache(h_kv, 8, 4, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h_kv, 8, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h_kv, 8, d))
+    pi = jnp.asarray([[0, 1]])
+    cache = append_to_pages(cache, kf, vf, pi, jnp.zeros((b,), jnp.int32))
+    q = jax.random.normal(jax.random.key(2), (b, h_q, d))
+    o = paged_attention_decode(q, cache, pi, jnp.asarray([8]))
+    # oracle: repeat kv heads 4x
+    k_rep = jnp.repeat(kf, 4, axis=1)
+    v_rep = jnp.repeat(vf, 4, axis=1)
+    o_ref, _ = reference_attention(q[:, :, None, :], k_rep, v_rep)
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref[:, :, 0]), rtol=1e-5, atol=1e-5
+    )
+
+
+# -- engine end-to-end --------------------------------------------------------
+
+
+def _naive_greedy(params, prompt, n_new):
+    """Full-forward greedy decoding (no cache) as the oracle."""
+    tokens = list(prompt)
+    out = []
+    for _ in range(n_new):
+        logits = apply_transformer(
+            params, jnp.asarray([tokens], jnp.int32), CFG
+        )
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        tokens.append(nxt)
+    return out
+
+
+def test_engine_matches_naive_greedy(params):
+    ecfg = EngineConfig(
+        max_batch_size=4, page_size=8, num_pages=64, max_seq_len=128,
+        prefill_pad=16,
+    )
+    eng = ServingEngine(params, CFG, ecfg)
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(0, CFG.vocab_size, size=n)) for n in (5, 11, 3)]
+    for i, p in enumerate(prompts):
+        eng.submit(GenerationRequest(request_id=i, prompt=p, max_new_tokens=6))
+    results = eng.run()
+    assert set(results) == {0, 1, 2}
+    for i, p in enumerate(prompts):
+        expected = _naive_greedy(params, p, 6)
+        assert results[i] == expected, (i, results[i], expected)
+
+
+def test_engine_continuous_admission(params):
+    """More requests than slots: later requests admit as earlier ones finish."""
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=32, max_seq_len=64,
+        prefill_pad=16,
+    )
+    eng = ServingEngine(params, CFG, ecfg)
+    rng = np.random.default_rng(1)
+    n_req = 5
+    for i in range(n_req):
+        prompt = list(rng.integers(0, CFG.vocab_size, size=4 + i))
+        eng.submit(GenerationRequest(request_id=i, prompt=prompt, max_new_tokens=4))
+    results = eng.run()
+    assert set(results) == set(range(n_req))
+    assert all(len(v) == 4 for v in results.values())
+    # all pages returned to the pool (dump page still held)
+    assert eng.allocator.free_pages() == ecfg.num_pages - 1
+
+
+@pytest.mark.parametrize("quant", ["int8", "fp8"])
+def test_engine_quantized_runs(params, quant):
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=32, max_seq_len=64,
+        prefill_pad=16, quant=quant,
+    )
+    eng = ServingEngine(params, CFG, ecfg)
+    prompt = list(np.random.default_rng(2).integers(0, CFG.vocab_size, size=6))
+    eng.submit(GenerationRequest(request_id=0, prompt=prompt, max_new_tokens=5))
+    results = eng.run()
+    assert len(results[0]) == 5
+    # Quantized greedy tokens may legitimately diverge from exact ones, but
+    # the first step (prefill, unquantized attention over the prompt itself)
+    # must agree.
+    assert results[0][0] == _naive_greedy(params, prompt, 1)[0]
