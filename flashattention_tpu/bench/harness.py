@@ -1,0 +1,124 @@
+"""Timing + records for the benchmark suite.
+
+Record schema mirrors the reference's (benchmarks/bench_utils.py:161-208):
+algo/backend/direction/shape/causal/dtype + mean_ms/pstdev_ms/tflops, with
+``status`` ("ok" / "oom" / "failed") and OOM-catch-and-continue semantics
+(bench_utils.py:227-229). Adds ``roofline_frac`` per chip.
+
+Timing caveat (TPU-over-tunnel): ``block_until_ready`` does not synchronize
+through the axon relay, so iterations are CHAINED (each call consumes the
+previous output) and completion is forced by a host fetch.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import statistics
+import time
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+V5E_PEAK = {"bfloat16": 197.0, "float32": 49.0, "int8": 394.0, "fp8": 394.0}
+
+
+def peak_tflops(dtype: str, device_kind: str | None = None) -> float:
+    """Per-chip peak for roofline accounting (v5e numbers by default)."""
+    return V5E_PEAK.get(dtype, V5E_PEAK["bfloat16"])
+
+
+def attention_flops(
+    b: int, h: int, n: int, d: int, *, direction: str = "forward",
+    causal: bool = False,
+) -> float:
+    """Reference FLOP model (bench_utils.py:210-215): fwd 4*B*H*N^2*d,
+    bwd 2x fwd; causal halves the realized work."""
+    f = 4.0 * b * h * n * n * d
+    if direction == "backward":
+        f *= 2.0
+    elif direction == "both":
+        f *= 3.0
+    if causal:
+        f /= 2.0
+    return f
+
+
+@dataclasses.dataclass
+class BenchRecord:
+    algo: str
+    backend: str
+    direction: str
+    batch: int
+    heads: int
+    seqlen: int
+    head_dim: int
+    causal: bool
+    dtype: str
+    mean_ms: float = 0.0
+    pstdev_ms: float = 0.0
+    tflops: float = 0.0
+    roofline_frac: float = 0.0
+    status: str = "ok"
+    error: str = ""
+
+    def row(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def benchmark_call(
+    fn: Callable, args: tuple, *, chain_idx: int = 0, warmup: int = 1,
+    iters: int = 10, trials: int = 3,
+) -> tuple[float, float]:
+    """Returns (mean_ms_of_best_trial, pstdev_ms_across_trials)."""
+    out = fn(*args)
+    first = out[0] if isinstance(out, (tuple, list)) else out
+    _ = np.asarray(first).ravel()[:4]
+    times = []
+    for _t in range(trials):
+        a = list(args)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*a)
+            first = out[0] if isinstance(out, (tuple, list)) else out
+            a[chain_idx] = first
+        _ = np.asarray(first).ravel()[:4]
+        times.append((time.perf_counter() - t0) / iters * 1e3)
+    return min(times), statistics.pstdev(times) if len(times) > 1 else 0.0
+
+
+def write_results(
+    records: list[BenchRecord], out_dir: str | Path, tag: str
+) -> tuple[Path, Path]:
+    """Timestamped JSON + CSV (reference bench_utils.py:287-325)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ts = time.strftime("%Y%m%d_%H%M%S")
+    jpath = out_dir / f"{tag}_{ts}.json"
+    cpath = out_dir / f"{tag}_{ts}.csv"
+    rows = [r.row() for r in records]
+    jpath.write_text(json.dumps(rows, indent=1))
+    with open(cpath, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        writer.writeheader()
+        writer.writerows(rows)
+    return jpath, cpath
+
+
+def console_table(records: list[BenchRecord]) -> str:
+    """Fixed-width table (reference bench_utils.py:232-244)."""
+    hdr = (f"{'algo':6} {'backend':8} {'dir':8} {'N':>6} {'d':>4} "
+           f"{'causal':>6} {'dtype':9} {'ms':>9} {'TFLOP/s':>8} "
+           f"{'%roof':>6} {'status':>7}")
+    lines = [hdr, "-" * len(hdr)]
+    for r in records:
+        lines.append(
+            f"{r.algo:6} {r.backend:8} {r.direction:8} {r.seqlen:>6} "
+            f"{r.head_dim:>4} {str(r.causal):>6} {r.dtype:9} "
+            f"{r.mean_ms:>9.3f} {r.tflops:>8.1f} "
+            f"{100 * r.roofline_frac:>5.1f}% {r.status:>7}"
+        )
+    return "\n".join(lines)

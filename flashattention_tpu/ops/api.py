@@ -131,6 +131,15 @@ def fa3_attention(
             backend=backend, block_q=spec.block_q, block_k=spec.block_k,
         )
     qr, kr = quant.incoherent_process(q, k, seed=fp8_seed)
+    if _resolve_backend(backend) == "pallas":
+        # Fused path: fp8 payloads stream through the kernel, per-tile
+        # descales fold into the score/output scaling (ops/pallas_fp8.py).
+        from flashattention_tpu.ops.pallas_fp8 import pallas_fp8_attention
+
+        return pallas_fp8_attention(
+            qr, kr, v, causal=causal, softmax_scale=softmax_scale,
+            block_q=spec.block_q, block_k=spec.block_k,
+        )
     blk_q = _fp8_block(q.shape[-2], spec.block_q)
     blk_k = _fp8_block(k.shape[-2], spec.block_k)
     qq = quant.fake_quant_fp8(qr, blk_q)

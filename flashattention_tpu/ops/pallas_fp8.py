@@ -1,0 +1,330 @@
+"""FA3: fused FP8 flash-attention forward (Pallas TPU kernel).
+
+The TPU-native re-design of the reference's FA3 fp8 path
+(src/fa3/torch/impl.py:118-133 + csrc/fa3/fa3_fwd.cu:30-101): real
+``float8_e4m3fn`` tile payloads with per-(head, seq-block) fp32 descales
+fused into the attention kernel, instead of the reference's fp16 fake
+quant-dequant pre-pass.
+
+Why this shape on v5e: the MXU computes in bf16, so FP8's win on this chip
+is HBM bandwidth — Q/K/V stream from HBM at 1 byte/elem (half of bf16) and
+are upcast in VMEM right before the matmuls. The descale is one scalar
+multiply per (q-tile, kv-tile) pair, folded into the existing score scaling,
+so the FP8 path adds zero per-element VPU work.
+
+LSE semantics under quantization: computed on the quantized scores, compared
+against a quantized-input oracle — the well-defined version of the
+reference's unsatisfiable fp8 LSE check (bug B6, SURVEY.md §2.6).
+
+Backward: straight-through estimator — gradients flow as if the kernel had
+consumed the dequantized inputs (the bf16 backward kernels run on
+dequantized q/k/v). This matches the reference's C++ fa3_bwd.cu:134-146,
+which re-quantizes and runs the FA1 backward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattention_tpu.ops.pallas_attn import (
+    LANES,
+    _causal_needs_mask,
+    _causal_should_run,
+    _flash_bwd,
+    _interpret_default,
+    _pad_dim,
+    _tile_mask,
+)
+from flashattention_tpu.ops.quant import FP8_DTYPE, FP8_MAX, SCALE_EPS
+from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
+
+
+def quantize_tiles(x: jax.Array, block: int):
+    """(B, H, N, D) fp -> (payload fp8, scales fp32 (B, H, N // block)).
+    N must already be padded to a multiple of ``block``."""
+    b, h, n, d = x.shape
+    xb = x.astype(jnp.float32).reshape(b, h, n // block, block, d)
+    absmax = jnp.max(jnp.abs(xb), axis=(-2, -1))
+    scales = jnp.maximum(absmax / FP8_MAX, SCALE_EPS)
+    payload = (xb / scales[..., None, None]).astype(FP8_DTYPE)
+    return payload.reshape(b, h, n, d), scales
+
+
+def _fp8_fwd_kernel(
+    sq_ref, sk_ref, sv_ref,        # scalar-prefetch: full (B,H,tiles) in SMEM
+    q_ref, k_ref, v_ref,
+    o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, softmax_scale, causal, n_q, n_k, block_q, block_k,
+):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    n_kv_tiles = pl.num_programs(3)
+    offset = n_k - n_q
+    kv_edge = n_k % block_k != 0
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def _update(use_mask):
+        # Upcast fp8 tiles in VMEM; MXU runs bf16 (v5e has no fp8 MXU —
+        # the FP8 win here is halved HBM traffic).
+        q = q_ref[0, 0].astype(jnp.bfloat16)
+        k = k_ref[0, 0].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # Fused descale: sq * sk folds into the softmax scale multiply.
+        descale = sq_ref[bi, hi, iq] * sk_ref[bi, hi, ik]
+        s = s * (descale * softmax_scale)
+        if use_mask:
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[...]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_next
+
+        v = v_ref[0, 0].astype(jnp.bfloat16)
+        pv = jax.lax.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+        )
+        # v descale: one scalar multiply on the (bq, d) tile contribution.
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * sv_ref[bi, hi, ik]
+
+    if causal:
+        run = _causal_should_run(iq, ik, block_q, block_k, offset)
+        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        if kv_edge:
+            needs_mask = needs_mask | (ik == n_kv_tiles - 1)
+
+        @pl.when(run & needs_mask)
+        def _masked():
+            _update(True)
+
+        @pl.when(run & jnp.logical_not(needs_mask))
+        def _unmasked():
+            _update(False)
+    elif kv_edge:
+        is_edge = ik == n_kv_tiles - 1
+
+        @pl.when(is_edge)
+        def _edge():
+            _update(True)
+
+        @pl.when(jnp.logical_not(is_edge))
+        def _body():
+            _update(False)
+    else:
+        _update(False)
+
+    @pl.when(ik == n_kv_tiles - 1)
+    def _store():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_scr[:, :1] + jnp.log(l_safe)
+
+
+def _fp8_fwd(
+    q8, k8, v8, sq, sk, sv, *, causal, softmax_scale, block_q, block_k,
+    out_dtype, interpret, n_q, n_k,
+):
+    b, h, n_q_pad, d = q8.shape
+    n_k_pad = k8.shape[2]
+    grid = (b, h, n_q_pad // block_q, n_k_pad // block_k)
+
+    kernel = functools.partial(
+        _fp8_fwd_kernel,
+        softmax_scale=softmax_scale, causal=causal,
+        n_q=n_q, n_k=n_k, block_q=block_q, block_k=block_k,
+    )
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, ik, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # sq, sk, sv ride whole in SMEM
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, 1), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n_q_pad, d), out_dtype),
+            jax.ShapeDtypeStruct((b, h, n_q_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(sq, sk, sv, q8, k8, v8)
+    return o, lse
+
+
+def _dequant(payload, scales, block):
+    b, h, n, d = payload.shape
+    xb = payload.astype(jnp.float32).reshape(b, h, n // block, block, d)
+    return (xb * scales[..., None, None]).reshape(b, h, n, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _fp8_attention(q, k, v, causal, softmax_scale, block_q, block_k,
+                   interpret, out_dtype):
+    return _fp8_attention_fwd_rule(
+        q, k, v, causal, softmax_scale, block_q, block_k, interpret, out_dtype
+    )[0]
+
+
+def _prepare_fp8(q, k, v, block_q, block_k):
+    n_q, n_k = q.shape[2], k.shape[2]
+    d = q.shape[3]
+    bq = min(block_q, max(128, ((n_q + 31) // 32) * 32))
+    bk = min(block_k, max(128, ((n_k + 127) // 128) * 128))
+    bq = max(32, (bq // 32) * 32)
+    bk = max(128, (bk // 128) * 128)
+    q = _pad_dim(q, 2, bq)
+    k = _pad_dim(k, 2, bk)
+    v = _pad_dim(v, 2, bk)
+    if d % LANES and d != 64:
+        q = _pad_dim(q, 3, LANES)
+        k = _pad_dim(k, 3, LANES)
+        v = _pad_dim(v, 3, LANES)
+    q8, sq = quantize_tiles(q, bq)
+    k8, sk = quantize_tiles(k, bk)
+    v8, sv = quantize_tiles(v, bk)
+    return q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d
+
+
+def _fp8_attention_fwd_rule(q, k, v, causal, softmax_scale, block_q, block_k,
+                            interpret, out_dtype):
+    q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d = _prepare_fp8(
+        q, k, v, block_q, block_k
+    )
+    o, lse = _fp8_fwd(
+        q8, k8, v8, sq, sk, sv, causal=causal, softmax_scale=softmax_scale,
+        block_q=bq, block_k=bk, out_dtype=out_dtype, interpret=interpret,
+        n_q=n_q, n_k=n_k,
+    )
+    o_out = o[:, :, :n_q, :d]
+    lse_out = lse[:, :, :n_q, 0]
+    return (o_out, lse_out), (
+        q8, k8, v8, sq, sk, sv, o_out, lse_out, bq, bk, n_k,
+    )
+
+
+def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
+                            interpret, out_dtype, residuals, cotangents):
+    """STE backward: run the bf16 backward kernels on the dequantized
+    payloads (reference fa3_bwd.cu:134-146 semantics)."""
+    q8, k8, v8, sq, sk, sv, o, lse, bq, bk, n_k = residuals
+    do, _ = cotangents
+    qd = _dequant(q8, sq, bq).astype(jnp.bfloat16)
+    kd = _dequant(k8, sk, bk).astype(jnp.bfloat16)
+    vd = _dequant(v8, sv, bk).astype(jnp.bfloat16)
+    n_q, d = o.shape[2], o.shape[3]
+    op = _pad_dim(o.astype(jnp.bfloat16), 2, bq)
+    dop = _pad_dim(do.astype(jnp.bfloat16), 2, bq)
+    if op.shape[-1] != qd.shape[-1]:
+        op = _pad_dim(op, 3, LANES)
+        dop = _pad_dim(dop, 3, LANES)
+    lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
+    dq, dk, dv = _flash_bwd(
+        qd, kd, vd, op, lsep, dop, causal=causal,
+        softmax_scale=softmax_scale, block_q=bq, block_k=bk,
+        interpret=interpret, n_q=n_q, n_k=n_k,
+    )
+    return (
+        dq[:, :, :n_q, :d].astype(out_dtype),
+        dk[:, :, :n_k, :d].astype(out_dtype),
+        dv[:, :, :n_k, :d].astype(out_dtype),
+    )
+
+
+_fp8_attention.defvjp(_fp8_attention_fwd_rule, _fp8_attention_bwd_rule)
+
+
+def pallas_fp8_attention_prequant(
+    q8: jax.Array, k8: jax.Array, v8: jax.Array,
+    sq: jax.Array, sk: jax.Array, sv: jax.Array,
+    *,
+    causal: bool = False,
+    softmax_scale: float | None = None,
+    out_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused FP8 attention on already-quantized tiles (the serving path:
+    K/V live in the cache as fp8 payloads + per-tile scales; no quantization
+    pre-pass in the hot loop). Tile sizes are implied by the scale shapes:
+    block_q = N_q / sq.shape[-1], block_k = N_k / sk.shape[-1]."""
+    b, h, n_q, d = q8.shape
+    n_k = k8.shape[2]
+    block_q = n_q // sq.shape[-1]
+    block_k = n_k // sk.shape[-1]
+    if softmax_scale is None:
+        softmax_scale = d ** -0.5
+    if interpret is None:
+        interpret = _interpret_default()
+    o, lse = _fp8_fwd(
+        q8, k8, v8, sq, sk, sv, causal=causal,
+        softmax_scale=float(softmax_scale), block_q=block_q, block_k=block_k,
+        out_dtype=out_dtype, interpret=interpret, n_q=n_q, n_k=n_k,
+    )
+    return o, lse[..., 0]
+
+
+def pallas_fp8_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    softmax_scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """FA3 fused-FP8 flash attention: quantizes q/k/v to float8_e4m3fn with
+    per-tile scales, streams 1-byte payloads through the kernel, descales in
+    the score/output scaling. Returns (o in q.dtype, lse fp32)."""
+    if q.ndim != 4:
+        raise ValueError(f"expected (B, H, N, D), got {q.shape}")
+    d = q.shape[-1]
+    if softmax_scale is None:
+        softmax_scale = d ** -0.5
+    if interpret is None:
+        interpret = _interpret_default()
+    return _fp8_attention(
+        q, k, v, causal, float(softmax_scale), int(block_q), int(block_k),
+        bool(interpret), q.dtype,
+    )
