@@ -5,11 +5,12 @@ Pallas kernels (the BASELINE.json headline). FLOP model is the reference's
 (benchmarks/bench_utils.py:210-215): fwd = 4*B*H*N^2*d, bwd = 2x fwd, so
 fwd+bwd = 12*B*H*N^2*d over the combined wall time.
 
-vs_baseline: fraction of the BASELINE.json target (85% of the v5e bf16
-roofline, 197 TFLOP/s -> target 167.45).
-
-Timing: chained dependencies + host fetch — block_until_ready does not
-synchronize through the axon tunnel (see .claude/skills/verify/SKILL.md).
+Timing methodology (see .claude/skills/verify/SKILL.md and memory note
+tpu-bench-contention): the TPU is behind the host-mediated axon tunnel where
+(a) block_until_ready does not synchronize and (b) every dispatch costs
+~30 ms. So each measurement runs ITERS chained iterations *on device* inside
+one jitted lax.fori_loop (single dispatch, dependencies serialize the
+iterations) and fetches 8 elements at the end to synchronize.
 """
 
 import json
@@ -18,21 +19,28 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 V5E_BF16_PEAK_TFLOPS = 197.0
 TARGET_FRACTION = 0.85
 
 
-def _timeit_chained(fn, q, k, v, iters=10, trials=3):
-    out = fn(q, k, v)
-    _ = np.asarray(out[0, 0, 0, :8])  # warm + sync
+def _timeit_loop(fn_one, args, *, iters, trials=4):
+    """Mean per-iteration time of ITERS on-device chained calls."""
+
+    @jax.jit
+    def loop(a0, *rest):
+        def body(i, o):
+            return fn_one(o, *rest)
+        return lax.fori_loop(0, iters, body, a0)
+
+    out = loop(*args)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:8]  # warm+sync
     best = float("inf")
     for _ in range(trials):
-        o = q
         t0 = time.perf_counter()
-        for _ in range(iters):
-            o = fn(o, k, v)
-        _ = np.asarray(o[0, 0, 0, :8])
+        out = loop(*args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:8]
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -41,8 +49,10 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         b, h, n, d = 1, 8, 8192, 128
+        iters = 30
     else:  # CI / no-hardware fallback: tiny shapes, still one JSON line
         b, h, n, d = 1, 2, 512, 64
+        iters = 2
 
     from flashattention_tpu.ops.pallas_attn import pallas_attention
 
@@ -50,16 +60,18 @@ def main():
     k = jax.random.normal(jax.random.key(1), (b, h, n, d), dtype=jnp.bfloat16)
     v = jax.random.normal(jax.random.key(2), (b, h, n, d), dtype=jnp.bfloat16)
 
-    fwd = jax.jit(lambda q_, k_, v_: pallas_attention(q_, k_, v_)[0])
+    def fwd_one(q_, k_, v_):
+        return pallas_attention(q_, k_, v_)[0].astype(q_.dtype)
 
     def _loss(t):
         o, _ = pallas_attention(t[0], t[1], t[2])
         return jnp.sum(o.astype(jnp.float32) ** 2)
 
-    grad = jax.jit(lambda q_, k_, v_: jax.grad(_loss)((q_, k_, v_))[0])
+    def grad_one(q_, k_, v_):
+        return jax.grad(_loss)((q_, k_, v_))[0].astype(q_.dtype)
 
-    t_fwd = _timeit_chained(fwd, q, k, v)
-    t_bwd = _timeit_chained(grad, q, k, v)  # includes fwd recompute
+    t_fwd = _timeit_loop(fwd_one, (q, k, v), iters=iters)
+    t_bwd = _timeit_loop(grad_one, (q, k, v), iters=iters)  # incl. fwd recompute
 
     fwd_flops = 4 * b * h * n * n * d
     total_flops = 3 * fwd_flops           # fwd + 2x-fwd bwd (reference model)
@@ -75,7 +87,9 @@ def main():
             "fwd_ms": round(t_fwd * 1e3, 3),
             "fwd_tflops": round(fwd_flops / t_fwd / 1e12, 2),
             "bwd_ms": round(t_bwd * 1e3, 3),
+            "bwd_tflops": round(3 * fwd_flops / t_bwd / 1e12, 2),
             "shape": [b, h, n, d],
+            "iters": iters,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -187,17 +187,34 @@ def _attention(
     else:
         new_cache = None
         rate = cfg.dropout_rate if train else 0.0
-        o, _ = flash_attention(
-            q, k, v,
-            causal=True,
-            softmax_scale=cfg.softmax_scale,
-            backend=cfg.attention_backend,
-            block_q=cfg.block_size,
-            block_k=cfg.block_size,
-            mask=sparse_mask,
-            dropout_rate=rate,
-            dropout_key=dropout_key if rate > 0 else None,
-        )
+        if sparse_mask is not None and rate == 0.0:
+            # Block-sparse fast path: compacted-grid Pallas kernel — inactive
+            # tiles cost neither DMA nor compute (reference L6 only *skips*
+            # inside a dense loop, flashattention_pytorch.py:124).
+            from flashattention_tpu.ops.pallas_sparse import (
+                pallas_sparse_attention,
+            )
+
+            o, _ = pallas_sparse_attention(
+                q, k, v, sparse_mask, causal=True,
+                softmax_scale=cfg.softmax_scale,
+                block_q=cfg.block_size, block_k=cfg.block_size,
+            )
+        else:
+            o, _ = flash_attention(
+                q, k, v,
+                causal=True,
+                softmax_scale=cfg.softmax_scale,
+                backend=cfg.attention_backend,
+                block_q=cfg.block_size,
+                block_k=cfg.block_size,
+                mask=(
+                    block_sparse_mask(n, n, cfg.block_size, sparse_mask)
+                    if sparse_mask is not None else None
+                ),
+                dropout_rate=rate,
+                dropout_key=dropout_key if rate > 0 else None,
+            )
 
     o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
     out = o @ p["w_o"].astype(o.dtype) + p["b_o"].astype(o.dtype)
@@ -248,7 +265,15 @@ def apply_transformer(
 
     sparse_mask = None
     if sparse_pattern is not None:
-        sparse_mask = block_sparse_mask(n, n, cfg.block_size, sparse_pattern)
+        # Normalize the user pattern to kernel-tile granularity
+        # (ceil(n/block) x ceil(n/block)); _attention expands it further if
+        # the elementwise-mask fallback path is taken.
+        n_tiles = -(-n // cfg.block_size)
+        reps_q = -(-n_tiles // sparse_pattern.shape[0])
+        reps_k = -(-n_tiles // sparse_pattern.shape[1])
+        sparse_mask = jnp.repeat(
+            jnp.repeat(sparse_pattern.astype(bool), reps_q, 0), reps_k, 1
+        )[:n_tiles, :n_tiles]
 
     def one_block(x, bp, keys):
         return _block(x, bp, cfg, keys=keys, train=train, sparse_mask=sparse_mask)

@@ -7,6 +7,8 @@ from flashattention_tpu.ops.api import (
     flash_attention,
 )
 from flashattention_tpu.ops.pallas_attn import pallas_attention
+from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+from flashattention_tpu.ops.pallas_sparse import pallas_sparse_attention
 from flashattention_tpu.ops.reference import (
     causal_mask,
     reference_attention,
@@ -20,6 +22,8 @@ __all__ = [
     "fa3_attention",
     "flash_attention",
     "pallas_attention",
+    "pallas_paged_attention",
+    "pallas_sparse_attention",
     "tiled_attention",
     "reference_attention",
     "reference_attention_grads",

@@ -64,11 +64,22 @@ def flash_attention(
 ) -> tuple[jax.Array, jax.Array]:
     """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
 
-    ``mask``/``dropout`` currently route through the XLA executor (the Pallas
-    kernels handle the dense/causal fast path).
+    GQA/MQA: k/v may carry H_kv < H heads (H % H_kv == 0). The Pallas backend
+    shares KV tiles across the head group natively; the xla/reference
+    backends expand k/v by head repetition (identical semantics).
+
+    ``mask`` routes through the XLA executor; ``dropout`` runs natively in
+    the Pallas kernels (counter-based replay) or via saved-key replay in the
+    XLA executor.
     """
     backend = _resolve_backend(backend)
-    if mask is not None or dropout_rate > 0.0:
+    h_q, h_kv = q.shape[1], k.shape[1]
+    if h_q != h_kv and backend != "pallas":
+        if h_q % h_kv != 0:
+            raise ValueError(f"H={h_q} must be a multiple of H_kv={h_kv}")
+        k = jnp.repeat(k, h_q // h_kv, axis=1)
+        v = jnp.repeat(v, h_q // h_kv, axis=1)
+    if mask is not None or (dropout_rate > 0.0 and backend != "pallas"):
         if backend == "reference":
             raise ValueError("reference backend has no dropout path")
         return tiled_attention(
@@ -77,9 +88,16 @@ def flash_attention(
             mask=mask, dropout_rate=dropout_rate, dropout_key=dropout_key,
         )
     if backend == "pallas":
+        dropout_seed = None
+        if dropout_rate > 0.0:
+            if dropout_key is None:
+                raise ValueError("dropout_rate > 0 requires dropout_key")
+            # Fold the PRNG key down to the kernel's uint32 counter seed.
+            dropout_seed = jax.random.key_data(dropout_key).ravel()[-1]
         return pallas_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
             block_q=block_q, block_k=block_k, interpret=interpret,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
     if backend == "xla":
         return tiled_attention(

@@ -19,6 +19,15 @@ The TPU-native kernel path — replaces the reference's Triton kernels
   mask is built from absolute indices with a ``k_len - q_len`` offset so
   decode (q_len != k_len) works (reference look_ahead_mask_,
   src/fa3/torch/flashattention_pytorch.py:176-190).
+- GQA: K/V may carry fewer heads than Q (H % H_kv == 0); the KV block specs
+  map query head h to KV head h // group, so grouped heads share the streamed
+  K/V tiles with zero extra HBM traffic (new scope vs. the reference's
+  MHA-only layout).
+- Attention dropout (reference L6's _block_sparse_flash_attention dropout,
+  flashattention_pytorch.py:149-156) is generated *counter-based*: a murmur3
+  hash of (batch·head, absolute row, absolute col, seed) — the backward
+  regenerates the identical mask from indices instead of saving O(N²/bc) mask
+  tensors (the reference stashes mask lists on the autograd ctx, ln 294-308).
 
 Grids iterate (batch, head, tiles...) with
 ``dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")`` so
@@ -39,8 +48,6 @@ from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 from flashattention_tpu.ops.specs import MIN_BLOCK
 
 LANES = 128  # lane width for fp32 m/l scratch rows
-LOG2E = 1.4426950408889634
-LN2 = 0.6931471805599453
 
 
 def _interpret_default() -> bool:
@@ -80,15 +87,44 @@ def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset):
     return jnp.broadcast_to(cols < n_k, (block_q, block_k))
 
 
+def _keep_mask(seed, bh, iq, ik, block_q, block_k, n_k_pad, rate):
+    """Counter-based dropout keep mask for tile (iq, ik) of batch·head ``bh``.
+
+    murmur3 finalizer over a per-element counter; deterministic in
+    (seed, bh, absolute element index) so the backward kernels regenerate the
+    exact forward mask with no saved state (O(1) RNG memory vs. the
+    reference's saved mask lists, flashattention_pytorch.py:294-308).
+    """
+    rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    idx = (rows * n_k_pad + cols).astype(jnp.uint32)
+    x = idx + seed.astype(jnp.uint32) + bh.astype(jnp.uint32) * jnp.uint32(2654435761)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    # keep with probability 1 - rate
+    threshold = jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return x >= threshold
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, softmax_scale, causal, n_q, n_k, block_q, block_k,
+    *refs,
+    softmax_scale, causal, n_q, n_k, block_q, block_k, groups, dropout_rate,
 ):
+    if dropout_rate > 0.0:
+        seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        seed_ref = None
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     n_kv_tiles = pl.num_programs(3)
@@ -123,6 +159,14 @@ def _fwd_kernel(
         p = jnp.exp(s - m_next[:, :1])
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
+
+        if dropout_rate > 0.0:
+            bh = ib * pl.num_programs(1) + ih
+            keep = _keep_mask(
+                seed_ref[0], bh, iq, ik, block_q, block_k,
+                n_kv_tiles * block_k, dropout_rate,
+            )
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
 
         v = v_ref[0, 0]
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
@@ -162,10 +206,12 @@ def _fwd_kernel(
 
 
 def _flash_fwd(
-    q, k, v, *, causal, softmax_scale, block_q, block_k, interpret,
-    n_q, n_k,
+    q, k, v, seed, *, causal, softmax_scale, block_q, block_k, interpret,
+    n_q, n_k, dropout_rate,
 ):
     b, h, n_q_pad, d = q.shape
+    h_kv = k.shape[1]
+    groups = h // h_kv
     n_k_pad = k.shape[2]
     grid = (b, h, n_q_pad // block_q, n_k_pad // block_k)
 
@@ -177,16 +223,29 @@ def _flash_fwd(
         n_k=n_k,
         block_q=block_q,
         block_k=block_k,
+        groups=groups,
+        dropout_rate=dropout_rate,
     )
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_ // groups, ik, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_ // groups, ik, 0)
+        ),
+    ]
+    args = [q, k, v]
+    if dropout_rate > 0.0:
+        in_specs.insert(
+            0, pl.BlockSpec(memory_space=pltpu.SMEM)
+        )
+        args.insert(0, seed)
     flops_mm = 4 * b * h * n_q * n_k * d
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
             # LSE rides as (B, H, N, 1): TPU block shapes need the last two
@@ -211,7 +270,7 @@ def _flash_fwd(
             transcendentals=b * h * n_q * n_k,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*args)
     return o, lse
 
 
@@ -221,9 +280,8 @@ def _flash_fwd(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr,
-    *, softmax_scale, causal, n_q, n_k, block_q, block_k,
+    *refs,
+    softmax_scale, causal, n_q, n_k, block_q, block_k, groups, dropout_rate,
 ):
     """dK/dV: one grid cell per KV tile, sequential loop over Q tiles.
 
@@ -231,6 +289,15 @@ def _bwd_dkv_kernel(
     folded into the dk store (once per KV tile) so ds needs no per-element
     scale multiply.
     """
+    if dropout_rate > 0.0:
+        (seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        seed_ref = None
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
     ik = pl.program_id(2)
     iq = pl.program_id(3)
     n_q_tiles = pl.num_programs(3)
@@ -260,12 +327,24 @@ def _bwd_dkv_kernel(
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         p = jnp.exp(s2 - lse2)  # (bq, bk) softmax probabilities
 
-        dv_scr[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_rate > 0.0:
+            bh = ib * pl.num_programs(1) + ih
+            keep = _keep_mask(
+                seed_ref[0], bh, iq, ik, block_q, block_k,
+                pl.num_programs(2) * block_k, dropout_rate,
+            )
+            inv = 1.0 / (1.0 - dropout_rate)
+            p_v = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dp * inv, 0.0)
+        else:
+            p_v = p
+
+        dv_scr[...] += jax.lax.dot_general(
+            p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - di)
@@ -309,10 +388,140 @@ def _bwd_dkv_kernel(
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr,
-    *, softmax_scale, causal, n_q, n_k, block_q, block_k,
+def _bwd_fused_kernel(
+    *refs,
+    softmax_scale, causal, n_q, n_k, block_q, block_k, groups, dropout_rate,
 ):
+    """Fused backward: dK/dV accumulated in scratch per KV tile + a dQ
+    *partial* written per (KV tile, Q tile) grid cell and reduced over the KV
+    axis outside the kernel (XLA sum).
+
+    vs. the split dKV/dQ pair this skips one full recompute of s and dp —
+    5 matmul passes instead of 7 (~29% less MXU work) — at the cost of an
+    O(n_k_tiles · N_q · D) fp32 partial buffer in HBM. TPU has no atomics
+    (the reference's Triton dQ uses fp16 atomic_add,
+    src/fa1/triton/kernels_bwd.py:89); the partial-sum layout is the
+    TPU-native equivalent.
+    """
+    if dropout_rate > 0.0:
+        (seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr) = refs
+        seed_ref = None
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    n_q_tiles = pl.num_programs(3)
+    offset = n_k - n_q
+    kv_edge = n_k % block_k != 0
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    def _update(use_mask):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse2 = lse_ref[0, 0]  # (bq, 1)
+        di = di_ref[0, 0]     # (bq, 1)
+
+        s2 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s2 = s2 * jnp.float32(softmax_scale)
+        if use_mask:
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+            s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s2 - lse2)  # (bq, bk)
+
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dropout_rate > 0.0:
+            bh = ib * pl.num_programs(1) + ih
+            keep = _keep_mask(
+                seed_ref[0], bh, iq, ik, block_q, block_k,
+                pl.num_programs(2) * block_k, dropout_rate,
+            )
+            inv = 1.0 / (1.0 - dropout_rate)
+            p_v = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dp * inv, 0.0)
+        else:
+            p_v = p
+
+        dv_scr[...] += jax.lax.dot_general(
+            p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - di)
+        ds_cast = ds.astype(q.dtype)
+        dk_scr[...] += jax.lax.dot_general(
+            ds_cast, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, 0, 0] = (
+            jax.lax.dot(ds_cast, k, preferred_element_type=jnp.float32)
+            * jnp.float32(softmax_scale)
+        )
+
+    if causal:
+        run = _causal_should_run(iq, ik, block_q, block_k, offset)
+        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        if kv_edge:
+            needs_mask = needs_mask | (ik == pl.num_programs(2) - 1)
+
+        @pl.when(run & needs_mask)
+        def _masked():
+            _update(True)
+
+        @pl.when(run & jnp.logical_not(needs_mask))
+        def _unmasked():
+            _update(False)
+
+        @pl.when(jnp.logical_not(run))
+        def _skipped():
+            dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
+    elif kv_edge:
+        is_edge = ik == pl.num_programs(2) - 1
+
+        @pl.when(is_edge)
+        def _edge():
+            _update(True)
+
+        @pl.when(jnp.logical_not(is_edge))
+        def _body():
+            _update(False)
+    else:
+        _update(False)
+
+    @pl.when(iq == n_q_tiles - 1)
+    def _store():
+        dk_ref[0, 0] = (
+            dk_scr[...] * jnp.float32(softmax_scale)
+        ).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    *refs,
+    softmax_scale, causal, n_q, n_k, block_q, block_k, groups, dropout_rate,
+):
+    if dropout_rate > 0.0:
+        (seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dq_ref, dq_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr) = refs
+        seed_ref = None
+    ib = pl.program_id(0)
+    ih = pl.program_id(1)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     n_kv_tiles = pl.num_programs(3)
@@ -345,6 +554,13 @@ def _bwd_dq_kernel(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_rate > 0.0:
+            bh = ib * pl.num_programs(1) + ih
+            keep = _keep_mask(
+                seed_ref[0], bh, iq, ik, block_q, block_k,
+                n_kv_tiles * block_k, dropout_rate,
+            )
+            dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
         ds = p * (dp - di)
         dq_scr[...] += jax.lax.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
@@ -385,10 +601,12 @@ def _bwd_dq_kernel(
 
 
 def _flash_bwd(
-    q, k, v, o, lse, do, *, causal, softmax_scale, block_q, block_k,
-    interpret, n_q, n_k,
+    q, k, v, o, lse, do, seed, *, causal, softmax_scale, block_q, block_k,
+    interpret, n_q, n_k, dropout_rate,
 ):
     b, h, n_q_pad, d = q.shape
+    h_kv = k.shape[1]
+    groups = h // h_kv
     n_k_pad = k.shape[2]
     # di = rowsum(o * do), shared by both backward kernels; carried as
     # (B, H, N, 1) for TPU block-shape legality (see forward LSE note).
@@ -398,20 +616,69 @@ def _flash_bwd(
 
     common = dict(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, groups=groups,
+        dropout_rate=dropout_rate,
     )
     q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, j, 0))
-    kv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0))
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_ // groups, i, 0)
+    )
+    # dK/dV are accumulated per *query* head (grid over h) and reduced over
+    # the group outside — TPU has no atomics and group-reduction inside the
+    # grid would serialize KV tiles.
+    dkv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0))
     row_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, j, 0))
+
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec]
+    args = [q, k, v, do, lse, di]
+    if dropout_rate > 0.0:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(0, seed)
+
+    n_k_tiles = n_k_pad // block_k
+    n_q_tiles = n_q_pad // block_q
+    # Fused backward (one pass: dK/dV in scratch, dQ as per-KV-tile partials
+    # reduced here) skips one s/dp recompute — 5 matmul passes vs 7 — but
+    # costs an O(n_k_tiles · N_q · D) fp32 buffer; cap that at 1 GiB.
+    fused = n_k_tiles * b * h * n_q_pad * d * 4 <= 2**30
+
+    if fused:
+        dq_part_spec = pl.BlockSpec(
+            (1, 1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, j, 0)
+        )
+        dk, dv, dq_part = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, **common),
+            grid=(b, h, n_k_tiles, n_q_tiles),
+            in_specs=in_specs,
+            out_specs=[dkv_spec, dkv_spec, dq_part_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((b, h, n_k_tiles, n_q_pad, d), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*args)
+        dq = dq_part.sum(axis=2).astype(q.dtype)
+        if groups > 1:
+            dk = dk.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
+            dv = dv.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
-        grid=(b, h, n_k_pad // block_k, n_q_pad // block_q),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
-        out_specs=[kv_spec, kv_spec],
+        grid=(b, h, n_k_tiles, n_q_tiles),
+        in_specs=in_specs,
+        out_specs=[dkv_spec, dkv_spec],
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -421,16 +688,29 @@ def _flash_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, di)
+    )(*args)
+    if groups > 1:
+        dk = dk.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
+        dv = dv.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
+    dk = dk.astype(k.dtype)
+    dv = dv.astype(v.dtype)
 
     q_spec2 = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0))
-    kv_spec2 = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0))
+    kv_spec2 = pl.BlockSpec(
+        (1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_ // groups, j, 0)
+    )
     row_spec2 = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, i, 0))
+
+    in_specs2 = [q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2]
+    args2 = [q, k, v, do, lse, di]
+    if dropout_rate > 0.0:
+        in_specs2.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args2.insert(0, seed)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(b, h, n_q_pad // block_q, n_k_pad // block_k),
-        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2],
+        in_specs=in_specs2,
         out_specs=q_spec2,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
@@ -438,7 +718,7 @@ def _flash_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, do, lse, di)
+    )(*args2)
     return dq, dk, dv
 
 
@@ -486,32 +766,39 @@ def _prepare(q, k, v, block_q, block_k):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
 )
-def _flash_attention(q, k, v, causal, softmax_scale, block_q, block_k, interpret):
+def _flash_attention(
+    q, k, v, seed, causal, softmax_scale, block_q, block_k, interpret,
+    dropout_rate,
+):
     o, lse = _flash_attention_fwd_rule(
-        q, k, v, causal, softmax_scale, block_q, block_k, interpret
+        q, k, v, seed, causal, softmax_scale, block_q, block_k, interpret,
+        dropout_rate,
     )[0]
     return o, lse
 
 
 def _flash_attention_fwd_rule(
-    q, k, v, causal, softmax_scale, block_q, block_k, interpret
+    q, k, v, seed, causal, softmax_scale, block_q, block_k, interpret,
+    dropout_rate,
 ):
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
     o, lse = _flash_fwd(
-        qp, kp, vp, causal=causal, softmax_scale=softmax_scale,
+        qp, kp, vp, seed, causal=causal, softmax_scale=softmax_scale,
         block_q=bq, block_k=bk, interpret=interpret, n_q=n_q, n_k=n_k,
+        dropout_rate=dropout_rate,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
-    return (o_out, lse_out), (q, k, v, o_out, lse_out)
+    return (o_out, lse_out), (q, k, v, seed, o_out, lse_out)
 
 
 def _flash_attention_bwd_rule(
-    causal, softmax_scale, block_q, block_k, interpret, residuals, cotangents
+    causal, softmax_scale, block_q, block_k, interpret, dropout_rate,
+    residuals, cotangents,
 ):
-    q, k, v, o, lse = residuals
+    q, k, v, seed, o, lse = residuals
     do, _ = cotangents
     n_q, d = q.shape[-2], q.shape[-1]
     n_k = k.shape[-2]
@@ -524,14 +811,15 @@ def _flash_attention_bwd_rule(
     # Padded query rows: force p = exp(s - lse) = 0 via a huge lse.
     lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
     dq, dk, dv = _flash_bwd(
-        qp, kp, vp, op, lsep, dop, causal=causal,
+        qp, kp, vp, op, lsep, dop, seed, causal=causal,
         softmax_scale=softmax_scale, block_q=bq, block_k=bk,
-        interpret=interpret, n_q=n_q, n_k=n_k,
+        interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
     )
     return (
         dq[:, :, :n_q, :d].astype(q.dtype),
         dk[:, :, :n_k, :d].astype(k.dtype),
         dv[:, :, :n_k, :d].astype(v.dtype),
+        None,
     )
 
 
@@ -547,9 +835,20 @@ def pallas_attention(
     softmax_scale: float | None = None,
     block_q: int = 512,
     block_k: int = 1024,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
+
+    K/V may carry fewer heads than Q (GQA/MQA): H % H_kv == 0; each group of
+    H/H_kv query heads attends to one shared KV head.
+
+    ``dropout_rate`` applies attention-weight dropout with inverted scaling
+    (reference flashattention_pytorch.py:149-156); the keep mask is
+    counter-based (hash of seed + absolute indices) and regenerated in the
+    backward. ``dropout_seed`` may be a Python int or a traced uint32/int32
+    scalar — pass a fresh value per training step.
 
     Differentiable via a custom VJP that recomputes P from the saved LSE
     (O(N) residual memory — the FlashAttention memory story).
@@ -559,12 +858,21 @@ def pallas_attention(
     """
     if q.ndim != 4:
         raise ValueError(f"expected (B, H, N, D), got {q.shape}")
+    if q.shape[1] % k.shape[1] != 0:
+        raise ValueError(
+            f"H={q.shape[1]} must be a multiple of H_kv={k.shape[1]}"
+        )
     d = q.shape[-1]
     if softmax_scale is None:
         softmax_scale = d ** -0.5
     if interpret is None:
         interpret = _interpret_default()
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_seed is None:
+        dropout_seed = 0
+    seed = jnp.asarray(dropout_seed, dtype=jnp.int32).reshape((1,))
     return _flash_attention(
-        q, k, v, causal, float(softmax_scale), int(block_q), int(block_k),
-        bool(interpret),
+        q, k, v, seed, causal, float(softmax_scale), int(block_q),
+        int(block_k), bool(interpret), float(dropout_rate),
     )

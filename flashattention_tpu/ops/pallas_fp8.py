@@ -259,10 +259,12 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
         op = _pad_dim(op, 3, LANES)
         dop = _pad_dim(dop, 3, LANES)
     lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
+    import jax.numpy as _jnp
+
     dq, dk, dv = _flash_bwd(
-        qd, kd, vd, op, lsep, dop, causal=causal,
-        softmax_scale=softmax_scale, block_q=bq, block_k=bk,
-        interpret=interpret, n_q=n_q, n_k=n_k,
+        qd, kd, vd, op, lsep, dop, _jnp.zeros((1,), _jnp.int32),
+        causal=causal, softmax_scale=softmax_scale, block_q=bq, block_k=bk,
+        interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=0.0,
     )
     return (
         dq[:, :, :n_q, :d].astype(out_dtype),

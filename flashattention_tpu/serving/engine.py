@@ -144,13 +144,32 @@ def make_prefill_fn(cfg: TransformerConfig):
     return jax.jit(prefill, donate_argnums=(1,))
 
 
-def make_decode_fn(cfg: TransformerConfig):
+def make_decode_fn(cfg: TransformerConfig, *, use_pallas: bool | None = None):
     """Returns jitted decode(params, caches, tokens(B,1), page_indices(B,P),
     lengths(B,)) -> (next_tokens (B,), caches).
 
     lengths = tokens already in cache for each slot; the new token is written
     at position lengths[b] and attends to lengths[b]+1 entries.
+
+    ``use_pallas`` selects the double-buffered Pallas paged kernel
+    (ops/pallas_paged.py) over the XLA gather executor; default: on TPU only
+    (the kernel runs interpreted elsewhere, which is correct but slow).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def _paged_attn(q, cache, page_indices, lengths):
+        if use_pallas:
+            from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+            return pallas_paged_attention(
+                q, cache.k_pages, cache.v_pages, page_indices, lengths,
+                k_scales=cache.k_scales, v_scales=cache.v_scales,
+                softmax_scale=cfg.softmax_scale,
+            )
+        return paged_attention_decode(
+            q, cache, page_indices, lengths, softmax_scale=cfg.softmax_scale
+        )
 
     def decode(params, caches, tokens, page_indices, lengths):
         b, _ = tokens.shape
@@ -161,9 +180,8 @@ def make_decode_fn(cfg: TransformerConfig):
             q, k, v = _qkv(x, a, cfg)  # (B, H, 1, dh)
             cache = append_to_pages(cache, k, v, page_indices, lengths)
             new_caches.append(cache)
-            o = paged_attention_decode(
+            o = _paged_attn(
                 q[:, :, 0, :], cache, page_indices, lengths + 1,
-                softmax_scale=cfg.softmax_scale,
             )
             o = o[:, :, None, :]  # (B, H, 1, dh)
             x = _layer_norm(x + _proj_out(o, a), bp["ln1"])

@@ -84,3 +84,161 @@ def test_pallas_jit_composes():
     o, lse = f(q, k, v)
     o_ref, _ = reference_attention(q, k, v, causal=True)
     assert_allclose(o, o_ref, rtol=5e-2, atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# GQA (grouped-query attention): H query heads share H_kv < H KV heads.
+# Oracle = reference attention with k/v head-repeated (identical semantics).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("h_q,h_kv", [(4, 2), (4, 1), (2, 2)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_pallas_gqa_forward(h_q, h_kv, causal):
+    b, n, d = 1, 256, 64
+    q, _, _ = make_qkv(b, h_q, n, d)
+    _, k, v = make_qkv(b, h_kv, n, d, seed=5)
+    o, lse = pallas_attention(q, k, v, causal=causal, block_q=BQ, block_k=BK)
+    groups = h_q // h_kv
+    # repeat(k, groups) puts kv head g's copies at query heads
+    # [g*groups, (g+1)*groups) — the same grouping the kernel's h // groups
+    # index map uses, so outputs compare head-for-head.
+    o_ref, lse_ref = reference_attention(
+        q, jnp.repeat(k, groups, axis=1), jnp.repeat(v, groups, axis=1),
+        causal=causal,
+    )
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+def test_pallas_gqa_backward():
+    b, h_q, h_kv, n, d = 1, 4, 2, 256, 64
+    groups = h_q // h_kv
+    q, _, _ = make_qkv(b, h_q, n, d)
+    _, k, v = make_qkv(b, h_kv, n, d, seed=5)
+    do = jax.random.normal(jax.random.key(7), (b, h_q, n, d), dtype=jnp.float32)
+
+    def loss(q_, k_, v_):
+        o, _ = pallas_attention(q_, k_, v_, causal=True, block_q=BQ, block_k=BK)
+        return jnp.sum(o * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert dk.shape == k.shape and dv.shape == v.shape
+
+    def loss_ref(q_, k_, v_):
+        o, _ = reference_attention(
+            q_, jnp.repeat(k_, groups, axis=1), jnp.repeat(v_, groups, axis=1),
+            causal=True,
+        )
+        return jnp.sum(o * do)
+
+    dq_r, dk_r, dv_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    assert_allclose(dq, dq_r, rtol=2e-3, atol=2e-3)
+    assert_allclose(dk, dk_r, rtol=2e-3, atol=2e-3)
+    assert_allclose(dv, dv_r, rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Dropout: counter-based keep mask, regenerated in the backward.
+# The dense replica below reimplements the kernel's murmur3 stream, so the
+# oracle sees the *same* mask — fwd and bwd compare exactly, not statistically.
+# ---------------------------------------------------------------------------
+
+
+def _keep_dense(seed, b, h, n_q, n_k_pad, rate):
+    """Dense replica of pallas_attn._keep_mask over the whole (N_q, N_k)."""
+    rows = jnp.arange(n_q, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(n_k_pad, dtype=jnp.int32)[None, :]
+    idx = (rows * n_k_pad + cols).astype(jnp.uint32)
+    outs = []
+    for ib in range(b):
+        row = []
+        for ih in range(h):
+            bh = jnp.uint32(ib * h + ih)
+            x = idx + jnp.uint32(seed) + bh * jnp.uint32(2654435761)
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x85EBCA6B)
+            x = x ^ (x >> 13)
+            x = x * jnp.uint32(0xC2B2AE35)
+            x = x ^ (x >> 16)
+            row.append(x >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1)))
+        outs.append(jnp.stack(row))
+    return jnp.stack(outs)  # (B, H, N_q, N_k)
+
+
+def _dense_dropout_attention(q, k, v, keep, rate, causal=False):
+    from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE, causal_mask
+
+    d = q.shape[-1]
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * (d ** -0.5)
+    if causal:
+        s = jnp.where(causal_mask(q.shape[-2], k.shape[-2]), s, DEFAULT_MASK_VALUE)
+    lse = jax.scipy.special.logsumexp(s, axis=-1)
+    p = jnp.exp(s - lse[..., None])
+    p_v = jnp.where(keep, p / (1.0 - rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", p_v, v.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pallas_dropout_matches_dense_replica(causal):
+    b, h, n, d, rate, seed = 1, 2, 256, 64, 0.2, 1234
+    q, k, v = make_qkv(b, h, n, d)
+    o, lse = pallas_attention(
+        q, k, v, causal=causal, block_q=BQ, block_k=BK,
+        dropout_rate=rate, dropout_seed=seed,
+    )
+    keep = _keep_dense(seed, b, h, n, n, rate)
+    o_ref = _dense_dropout_attention(q, k, v, keep, rate, causal=causal)
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    # LSE is a softmax statistic — dropout must not change it.
+    _, lse_nodrop = reference_attention(q, k, v, causal=causal)
+    assert_allclose(lse, lse_nodrop, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+def test_pallas_dropout_backward_matches_dense_replica():
+    b, h, n, d, rate, seed = 1, 2, 256, 64, 0.15, 99
+    q, k, v = make_qkv(b, h, n, d)
+    do = jax.random.normal(jax.random.key(7), (b, h, n, d), dtype=jnp.float32)
+    keep = _keep_dense(seed, b, h, n, n, rate)
+
+    def loss(q_, k_, v_):
+        o, _ = pallas_attention(
+            q_, k_, v_, block_q=BQ, block_k=BK,
+            dropout_rate=rate, dropout_seed=seed,
+        )
+        return jnp.sum(o * do)
+
+    def loss_ref(q_, k_, v_):
+        o = _dense_dropout_attention(q_, k_, v_, keep, rate)
+        return jnp.sum(o * do)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, gr in zip(grads, grads_ref):
+        assert_allclose(g, gr, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_dropout_zero_rate_is_identity():
+    q, k, v = make_qkv(1, 2, 256, 64)
+    o0, _ = pallas_attention(q, k, v, block_q=BQ, block_k=BK)
+    o1, _ = pallas_attention(
+        q, k, v, block_q=BQ, block_k=BK, dropout_rate=0.0, dropout_seed=3
+    )
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_pallas_dropout_seed_sensitivity():
+    q, k, v = make_qkv(1, 2, 256, 64)
+    o_a, _ = pallas_attention(
+        q, k, v, block_q=BQ, block_k=BK, dropout_rate=0.3, dropout_seed=1
+    )
+    o_a2, _ = pallas_attention(
+        q, k, v, block_q=BQ, block_k=BK, dropout_rate=0.3, dropout_seed=1
+    )
+    o_b, _ = pallas_attention(
+        q, k, v, block_q=BQ, block_k=BK, dropout_rate=0.3, dropout_seed=2
+    )
+    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_a2))
+    assert np.abs(np.asarray(o_a) - np.asarray(o_b)).max() > 0

@@ -149,6 +149,57 @@ def test_paged_decode_gqa():
     )
 
 
+# -- Pallas paged decode kernel ------------------------------------------------
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "fp8"])
+def test_pallas_paged_matches_gather_executor(quant):
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h, d, psize = 2, 4, 128, 8
+    lengths = jnp.asarray([19, 7])
+    cache = init_paged_cache(h, 16, psize, d, quant=quant, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, 24, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h, 24, d))
+    page_indices = jnp.asarray([[0, 1, 2], [4, 5, 6]])
+    cache = append_to_pages(
+        cache, kf, vf, page_indices, jnp.zeros((b,), jnp.int32),
+        valid_len=lengths,
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h, d))
+    o_ref = paged_attention_decode(q, cache, page_indices, lengths)
+    o = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, page_indices, lengths,
+        k_scales=cache.k_scales, v_scales=cache.v_scales,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pallas_paged_gqa_and_empty_seq():
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h_q, h_kv, d, psize = 2, 8, 2, 128, 8
+    lengths = jnp.asarray([11, 0])  # second sequence empty
+    cache = init_paged_cache(h_kv, 8, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h_kv, 16, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h_kv, 16, d))
+    pi = jnp.asarray([[0, 1], [2, 3]])
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32), valid_len=lengths
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h_q, d))
+    o = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths
+    )
+    o_ref = paged_attention_decode(q, cache, pi, jnp.maximum(lengths, 1))
+    np.testing.assert_allclose(
+        np.asarray(o[0]), np.asarray(o_ref[0]), rtol=2e-5, atol=2e-5
+    )
+    assert np.asarray(o[1]).sum() == 0.0  # empty sequence -> zeros
+
+
 # -- engine end-to-end --------------------------------------------------------
 
 
