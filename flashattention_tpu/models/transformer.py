@@ -44,6 +44,7 @@ class TransformerConfig:
     d_model: int = 768
     n_layers: int = 12
     n_heads: int = 12
+    n_kv_heads: int | None = None  # GQA/MQA; None -> MHA (= n_heads)
     d_ff: int = 3072
     max_seq_len: int = 512
     dropout_rate: float = 0.1
@@ -58,6 +59,15 @@ class TransformerConfig:
     @property
     def d_head(self) -> int:
         return self.d_model // self.n_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.n_kv_heads or self.n_heads
+
+    @property
+    def qkv_dim(self) -> int:
+        """Fused QKV projection width: H·dh + 2·H_kv·dh."""
+        return (self.n_heads + 2 * self.kv_heads) * self.d_head
 
     @property
     def softmax_scale(self) -> float:
@@ -95,9 +105,10 @@ def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
         params["blocks"].append(
             {
                 "attn": {
-                    # fused QKV (reference w_qkv, ln 31)
-                    "w_qkv": _dense_init(bk[0], (d, 3 * d), pd),
-                    "b_qkv": jnp.zeros((3 * d,), pd),
+                    # fused QKV (reference w_qkv, ln 31); GQA shrinks the
+                    # K/V slices to n_kv_heads * d_head each.
+                    "w_qkv": _dense_init(bk[0], (d, cfg.qkv_dim), pd),
+                    "b_qkv": jnp.zeros((cfg.qkv_dim,), pd),
                     "w_o": _dense_init(bk[1], (d, d), pd, out_scale),
                     "b_o": jnp.zeros((d,), pd),
                 },
@@ -152,14 +163,14 @@ def _attention(
     cache_index: jax.Array | None = None,
 ):
     b, n, d = x.shape
-    h, dh = cfg.n_heads, cfg.d_head
+    h, h_kv, dh = cfg.n_heads, cfg.kv_heads, cfg.d_head
     qkv = x @ p["w_qkv"].astype(x.dtype) + p["b_qkv"].astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = jnp.split(qkv, [h * dh, (h + h_kv) * dh], axis=-1)
 
-    def heads(t):  # (B, N, D) -> (B, H, N, dh)
-        return t.reshape(b, -1, h, dh).transpose(0, 2, 1, 3)
+    def heads(t, nh):  # (B, N, nh*dh) -> (B, nh, N, dh)
+        return t.reshape(b, -1, nh, dh).transpose(0, 2, 1, 3)
 
-    q, k, v = heads(q), heads(k), heads(v)
+    q, k, v = heads(q, h), heads(k, h_kv), heads(v, h_kv)
 
     if kv_cache is not None:
         # Decode: append this step's K/V at cache_index, attend to the prefix.
@@ -178,8 +189,12 @@ def _attention(
         cols = jax.lax.broadcasted_iota(jnp.int32, (n, n_cache), 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, n_cache), 0)
         mask = cols <= rows + cache_index
+        kc, vc = k_cache.astype(q.dtype), v_cache.astype(q.dtype)
+        if h_kv != h:  # GQA: the tiled executor wants matching head counts
+            kc = jnp.repeat(kc, h // h_kv, axis=1)
+            vc = jnp.repeat(vc, h // h_kv, axis=1)
         o, _ = tiled_attention(
-            q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+            q, kc, vc,
             softmax_scale=cfg.softmax_scale,
             block_k=min(cfg.block_size, n_cache),
             mask=mask,
@@ -195,8 +210,12 @@ def _attention(
                 pallas_sparse_attention,
             )
 
+            ks, vs = k, v
+            if h_kv != h:  # sparse kernel is single-head-layout; expand GQA
+                ks = jnp.repeat(k, h // h_kv, axis=1)
+                vs = jnp.repeat(v, h // h_kv, axis=1)
             o, _ = pallas_sparse_attention(
-                q, k, v, sparse_mask, causal=True,
+                q, ks, vs, sparse_mask, causal=True,
                 softmax_scale=cfg.softmax_scale,
                 block_q=cfg.block_size, block_k=cfg.block_size,
             )
@@ -303,7 +322,7 @@ def init_kv_cache(
 ) -> list[Params]:
     max_len = max_len or cfg.max_seq_len
     dtype = dtype or cfg.dtype
-    shape = (batch, cfg.n_heads, max_len, cfg.d_head)
+    shape = (batch, cfg.kv_heads, max_len, cfg.d_head)
     return [
         {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
         for _ in range(cfg.n_layers)

@@ -76,11 +76,11 @@ class _Slot:
 
 def _qkv(x, bp, cfg):
     b, n, d = x.shape
-    h, dh = cfg.n_heads, cfg.d_head
+    h, h_kv, dh = cfg.n_heads, cfg.kv_heads, cfg.d_head
     qkv = x @ bp["w_qkv"].astype(x.dtype) + bp["b_qkv"].astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    to_heads = lambda t: t.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
-    return to_heads(q), to_heads(k), to_heads(v)
+    q, k, v = jnp.split(qkv, [h * dh, (h + h_kv) * dh], axis=-1)
+    to_heads = lambda t, nh: t.reshape(b, n, nh, dh).transpose(0, 2, 1, 3)
+    return to_heads(q, h), to_heads(k, h_kv), to_heads(v, h_kv)
 
 
 def _proj_out(o, bp):
@@ -130,6 +130,10 @@ def make_prefill_fn(cfg: TransformerConfig):
                 valid_len=jnp.full((b,), prompt_len, jnp.int32),
             )
             new_caches.append(cache)
+            if cfg.kv_heads != cfg.n_heads:  # GQA: expand for the executor
+                groups = cfg.n_heads // cfg.kv_heads
+                k = jnp.repeat(k, groups, axis=1)
+                v = jnp.repeat(v, groups, axis=1)
             o, _ = tiled_attention(
                 q, k, v, softmax_scale=cfg.softmax_scale,
                 block_k=min(cfg.block_size, tp), mask=mask,
@@ -218,7 +222,7 @@ class ServingEngine:
         self.ecfg = ecfg
         self.caches = [
             init_paged_cache(
-                cfg.n_heads, ecfg.num_pages, ecfg.page_size, cfg.d_head,
+                cfg.kv_heads, ecfg.num_pages, ecfg.page_size, cfg.d_head,
                 quant=ecfg.quant, dtype=cfg.dtype,
             )
             for _ in range(cfg.n_layers)

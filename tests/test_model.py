@@ -182,3 +182,51 @@ def test_checkpoint_save_restore(tmp_path):
     assert step == 7
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(rp)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# -- GQA (n_kv_heads < n_heads) ------------------------------------------------
+
+
+def test_gqa_model_forward_and_decode():
+    cfg = TransformerConfig(
+        vocab_size=97, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_ff=128, max_seq_len=64, block_size=32, dropout_rate=0.0,
+        dtype=jnp.float32, attention_backend="xla",
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    assert params["blocks"][0]["attn"]["w_qkv"].shape == (64, cfg.qkv_dim)
+    tokens = jax.random.randint(jax.random.key(1), (1, 12), 0, cfg.vocab_size)
+    logits = apply_transformer(params, tokens, cfg)
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # KV-cache decode must agree with the full forward (GQA cache layout).
+    caches = init_kv_cache(cfg, 1, 16)
+    assert caches[0]["k"].shape[1] == 2  # kv heads
+    outs = []
+    for t in range(tokens.shape[1]):
+        step_logits, caches = decode_step(
+            params, caches, tokens[:, t: t + 1], jnp.int32(t), cfg
+        )
+        outs.append(step_logits)
+    full = apply_transformer(params, tokens, cfg)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(outs, axis=1)), np.asarray(full),
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_gqa_train_step_runs():
+    cfg = TransformerConfig(
+        vocab_size=97, d_model=64, n_layers=1, n_heads=4, n_kv_heads=1,
+        d_ff=128, max_seq_len=64, block_size=32, dropout_rate=0.1,
+        dtype=jnp.float32, attention_backend="xla",
+    )
+    tc = TrainConfig(total_steps=2, warmup_steps=1, batch_size=2, seq_len=16)
+    params = init_transformer(jax.random.key(0), cfg)
+    tx = make_optimizer(tc)
+    opt_state = tx.init(params)
+    tokens = jax.random.randint(jax.random.key(1), (2, 17), 0, cfg.vocab_size)
+    params, opt_state, loss = train_step(
+        params, opt_state, {"tokens": tokens}, jax.random.key(2), cfg, tx
+    )
+    assert np.isfinite(float(loss))

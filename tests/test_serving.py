@@ -268,3 +268,29 @@ def test_engine_quantized_runs(params, quant):
     # the first step (prefill, unquantized attention over the prompt itself)
     # must agree.
     assert results[0][0] == _naive_greedy(params, prompt, 1)[0]
+
+
+def test_engine_gqa_matches_naive_greedy():
+    cfg = TransformerConfig(
+        vocab_size=89, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_ff=128, max_seq_len=128, block_size=32, dropout_rate=0.0,
+        dtype=jnp.float32, attention_backend="xla",
+    )
+    params = init_transformer(jax.random.key(3), cfg)
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=32, max_seq_len=64,
+        prefill_pad=16,
+    )
+    eng = ServingEngine(params, cfg, ecfg)
+    prompt = list(np.random.default_rng(4).integers(0, cfg.vocab_size, size=7))
+    eng.submit(GenerationRequest(request_id=0, prompt=prompt, max_new_tokens=5))
+    results = eng.run()
+
+    tokens = list(prompt)
+    expected = []
+    for _ in range(5):
+        logits = apply_transformer(params, jnp.asarray([tokens], jnp.int32), cfg)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        expected.append(nxt)
+        tokens.append(nxt)
+    assert results[0] == expected
