@@ -1,0 +1,124 @@
+"""Token-stream dataset for LM training.
+
+TPU-native equivalent of the reference's data pipeline
+(src/fa3/torch/flashattention_pytorch.py:714-816): the reference tokenizes
+OpenWebText once with tiktoken into a flat token stream, then slices
+``seq_len + 1`` windows per example and feeds them through a DataLoader.
+This build keeps the tokenize-once stream design but stays dependency-light:
+
+- ``bytes`` tokenizer (vocab 256) works on any text with zero downloads —
+  this environment has no network egress, and the reference's
+  tiktoken/datasets stack is a network dependency (reference ln 788-794).
+- a HuggingFace tokenizer can be passed in where one is available locally.
+- batches are (B, seq_len + 1) int32 arrays; ``loss_fn`` shifts them into
+  (inputs, targets) (models/train.py:79-88).
+
+Host-side prefetch uses a double-buffered iterator (the DataLoader worker
+analogue, reference ln 808-816): the next batch is built on the host while
+the device runs the current step.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue
+from pathlib import Path
+from typing import Callable, Iterator
+
+import numpy as np
+
+VOCAB_BYTES = 256
+
+
+def tokenize_bytes(text: str | bytes) -> np.ndarray:
+    """Byte-level tokenization: every byte is a token id in [0, 256)."""
+    if isinstance(text, str):
+        text = text.encode("utf-8")
+    return np.frombuffer(text, dtype=np.uint8).astype(np.int32)
+
+
+def load_token_stream(
+    path: str | Path,
+    tokenizer: Callable[[str], np.ndarray] | None = None,
+) -> np.ndarray:
+    """Tokenize a text file once into a flat int32 stream
+    (reference FlashAttentionDataset, ln 735-782)."""
+    raw = Path(path).read_bytes()
+    if tokenizer is None:
+        return tokenize_bytes(raw)
+    return np.asarray(tokenizer(raw.decode("utf-8")), dtype=np.int32)
+
+
+class TokenStreamDataset:
+    """Slices (seq_len + 1)-token windows out of a flat stream.
+
+    ``stride`` defaults to seq_len (non-overlapping windows, the reference's
+    slicing, ln 765-774); smaller strides give overlapping windows.
+    """
+
+    def __init__(self, stream: np.ndarray, seq_len: int, stride: int | None = None):
+        if stream.ndim != 1:
+            raise ValueError(f"stream must be 1-D, got {stream.shape}")
+        self.stream = stream.astype(np.int32)
+        self.seq_len = seq_len
+        self.stride = stride or seq_len
+        n = (len(stream) - seq_len - 1) // self.stride + 1
+        if n <= 0:
+            raise ValueError(
+                f"stream of {len(stream)} tokens too short for seq_len {seq_len}"
+            )
+        self.n_examples = n
+
+    def __len__(self) -> int:
+        return self.n_examples
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        start = i * self.stride
+        return self.stream[start: start + self.seq_len + 1]
+
+    def batches(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        epochs: int | None = None,
+        drop_last: bool = True,
+    ) -> Iterator[dict]:
+        """Yields {"tokens": (B, seq_len+1) int32} batches."""
+        rng = np.random.default_rng(seed)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.arange(self.n_examples)
+            if shuffle:
+                rng.shuffle(order)
+            for i in range(0, self.n_examples - (batch_size - 1 if drop_last else 0),
+                           batch_size):
+                idx = order[i: i + batch_size]
+                batch = np.stack([self[j] for j in idx])
+                if drop_last and batch.shape[0] < batch_size:
+                    break
+                yield {"tokens": batch}
+            epoch += 1
+
+
+def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
+    """Host-side prefetch: builds the next batch while the device computes
+    (the reference DataLoader-worker analogue, ln 808-816)."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

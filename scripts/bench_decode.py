@@ -1,0 +1,109 @@
+"""Paged-decode attention benchmark: tokens/s/chip, bf16 vs int8 vs fp8 cache.
+
+Decode attention is HBM-bandwidth-bound: per token each sequence reads its
+whole KV cache. The quantized caches read 1 byte/elem instead of 2, so the
+fp8/int8 rows should approach 2x the bf16 row when the kernel is at line
+rate. Prints one JSON line per config.
+
+Usage:  python scripts/bench_decode.py [--batch 64] [--len 2048]
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+V5E_HBM_GBPS = 819.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--kv-heads", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--len", type=int, default=2048, dest="seqlen")
+    ap.add_argument("--page", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--trials", type=int, default=4)
+    ns = ap.parse_args()
+
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+    from flashattention_tpu.serving.paged_kv import init_paged_cache
+
+    b, h, h_kv, d = ns.batch, ns.heads, ns.kv_heads, ns.dim
+    seqlen, page = ns.seqlen, ns.page
+    pages_per_seq = seqlen // page
+    num_pages = b * pages_per_seq + 1
+
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(b * pages_per_seq) + 1  # page 0 reserved
+    page_indices = jnp.asarray(perm.reshape(b, pages_per_seq), jnp.int32)
+    lengths = jnp.full((b,), seqlen, jnp.int32)
+
+    for quant in (None, "int8", "fp8"):
+        cache = init_paged_cache(
+            h_kv, num_pages, page, d, quant=quant, dtype=jnp.bfloat16
+        )
+        # fill payloads with noise (values don't matter for bandwidth)
+        kp = jax.random.normal(
+            jax.random.key(0), cache.k_pages.shape, jnp.float32
+        ).astype(cache.k_pages.dtype)
+        vp = jax.random.normal(
+            jax.random.key(1), cache.v_pages.shape, jnp.float32
+        ).astype(cache.v_pages.dtype)
+        q = jax.random.normal(jax.random.key(2), (b, h, d), jnp.bfloat16)
+
+        ks, vs = cache.k_scales, cache.v_scales
+
+        @jax.jit
+        def loop(q0):
+            def body(i, qq):
+                o = pallas_paged_attention(
+                    qq, kp, vp, page_indices, lengths,
+                    k_scales=ks, v_scales=vs,
+                )
+                return o.astype(qq.dtype)
+            return lax.fori_loop(0, ns.iters, body, q0)
+
+        out = loop(q)
+        _ = np.asarray(out).ravel()[:8]
+        best = float("inf")
+        for t in range(ns.trials):
+            t0 = time.perf_counter()
+            out = loop(q)
+            _ = np.asarray(out).ravel()[:8]
+            best = min(best, (time.perf_counter() - t0) / ns.iters)
+            if t + 1 < ns.trials:
+                time.sleep(2)
+
+        toks_per_s = b / best
+        payload_bytes = 2 * b * h_kv * seqlen * d * cache.k_pages.dtype.itemsize
+        scale_bytes = (
+            2 * b * h_kv * seqlen * 4 if quant else 0
+        )
+        gbps = (payload_bytes + scale_bytes) / best / 1e9
+        print(json.dumps({
+            "metric": "paged_decode_tokens_per_s",
+            "quant": quant or "bf16",
+            "value": round(toks_per_s, 1),
+            "unit": "tokens/s/chip",
+            "detail": {
+                "step_ms": round(best * 1e3, 3),
+                "kv_read_gbps": round(gbps, 1),
+                "hbm_frac": round(gbps / V5E_HBM_GBPS, 3),
+                "batch": b, "heads": h, "kv_heads": h_kv,
+                "seqlen": seqlen, "page": page, "head_dim": d,
+                "backend": jax.default_backend(),
+            },
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
