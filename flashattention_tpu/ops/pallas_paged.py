@@ -4,22 +4,29 @@ Decode is HBM-bandwidth-bound: one query token attends to the whole KV
 cache, so the kernel's job is to stream K/V pages from HBM at line rate and
 hide the transfer behind the (tiny) per-page compute. Design:
 
-- grid = (batch, kv_head, page_slot). The physical page for grid step j is
+- grid = (batch, page_step). Each grid step processes
+  ``pages_per_step`` (S) pages: the physical page for slot s of step j is
   resolved *inside the BlockSpec index maps* from the scalar-prefetched page
-  table (``PrefetchScalarGridSpec``): ``k_block = k_pages[h, page_indices[b,
-  j]]``. Pallas's pipeline machinery double-buffers these blocks
-  automatically — the fetch for step j+1 is in flight while step j computes.
-- Page-table rows padded with a repeated page (the engine's dump page) cost
-  ~nothing: the index map returns the same block index, Pallas skips the
-  re-fetch of an unchanged block, and compute for slots past the sequence's
-  page count is predicated off.
+  table (``PrefetchScalarGridSpec``): ``k_block_s = k_pages[h,
+  page_indices[b, j*S + s]]``. Pallas's pipeline machinery double-buffers
+  all S blocks — the fetches for step j+1 are in flight while step j
+  computes.
+- S amortizes the per-grid-step pipeline overhead, which dominates when
+  pages are small (measured: page=64, S=1 reached only 5% of HBM line
+  rate). S is chosen so each step covers >= 512 tokens.
+- Page-table rows padded with a repeated page cost ~nothing: the index map
+  returns the same block index, Pallas skips the re-fetch of an unchanged
+  block, and compute for slots past the sequence's page count is predicated
+  off.
 - Quantized caches (int8 / float8_e4m3fn payloads with per-(page, slot) fp32
   scales — layout in serving/paged_kv.py) are dequantized right after
   landing in VMEM: payload · scale broadcasts per-sublane, one VPU pass. The
   bandwidth win is the 1-byte payload on the wire; compute runs fp32.
-- GQA: the grid is over KV heads; all H/H_kv query heads of the group attend
-  to the same streamed pages (q block (1, 1, G, D), G padded to >= 8
-  sublanes).
+- All KV heads of a page ride in ONE strided block fetch (block shape
+  (H_kv, 1, page, D)) — fetch count is B x pages, not B x pages x H_kv;
+  the kernel statically unrolls the per-head online-softmax update.
+- GQA: all H/H_kv query heads of a group attend to the shared page block
+  (q block (1, H_kv, G, D), G padded to >= 8 sublanes).
 
 The XLA gather executor (serving/paged_kv.py:paged_attention_decode) is the
 always-runs-anywhere correctness anchor; this kernel is the TPU fast path.
@@ -38,32 +45,81 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+
+def _fp8_e4m3_to_bf16_bits(payload):
+    """float8_e4m3fn -> bfloat16 via integer bit surgery.
+
+    v5e has no fast fp8 conversion path (measured: ``.astype`` on an fp8
+    payload runs ~2x slower end-to-end than int8). Both formats share a
+    (sign, 2^e, 1.m) layout, so re-biasing is pure integer work. TPU only
+    legalizes 32-bit shifts, so the surgery builds float32 bits
+    (sign<<31 | (e+120)<<23 | m<<20) and lets the cheap f32->bf16 cast
+    finish. Zero maps via the magnitude==0 select; e4m3 denormals decode
+    exactly via a mantissa-times-2^-9 select; e4m3fn NaN (0x7f) decodes to
+    a large finite value.
+    """
+    bits = pltpu.bitcast(payload, jnp.uint8).astype(jnp.int32)
+    mag = bits & 0x7F
+    sign = (bits & 0x80) << 24
+    out = sign | ((mag << 20) + (120 << 23))
+    out = jnp.where(mag == 0, sign, out)
+    f = pltpu.bitcast(out, jnp.float32)
+    # e4m3 denormals (exp==0, mantissa!=0): value = m * 2^-9 exactly.
+    denorm = mag < 8
+    f = jnp.where(
+        denorm,
+        mag.astype(jnp.float32)
+        * jnp.where(sign != 0, -(2.0 ** -9), 2.0 ** -9),
+        f,
+    )
+    return f.astype(jnp.bfloat16)
+
+
+def _dequant(ref, scale_ref, h, compute_dtype):
+    """Load head ``h`` of a page block and dequantize to compute_dtype."""
+    payload = ref[h, 0]
+    if scale_ref is None:
+        return payload.astype(compute_dtype)
+    if payload.dtype == jnp.float8_e4m3fn and compute_dtype == jnp.bfloat16:
+        x = _fp8_e4m3_to_bf16_bits(payload)
+    else:
+        x = payload.astype(compute_dtype)
+    return x * scale_ref[h, 0].astype(compute_dtype)
+
+
 def _decode_kernel(
     # scalar prefetch
-    page_indices_ref,  # (B * pages_per_seq,) int32 in SMEM
+    page_indices_ref,  # (B * pps_padded,) int32 in SMEM
     lengths_ref,       # (B,) int32 in SMEM
     # pipelined inputs
-    q_ref,             # (1, 1, G, D) VMEM
-    k_ref,             # (1, 1, page, D) current page payload
-    v_ref,
-    *rest,             # [ks_ref (1,1,page,1), vs_ref,] o_ref, m/l/acc scratch
+    q_ref,             # (1, H_kv, G, D) VMEM
+    *rest,             # k_0..k_{S-1}, v_0.., [ks_0.., vs_0..,] o, m/l/acc
     softmax_scale,
-    pages_per_seq,
     page_size,
+    pages_per_step,
+    h_kv,
+    g_pad,
     quantized,
+    compute_dtype,
 ):
+    s_count = pages_per_step
+    k_refs = rest[:s_count]
+    v_refs = rest[s_count: 2 * s_count]
+    off = 2 * s_count
     if quantized:
-        ks_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = rest
+        ks_refs = rest[off: off + s_count]
+        vs_refs = rest[off + s_count: off + 2 * s_count]
+        off += 2 * s_count
     else:
-        o_ref, m_scr, l_scr, acc_scr = rest
-        ks_ref = vs_ref = None
+        ks_refs = vs_refs = [None] * s_count
+    o_ref, m_scr, l_scr, acc_scr = rest[off: off + 4]
 
     b = pl.program_id(0)
-    j = pl.program_id(2)
-    n_slots = pl.num_programs(2)
+    j = pl.program_id(1)
+    n_steps = pl.num_programs(1)
 
     length = lengths_ref[b]
-    n_pages = jnp.minimum((length + page_size - 1) // page_size, pages_per_seq)
+    n_pages = (length + page_size - 1) // page_size
 
     @pl.when(j == 0)
     def _init():
@@ -71,44 +127,61 @@ def _decode_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(j < n_pages)
-    def _update():
-        q = q_ref[0, 0].astype(jnp.float32) * jnp.float32(softmax_scale)
-        kf = k_ref[0, 0].astype(jnp.float32)  # (page, D)
-        vf = v_ref[0, 0].astype(jnp.float32)
-        if quantized:
-            kf = kf * ks_ref[0, 0]            # (page, 1) per-slot scales
-            vf = vf * vs_ref[0, 0]
+    # Static unroll over (page-of-step, kv head). Each k/v block carries ALL
+    # kv heads of one page in a single strided fetch — fetch count is
+    # B * pages, not B * pages * H_kv.
+    for s in range(s_count):
+        page_idx = j * s_count + s
 
-        # HIGHEST: decode is bandwidth-bound, so fp32 bf16x6 matmuls are
-        # free accuracy (the default bf16x3 shows ~6e-3 vs the exact oracle).
-        s = jax.lax.dot_general(
-            q, kf, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (G, page)
-        slots = j * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (1, page_size), 1
-        )
-        s = jnp.where(slots < length, s, -jnp.inf)
+        @pl.when(page_idx < n_pages)
+        def _update(s=s, page_idx=page_idx):
+            slots = page_idx * page_size + jax.lax.broadcasted_iota(
+                jnp.int32, (1, page_size), 1
+            )
+            in_range = slots < length
+            # HIGHEST costs nothing in fp32 debug mode and is ignored for
+            # bf16 operands; accumulation is always fp32 (preferred type).
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32 else None
+            )
+            for h in range(h_kv):
+                r0, r1 = h * g_pad, (h + 1) * g_pad
+                q = q_ref[0, h].astype(compute_dtype) * compute_dtype(
+                    softmax_scale
+                )
+                kf = _dequant(k_refs[s], ks_refs[s], h, compute_dtype)
+                vf = _dequant(v_refs[s], vs_refs[s], h, compute_dtype)
 
-        m_prev = m_scr[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_next
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
-            p, vf, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+                scores = jax.lax.dot_general(
+                    q, kf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # (G, page)
+                scores = jnp.where(in_range, scores, -jnp.inf)
 
-    @pl.when(j == n_slots - 1)
+                m_prev = m_scr[r0:r1]
+                m_curr = jnp.max(scores, axis=1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(scores - m_next[:, :1])
+                l_scr[r0:r1] = alpha * l_scr[r0:r1] + jnp.sum(
+                    p, axis=1, keepdims=True
+                )
+                m_scr[r0:r1] = m_next
+                acc_scr[r0:r1] = acc_scr[r0:r1] * alpha[:, :1] + jax.lax.dot(
+                    p.astype(compute_dtype), vf,
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+
+    @pl.when(j == n_steps - 1)
     def _store():
-        l = l_scr[:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(o_ref.dtype)
+        for h in range(h_kv):
+            r0, r1 = h * g_pad, (h + 1) * g_pad
+            l = l_scr[r0:r1, :1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, h] = (acc_scr[r0:r1] / l_safe).astype(o_ref.dtype)
 
 
 def pallas_paged_attention(
@@ -121,12 +194,16 @@ def pallas_paged_attention(
     k_scales: jax.Array | None = None,  # (H_kv, P, page, 1) fp32
     v_scales: jax.Array | None = None,
     softmax_scale: float | None = None,
+    pages_per_step: int | None = None,
+    compute_dtype=jnp.bfloat16,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Paged decode attention on TPU. Returns (B, H, D) in q.dtype.
 
     GQA: H % H_kv == 0; query heads are grouped per KV head. Quantized caches
     pass per-slot fp32 scales (both or neither of k_scales/v_scales).
+    ``pages_per_step`` batches several pages per grid step to amortize
+    pipeline overhead; default targets >= 512 tokens per step.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -143,6 +220,17 @@ def pallas_paged_attention(
         raise ValueError("pass both k_scales and v_scales, or neither")
     if softmax_scale is None:
         softmax_scale = d ** -0.5
+    if pages_per_step is None:
+        pages_per_step = max(1, 512 // page_size)
+    s_count = max(1, min(pages_per_step, pages_per_seq))
+
+    # Pad the page table so every grid step has s_count entries; edge-pad so
+    # the padded slots re-point at an already-resident page (no extra fetch).
+    n_steps = -(-pages_per_seq // s_count)
+    pps_pad = n_steps * s_count
+    pi = page_indices
+    if pps_pad != pages_per_seq:
+        pi = jnp.pad(pi, [(0, 0), (0, pps_pad - pages_per_seq)], mode="edge")
 
     # Pad the group dim to the fp32 sublane minimum (8).
     g_pad = max(groups, 8)
@@ -153,39 +241,50 @@ def pallas_paged_attention(
     kernel = functools.partial(
         _decode_kernel,
         softmax_scale=float(softmax_scale),
-        pages_per_seq=pages_per_seq,
         page_size=page_size,
+        pages_per_step=s_count,
+        h_kv=h_kv,
+        g_pad=g_pad,
         quantized=quantized,
+        compute_dtype=compute_dtype,
     )
 
-    def idx_q(b_, h_, j, pi, ln):
-        return (b_, h_, 0, 0)
+    def idx_q(b_, j, pi_, ln):
+        return (b_, 0, 0, 0)
 
-    def idx_page(b_, h_, j, pi, ln):
-        return (h_, pi[b_ * pages_per_seq + j], 0, 0)
+    def idx_page(s):
+        def f(b_, j, pi_, ln):
+            # Block covers ALL kv heads of one page (dim 0 = full H_kv).
+            return (0, pi_[b_ * pps_pad + j * s_count + s], 0, 0)
+        return f
 
-    in_specs = [
-        pl.BlockSpec((1, 1, g_pad, d), idx_q),
-        pl.BlockSpec((1, 1, page_size, d), idx_page),
-        pl.BlockSpec((1, 1, page_size, d), idx_page),
-    ]
-    args = [q4, k_pages, v_pages]
+    def page_spec(s):
+        return pl.BlockSpec((h_kv, 1, page_size, d), idx_page(s))
+
+    def scale_spec(s):
+        return pl.BlockSpec((h_kv, 1, page_size, 1), idx_page(s))
+
+    in_specs = [pl.BlockSpec((1, h_kv, g_pad, d), idx_q)]
+    in_specs += [page_spec(s) for s in range(s_count)]
+    in_specs += [page_spec(s) for s in range(s_count)]
+    args = [q4]
+    args += [k_pages] * s_count
+    args += [v_pages] * s_count
     if quantized:
-        in_specs += [
-            pl.BlockSpec((1, 1, page_size, 1), idx_page),
-            pl.BlockSpec((1, 1, page_size, 1), idx_page),
-        ]
-        args += [k_scales, v_scales]
+        in_specs += [scale_spec(s) for s in range(s_count)]
+        in_specs += [scale_spec(s) for s in range(s_count)]
+        args += [k_scales] * s_count
+        args += [v_scales] * s_count
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, h_kv, pages_per_seq),
+        grid=(b, n_steps),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, g_pad, d), idx_q),
+        out_specs=pl.BlockSpec((1, h_kv, g_pad, d), idx_q),
         scratch_shapes=[
-            pltpu.VMEM((g_pad, 128), jnp.float32),
-            pltpu.VMEM((g_pad, 128), jnp.float32),
-            pltpu.VMEM((g_pad, d), jnp.float32),
+            pltpu.VMEM((h_kv * g_pad, 128), jnp.float32),
+            pltpu.VMEM((h_kv * g_pad, 128), jnp.float32),
+            pltpu.VMEM((h_kv * g_pad, d), jnp.float32),
         ],
     )
 
@@ -194,8 +293,8 @@ def pallas_paged_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h_kv, g_pad, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(page_indices.reshape(-1), lengths, *args)
+    )(pi.reshape(-1), lengths, *args)
     return o[:, :, :groups, :].reshape(b, h_q, d)

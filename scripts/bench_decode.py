@@ -62,22 +62,25 @@ def main():
 
         ks, vs = cache.k_scales, cache.v_scales
 
+        # NOTE: arrays must be ARGUMENTS, not closures — closed-over arrays
+        # become embedded HLO constants and blow past the remote-compile
+        # request size limit (HTTP 413) with a multi-100MB cache.
         @jax.jit
-        def loop(q0):
+        def loop(q0, kp_, vp_, ks_, vs_, pi_, len_):
             def body(i, qq):
                 o = pallas_paged_attention(
-                    qq, kp, vp, page_indices, lengths,
-                    k_scales=ks, v_scales=vs,
+                    qq, kp_, vp_, pi_, len_, k_scales=ks_, v_scales=vs_,
                 )
                 return o.astype(qq.dtype)
             return lax.fori_loop(0, ns.iters, body, q0)
 
-        out = loop(q)
+        call_args = (q, kp, vp, ks, vs, page_indices, lengths)
+        out = loop(*call_args)
         _ = np.asarray(out).ravel()[:8]
         best = float("inf")
         for t in range(ns.trials):
             t0 = time.perf_counter()
-            out = loop(q)
+            out = loop(*call_args)
             _ = np.asarray(out).ravel()[:8]
             best = min(best, (time.perf_counter() - t0) / ns.iters)
             if t + 1 < ns.trials:

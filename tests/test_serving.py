@@ -168,12 +168,22 @@ def test_pallas_paged_matches_gather_executor(quant):
     )
     q = jax.random.normal(jax.random.key(2), (b, h, d))
     o_ref = paged_attention_decode(q, cache, page_indices, lengths)
+    # fp32 compute path: must match the gather executor near-exactly.
+    o32 = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, page_indices, lengths,
+        k_scales=cache.k_scales, v_scales=cache.v_scales,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o32), np.asarray(o_ref), rtol=2e-5, atol=2e-5
+    )
+    # default (bf16 compute, the TPU fast path): bf16 tolerance.
     o = pallas_paged_attention(
         q, cache.k_pages, cache.v_pages, page_indices, lengths,
         k_scales=cache.k_scales, v_scales=cache.v_scales,
     )
     np.testing.assert_allclose(
-        np.asarray(o), np.asarray(o_ref), rtol=2e-5, atol=2e-5
+        np.asarray(o), np.asarray(o_ref), rtol=2e-2, atol=2e-2
     )
 
 
@@ -191,7 +201,8 @@ def test_pallas_paged_gqa_and_empty_seq():
     )
     q = jax.random.normal(jax.random.key(2), (b, h_q, d))
     o = pallas_paged_attention(
-        q, cache.k_pages, cache.v_pages, pi, lengths
+        q, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32,
     )
     o_ref = paged_attention_decode(q, cache, pi, jnp.maximum(lengths, 1))
     np.testing.assert_allclose(
