@@ -45,6 +45,8 @@ class TransformerConfig:
     n_layers: int = 12
     n_heads: int = 12
     n_kv_heads: int | None = None  # GQA/MQA; None -> MHA (= n_heads)
+    fused_qkv: bool = True         # single w_qkv vs separate w_q/w_k/w_v
+                                   # (reference supports both, ln 18-92)
     d_ff: int = 3072
     max_seq_len: int = 512
     dropout_rate: float = 0.1
@@ -104,14 +106,28 @@ def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
         out_scale = 0.02 / math.sqrt(2 * cfg.n_layers)
         params["blocks"].append(
             {
-                "attn": {
-                    # fused QKV (reference w_qkv, ln 31); GQA shrinks the
-                    # K/V slices to n_kv_heads * d_head each.
-                    "w_qkv": _dense_init(bk[0], (d, cfg.qkv_dim), pd),
-                    "b_qkv": jnp.zeros((cfg.qkv_dim,), pd),
-                    "w_o": _dense_init(bk[1], (d, d), pd, out_scale),
-                    "b_o": jnp.zeros((d,), pd),
-                },
+                "attn": (
+                    {
+                        # fused QKV (reference w_qkv, ln 31); GQA shrinks
+                        # the K/V slices to n_kv_heads * d_head each.
+                        "w_qkv": _dense_init(bk[0], (d, cfg.qkv_dim), pd),
+                        "b_qkv": jnp.zeros((cfg.qkv_dim,), pd),
+                        "w_o": _dense_init(bk[1], (d, d), pd, out_scale),
+                        "b_o": jnp.zeros((d,), pd),
+                    }
+                    if cfg.fused_qkv else
+                    {
+                        # separate projections (reference ln 37-43)
+                        "w_q": _dense_init(bk[0], (d, cfg.n_heads * cfg.d_head), pd),
+                        "b_q": jnp.zeros((cfg.n_heads * cfg.d_head,), pd),
+                        "w_k": _dense_init(bk[4], (d, cfg.kv_heads * cfg.d_head), pd),
+                        "b_k": jnp.zeros((cfg.kv_heads * cfg.d_head,), pd),
+                        "w_v": _dense_init(bk[5], (d, cfg.kv_heads * cfg.d_head), pd),
+                        "b_v": jnp.zeros((cfg.kv_heads * cfg.d_head,), pd),
+                        "w_o": _dense_init(bk[1], (d, d), pd, out_scale),
+                        "b_o": jnp.zeros((d,), pd),
+                    }
+                ),
                 "ln1": {"g": jnp.ones((d,), pd), "b": jnp.zeros((d,), pd)},
                 "mlp": {
                     "w_in": _dense_init(bk[2], (d, dff), pd),
@@ -164,8 +180,13 @@ def _attention(
 ):
     b, n, d = x.shape
     h, h_kv, dh = cfg.n_heads, cfg.kv_heads, cfg.d_head
-    qkv = x @ p["w_qkv"].astype(x.dtype) + p["b_qkv"].astype(x.dtype)
-    q, k, v = jnp.split(qkv, [h * dh, (h + h_kv) * dh], axis=-1)
+    if "w_qkv" in p:
+        qkv = x @ p["w_qkv"].astype(x.dtype) + p["b_qkv"].astype(x.dtype)
+        q, k, v = jnp.split(qkv, [h * dh, (h + h_kv) * dh], axis=-1)
+    else:  # separate projections (reference ln 37-43)
+        q = x @ p["w_q"].astype(x.dtype) + p["b_q"].astype(x.dtype)
+        k = x @ p["w_k"].astype(x.dtype) + p["b_k"].astype(x.dtype)
+        v = x @ p["w_v"].astype(x.dtype) + p["b_v"].astype(x.dtype)
 
     def heads(t, nh):  # (B, N, nh*dh) -> (B, nh, N, dh)
         return t.reshape(b, -1, nh, dh).transpose(0, 2, 1, 3)

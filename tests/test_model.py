@@ -230,3 +230,17 @@ def test_gqa_train_step_runs():
         params, opt_state, {"tokens": tokens}, jax.random.key(2), cfg, tx
     )
     assert np.isfinite(float(loss))
+
+
+def test_separate_qkv_projections():
+    cfg = TransformerConfig(
+        vocab_size=97, d_model=64, n_layers=1, n_heads=4, fused_qkv=False,
+        d_ff=128, max_seq_len=64, block_size=32, dropout_rate=0.0,
+        dtype=jnp.float32, attention_backend="xla",
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    a = params["blocks"][0]["attn"]
+    assert "w_q" in a and "w_k" in a and "w_v" in a and "w_qkv" not in a
+    tokens = jax.random.randint(jax.random.key(1), (1, 12), 0, cfg.vocab_size)
+    logits = apply_transformer(params, tokens, cfg)
+    assert np.isfinite(np.asarray(logits)).all()
