@@ -56,21 +56,24 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         b, h, n, d = 1, 8, 8192, 128
-        iters = 40
+        iters = 120  # long loops amortize the tunnel's per-dispatch buffer
+        # re-upload (measured: totals are ~constant below ~80 iters)
     else:  # CI / no-hardware fallback: tiny shapes, still one JSON line
         b, h, n, d = 1, 2, 512, 64
         iters = 2
 
     def measure_matmul_sol():
-        """Empirical roofline: a big plain matmul under the same timing."""
-        m = 4096 if on_tpu else 256
+        """Empirical roofline: a plain matmul under the same timing. Small
+        (2048^2) buffers — big buffers get evicted between the shared chip's
+        time slices and measure re-upload, not compute."""
+        m = 2048 if on_tpu else 256
         a0 = jax.random.normal(jax.random.key(7), (m, m), dtype=jnp.bfloat16)
         b0 = jax.random.normal(jax.random.key(8), (m, m), dtype=jnp.bfloat16)
         t_mm = _timeit_loop(
             lambda x, y: jnp.dot(
                 x, y, preferred_element_type=jnp.float32
             ).astype(jnp.bfloat16),
-            (a0, b0), iters=iters * 2, trials=3, spacing_s=2.0,
+            (a0, b0), iters=min(400, iters * 4), trials=3, spacing_s=2.0,
         )
         return 2 * m**3 / t_mm / 1e12
 
@@ -98,11 +101,12 @@ def main():
     fwd_flops = 4 * b * h * n * n * d
     total_flops = 3 * fwd_flops           # fwd + 2x-fwd bwd (reference model)
     best = None
-    rounds = 4 if on_tpu else 1
+    rounds = 6 if on_tpu else 1
     for attempt in range(rounds):
         mm_tflops = measure_matmul_sol()
-        t_fwd = _timeit_loop(fwd_one, (q, k, v), iters=iters, trials=4)
-        t_bwd = _timeit_loop(grad_one, (q, k, v), iters=iters, trials=4)
+        t_fwd = _timeit_loop(fwd_one, (q, k, v), iters=iters, trials=3)
+        t_bwd = _timeit_loop(grad_one, (q, k, v), iters=max(iters // 3, 2),
+                             trials=3)
         tflops = total_flops / (t_fwd + t_bwd) / 1e12
         if best is None or tflops > best[0]:
             best = (tflops, t_fwd, t_bwd, mm_tflops)
@@ -110,7 +114,7 @@ def main():
         if not on_tpu or mm_tflops > 80.0:
             break
         if attempt + 1 < rounds:
-            time.sleep(45)
+            time.sleep(60)
     tflops, t_fwd, t_bwd, mm_tflops = best
 
     target = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS

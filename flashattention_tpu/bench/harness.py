@@ -71,21 +71,39 @@ class BenchRecord:
 
 def benchmark_call(
     fn: Callable, args: tuple, *, chain_idx: int = 0, warmup: int = 1,
-    iters: int = 10, trials: int = 3,
+    iters: int = 60, trials: int = 3,
 ) -> tuple[float, float]:
-    """Returns (mean_ms_of_best_trial, pstdev_ms_across_trials)."""
-    out = fn(*args)
-    first = out[0] if isinstance(out, (tuple, list)) else out
-    _ = np.asarray(first).ravel()[:4]
+    """Returns (mean_ms_of_best_trial, pstdev_ms_across_trials).
+
+    ITERS chained calls run on device inside ONE jitted lax.fori_loop —
+    host-loop chaining pays a per-dispatch tunnel constant (buffer
+    re-upload) that dwarfs the kernel (see bench.py docstring). The chained
+    value must keep the dtype/shape of args[chain_idx].
+    """
+    import jax
+    from jax import lax
+
+    ref = args[chain_idx]
+
+    # All arrays ride as jit ARGUMENTS: closed-over arrays embed as HLO
+    # constants and can exceed the tunnel's compile-request size limit.
+    @jax.jit
+    def loop(a0, *rest):
+        def one(i, a):
+            full = list(rest[:chain_idx]) + [a] + list(rest[chain_idx:])
+            out = fn(*full)
+            first = out[0] if isinstance(out, (tuple, list)) else out
+            return first.astype(ref.dtype).reshape(ref.shape)
+        return lax.fori_loop(0, iters, one, a0)
+
+    rest = tuple(x for i, x in enumerate(args) if i != chain_idx)
+    out = loop(ref, *rest)
+    _ = np.asarray(out).ravel()[:4]  # warm + sync
     times = []
     for _t in range(trials):
-        a = list(args)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*a)
-            first = out[0] if isinstance(out, (tuple, list)) else out
-            a[chain_idx] = first
-        _ = np.asarray(first).ravel()[:4]
+        out = loop(ref, *rest)
+        _ = np.asarray(out).ravel()[:4]
         times.append((time.perf_counter() - t0) / iters * 1e3)
     return min(times), statistics.pstdev(times) if len(times) > 1 else 0.0
 
