@@ -156,7 +156,7 @@ def fa3_attention(
 
         return pallas_fp8_attention(
             qr, kr, v, causal=causal, softmax_scale=softmax_scale,
-            block_q=spec.block_q, block_k=spec.block_k,
+            block_q=spec.block_q, block_k=spec.block_k, stages=spec.stages,
         )
     blk_q = _fp8_block(q.shape[-2], spec.block_q)
     blk_k = _fp8_block(k.shape[-2], spec.block_k)

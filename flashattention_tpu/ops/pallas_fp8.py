@@ -142,7 +142,7 @@ def _fp8_fwd_kernel(
 
 def _fp8_fwd(
     q8, k8, v8, sq, sk, sv, *, causal, softmax_scale, block_q, block_k,
-    out_dtype, interpret, n_q, n_k,
+    out_dtype, interpret, n_q, n_k, stages=2,
 ):
     b, h, n_q_pad, d = q8.shape
     n_k_pad = k8.shape[2]
@@ -156,8 +156,17 @@ def _fp8_fwd(
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
     )
+    # ``stages`` (the FA3 pipelining-depth knob the reference plumbs but
+    # never uses — quirk Q6) sets the K/V stream's buffer count. Mosaic
+    # supports 1 (halved VMEM, no overlap) or 2 (double buffering, the
+    # default); deeper values clamp to 2.
+    kv_pipeline = (
+        pl.Buffered(buffer_count=1)
+        if (stages == 1 and not interpret) else None
+    )
     kv_spec = pl.BlockSpec(
-        (1, 1, block_k, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, ik, 0)
+        (1, 1, block_k, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, ik, 0),
+        pipeline_mode=kv_pipeline,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # sq, sk, sv ride whole in SMEM
@@ -198,11 +207,12 @@ def _dequant(payload, scales, block):
     return (xb * scales[..., None, None]).reshape(b, h, n, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _fp8_attention(q, k, v, causal, softmax_scale, block_q, block_k,
-                   interpret, out_dtype):
+                   interpret, out_dtype, stages):
     return _fp8_attention_fwd_rule(
-        q, k, v, causal, softmax_scale, block_q, block_k, interpret, out_dtype
+        q, k, v, causal, softmax_scale, block_q, block_k, interpret,
+        out_dtype, stages,
     )[0]
 
 
@@ -227,14 +237,14 @@ def _prepare_fp8(q, k, v, block_q, block_k):
 
 
 def _fp8_attention_fwd_rule(q, k, v, causal, softmax_scale, block_q, block_k,
-                            interpret, out_dtype):
+                            interpret, out_dtype, stages):
     q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d = _prepare_fp8(
         q, k, v, block_q, block_k
     )
     o, lse = _fp8_fwd(
         q8, k8, v8, sq, sk, sv, causal=causal, softmax_scale=softmax_scale,
         block_q=bq, block_k=bk, out_dtype=out_dtype, interpret=interpret,
-        n_q=n_q, n_k=n_k,
+        n_q=n_q, n_k=n_k, stages=stages,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
@@ -244,7 +254,8 @@ def _fp8_attention_fwd_rule(q, k, v, causal, softmax_scale, block_q, block_k,
 
 
 def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
-                            interpret, out_dtype, residuals, cotangents):
+                            interpret, out_dtype, stages, residuals,
+                            cotangents):
     """STE backward: run the bf16 backward kernels on the dequantized
     payloads (reference fa3_bwd.cu:134-146 semantics)."""
     q8, k8, v8, sq, sk, sv, o, lse, bq, bk, n_k = residuals
@@ -314,11 +325,13 @@ def pallas_fp8_attention(
     softmax_scale: float | None = None,
     block_q: int = 512,
     block_k: int = 1024,
+    stages: int = 2,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """FA3 fused-FP8 flash attention: quantizes q/k/v to float8_e4m3fn with
     per-tile scales, streams 1-byte payloads through the kernel, descales in
-    the score/output scaling. Returns (o in q.dtype, lse fp32)."""
+    the score/output scaling. ``stages`` = K/V pipeline buffer depth.
+    Returns (o in q.dtype, lse fp32)."""
     if q.ndim != 4:
         raise ValueError(f"expected (B, H, N, D), got {q.shape}")
     d = q.shape[-1]
@@ -328,5 +341,5 @@ def pallas_fp8_attention(
         interpret = _interpret_default()
     return _fp8_attention(
         q, k, v, causal, float(softmax_scale), int(block_q), int(block_k),
-        bool(interpret), q.dtype,
+        bool(interpret), q.dtype, int(stages),
     )
