@@ -1,0 +1,149 @@
+"""End-to-end serving decode throughput: tokens/s through the full model.
+
+Measures the engine's jitted batched-decode step (all layers: embed -> per
+layer QKV + paged-cache append + paged attention + MLP -> logits -> argmax)
+with the caches carried through an on-device fori_loop — the continuous
+batching hot loop without host scheduler ticks.
+
+    python scripts/bench_serving.py [--batch 16] [--layers 8] [--quant fp8]
+"""
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--d-model", type=int, default=1024)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--kv-heads", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=1024, help="cache fill level")
+    ap.add_argument("--page", type=int, default=256)
+    ap.add_argument("--quant", default=None, choices=[None, "int8", "fp8"])
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--trials", type=int, default=3)
+    ns = ap.parse_args()
+
+    from flashattention_tpu.models.transformer import TransformerConfig, init_transformer
+    from flashattention_tpu.serving.engine import make_decode_fn
+    from flashattention_tpu.serving.paged_kv import init_paged_cache, append_to_pages
+
+    cfg = TransformerConfig(
+        vocab_size=32000, d_model=ns.d_model, n_layers=ns.layers,
+        n_heads=ns.heads, n_kv_heads=ns.kv_heads,
+        d_ff=4 * ns.d_model, max_seq_len=ns.ctx + ns.iters * ns.trials + 64,
+        block_size=128, dropout_rate=0.0, dtype=jnp.bfloat16,
+    )
+    b = ns.batch
+    pages_per_seq = -(-cfg.max_seq_len // ns.page)
+    num_pages = b * pages_per_seq + 1
+
+    params = init_transformer(jax.random.key(0), cfg)
+    caches = [
+        init_paged_cache(cfg.kv_heads, num_pages, ns.page, cfg.d_head,
+                         quant=ns.quant, dtype=cfg.dtype)
+        for _ in range(cfg.n_layers)
+    ]
+    rng = np.random.default_rng(0)
+    page_rows = rng.permutation(b * pages_per_seq).reshape(b, pages_per_seq) + 1
+    page_indices = jnp.asarray(page_rows, jnp.int32)
+
+    # Pre-fill the caches to the target context length with noise K/V —
+    # vectorized host-side placement (append_to_pages unrolls per token and
+    # is for incremental appends, not bulk prefill).
+    import dataclasses
+
+    def bulk_fill(cache, x):
+        """x: (B, H_kv, ctx, D) fp32 -> pages + per-token scales."""
+        kp = np.array(cache.k_pages)  # writable copies
+        ks = np.array(cache.k_scales) if cache.quant else None
+        qmax = {None: None, "int8": 127.0, "fp8": 448.0}[cache.quant]
+        n_fill_pages = ns.ctx // ns.page
+        xb = x.reshape(b, cfg.kv_heads, n_fill_pages, ns.page, cfg.d_head)
+        for bi in range(b):
+            phys = page_rows[bi, :n_fill_pages]
+            tok = xb[bi]  # (H, n_fill, page, D)
+            if cache.quant:
+                scale = np.maximum(
+                    np.abs(tok).max(axis=-1, keepdims=True) / qmax, 1e-6
+                )  # (H, n_fill, page, 1)
+                ks[:, phys] = scale
+                tok = tok / scale
+            if cache.quant == "int8":
+                kp[:, phys] = np.round(tok).astype(np.int8)
+            else:
+                kp[:, phys] = tok.astype(kp.dtype)
+        return dataclasses.replace(
+            cache,
+            k_pages=jnp.asarray(kp), v_pages=jnp.asarray(kp),
+            k_scales=jnp.asarray(ks) if cache.quant else None,
+            v_scales=jnp.asarray(ks) if cache.quant else None,
+        )
+
+    fill = np.asarray(jax.random.normal(
+        jax.random.key(1), (b, cfg.kv_heads, ns.ctx, cfg.d_head), jnp.float32
+    ))
+    caches = [bulk_fill(c, fill) for c in caches]
+
+    decode = make_decode_fn(cfg, use_pallas=jax.default_backend() == "tpu")
+    # un-jit: we re-jit the whole loop below (decode is jitted internally;
+    # calling its wrapped fn inside our loop avoids nested dispatch).
+    decode_raw = decode.__wrapped__
+
+    tokens0 = jnp.zeros((b, 1), jnp.int32)
+    lengths0 = jnp.full((b,), ns.ctx, jnp.int32)
+
+    # params/page_indices ride as jit ARGUMENTS (closures embed as HLO
+    # constants -> remote-compile size limit).
+    @jax.jit
+    def loop(params_, pi_, tokens, caches, lengths):
+        def body(i, carry):
+            toks, cch, lens = carry
+            nxt, cch = decode_raw(params_, cch, toks, pi_, lens)
+            return nxt[:, None], cch, lens + 1
+        return lax.fori_loop(0, ns.iters, body, (tokens, caches, lengths))
+
+    out = loop(params, page_indices, tokens0, caches, lengths0)
+    _ = np.asarray(out[0])  # warm + sync
+    best = float("inf")
+    lengths = lengths0 + ns.iters
+    cch = out[1]
+    for t in range(ns.trials):
+        t0 = time.perf_counter()
+        out = loop(params, page_indices, out[0], cch, lengths)
+        _ = np.asarray(out[0])
+        best = min(best, (time.perf_counter() - t0) / ns.iters)
+        cch = out[1]
+        lengths = lengths + ns.iters
+        if t + 1 < ns.trials:
+            time.sleep(2)
+
+    toks_per_s = b / best
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(json.dumps({
+        "metric": "serving_decode_tokens_per_s",
+        "value": round(toks_per_s, 1),
+        "unit": "tokens/s/chip",
+        "detail": {
+            "step_ms": round(best * 1e3, 3),
+            "batch": b, "layers": cfg.n_layers, "d_model": cfg.d_model,
+            "heads": ns.heads, "kv_heads": ns.kv_heads, "ctx": ns.ctx,
+            "page": ns.page, "quant": ns.quant or "bf16",
+            "params_m": round(n_params / 1e6, 1),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,21 @@ def test_fp8_quant_roundtrip_accuracy():
     np.testing.assert_allclose(
         np.asarray(x), np.asarray(q), rtol=0.1, atol=0.1
     )
+
+
+def test_profiling_compiled_cost_and_timed():
+    import jax.numpy as jnp
+
+    from flashattention_tpu.ops.api import fa2_attention
+    from flashattention_tpu.utils.profiling import compiled_cost, timed
+
+    q = jnp.ones((1, 2, 128, 64), jnp.float32)
+    cost = compiled_cost(
+        lambda a, b, c: fa2_attention(a, b, c, backend="xla")[0], q, q, q
+    )
+    assert isinstance(cost, dict)
+    t = timed(
+        lambda a, b, c: fa2_attention(a, b, c, backend="xla")[0],
+        q, q, q, iters=2, trials=1,
+    )
+    assert t > 0
