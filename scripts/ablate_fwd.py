@@ -196,6 +196,74 @@ def make_fwd_bf16exp(block_q, block_k):
     return call
 
 
+def make_fwd_twostep(block_q, block_k, halves=2):
+    """One grid step per (bq, bk) block, processed as ``halves`` sequential
+    online-softmax sub-updates — each half's QK^T is independent of the
+    previous half's softmax, giving the scheduler MXU/VPU overlap without
+    extra grid steps."""
+    sub = block_k // halves
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
+        ik = pl.program_id(3)
+        n_kv = pl.num_programs(3)
+
+        @pl.when(ik == 0)
+        def _():
+            m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+            l_scr[...] = jnp.zeros_like(l_scr)
+            acc_scr[...] = jnp.zeros_like(acc_scr)
+
+        q = q_ref[0, 0]
+        for hh in range(halves):
+            k = k_ref[0, 0, hh * sub:(hh + 1) * sub, :]
+            v = v_ref[0, 0, hh * sub:(hh + 1) * sub, :]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * jnp.float32(D ** -0.5)
+            m_prev = m_scr[...]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
+            m_scr[...] = m_next
+            acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+
+        @pl.when(ik == n_kv - 1)
+        def _():
+            l = l_scr[:, :1]
+            l = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, 0] = (acc_scr[...] / l).astype(o_ref.dtype)
+
+    grid = (B, H, N // block_q, N // block_k)
+
+    def call(q, k, v):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, D), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+        )(q, k, v)
+
+    return call
+
+
 def make_fwd_kt(block_q, block_k):
     """K fed pre-transposed as (B, H, D, N) so QK^T needs no operand swap."""
     def kernel(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr):
@@ -278,6 +346,9 @@ def main():
             fn = make_fwd_bf16exp(bq, bk)
         elif mode == "kt":
             fn = make_fwd_kt(bq, bk)
+        elif mode.startswith("twostep"):
+            halves = int(mode[len("twostep"):] or 2)
+            fn = make_fwd_twostep(bq, bk, halves)
         else:
             fn = make_fwd(bq, bk, mode)
         bench(fn, q, k, v, f"{mode} bq={bq} bk={bk}")

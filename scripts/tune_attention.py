@@ -47,17 +47,24 @@ def run_one(bq, bk, causal, bwd, seq, dim, heads):
                 q_, k_, v_, causal=causal, block_q=bq, block_k=bk
             )[0]
         flops = fwd_flops
-    g = jax.jit(f)
+    from jax import lax
+
+    ITERS = 60 if not bwd else 20
+
+    @jax.jit
+    def g(q_, k_, v_):
+        def body(i, acc):
+            return f(acc, k_, v_).astype(q_.dtype)
+        return lax.fori_loop(0, ITERS, body, q_)
+
     o = g(q, k, v)
     _ = np.asarray(o[0, 0, 0, :8])
     best = float("inf")
     for _trial in range(3):
-        o = q
         t0 = time.perf_counter()
-        for _ in range(10):
-            o = g(o, k, v)
+        o = g(q, k, v)
         _ = np.asarray(o[0, 0, 0, :8])
-        best = min(best, (time.perf_counter() - t0) / 10)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
     eff = flops / (2 if causal else 1)
     print(f"RESULT bq={bq} bk={bk} causal={causal} bwd={bwd}: "
           f"{best*1e3:.3f} ms {eff/best/1e12:.1f} TFLOP/s", flush=True)
