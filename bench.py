@@ -101,7 +101,7 @@ def main():
     fwd_flops = 4 * b * h * n * n * d
     total_flops = 3 * fwd_flops           # fwd + 2x-fwd bwd (reference model)
     best = None
-    rounds = 6 if on_tpu else 1
+    rounds = 3 if on_tpu else 1
     for attempt in range(rounds):
         mm_tflops = measure_matmul_sol()
         t_fwd = _timeit_loop(fwd_one, (q, k, v), iters=iters, trials=3)
@@ -111,10 +111,10 @@ def main():
         if best is None or tflops > best[0]:
             best = (tflops, t_fwd, t_bwd, mm_tflops)
         # Healthy chip: matmul near its known-good rate -> trust this round.
-        if not on_tpu or mm_tflops > 80.0:
+        if not on_tpu or mm_tflops > 60.0:
             break
         if attempt + 1 < rounds:
-            time.sleep(60)
+            time.sleep(30)
     tflops, t_fwd, t_bwd, mm_tflops = best
 
     target = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS

@@ -637,10 +637,15 @@ def _flash_bwd(
 
     n_k_tiles = n_k_pad // block_k
     n_q_tiles = n_q_pad // block_q
-    # Fused backward (one pass: dK/dV in scratch, dQ as per-KV-tile partials
-    # reduced here) skips one s/dp recompute — 5 matmul passes vs 7 — but
-    # costs an O(n_k_tiles · N_q · D) fp32 buffer; cap that at 1 GiB.
-    fused = n_k_tiles * b * h * n_q_pad * d * 4 <= 2**30
+    # Backward strategy. The fused kernel (dK/dV in scratch + per-KV-tile dQ
+    # partials reduced in XLA) does 5 matmul passes vs the split pair's 7,
+    # but A/B measurement on v5e (2026-08-16, N=8K d=128) puts split 1.35x
+    # AHEAD: the O(n_k_tiles · N_q · D) fp32 partial buffer's HBM write+read
+    # +reduce costs more than the extra recompute. Default split; the fused
+    # path stays selectable for other shape regimes (FAT_BWD_IMPL=fused).
+    import os
+
+    fused = os.environ.get("FAT_BWD_IMPL") == "fused"
 
     if fused:
         dq_part_spec = pl.BlockSpec(

@@ -242,3 +242,23 @@ def test_pallas_dropout_seed_sensitivity():
     )
     np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_a2))
     assert np.abs(np.asarray(o_a) - np.asarray(o_b)).max() > 0
+
+
+@pytest.mark.parametrize("impl", ["split", "fused"])
+def test_pallas_backward_impls_match_oracle(impl, monkeypatch):
+    """Both backward strategies (split dKV/dQ kernels; fused with dQ
+    partials) must produce oracle-level gradients."""
+    monkeypatch.setenv("FAT_BWD_IMPL", impl)
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    do = jax.random.normal(jax.random.key(7), (b, h, n, d), dtype=jnp.float32)
+
+    def loss(q_, k_, v_):
+        o, _ = pallas_attention(q_, k_, v_, causal=True, block_q=BQ, block_k=BK)
+        return jnp.sum(o * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq_r, dk_r, dv_r = reference_attention_grads(q, k, v, do, causal=True)
+    assert_allclose(dq, dq_r, rtol=2e-3, atol=2e-3)
+    assert_allclose(dk, dk_r, rtol=2e-3, atol=2e-3)
+    assert_allclose(dv, dv_r, rtol=2e-3, atol=2e-3)
