@@ -111,6 +111,99 @@ def ring_attention(
     return o, lse
 
 
+def ring_attention_bidir(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    softmax_scale: float | None = None,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Bidirectional ring attention: each chip's KV shard is split in half
+    and the halves rotate in opposite directions, so every step moves half
+    the bytes per direction and uses BOTH ICI links of the ring (the
+    scaling-book bidirectional-ring recipe). Same step count as the
+    unidirectional ring; per-step communication time is halved on hardware
+    where each link direction has independent bandwidth.
+
+    Causal handling is per (half, source-shard): past shards attend fully,
+    the diagonal shard uses the kernel's causal path, future shards skip —
+    identical math to ``ring_attention``, applied to each direction's
+    resident half.
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    b, h, n_local, d_head = q.shape
+    if softmax_scale is None:
+        softmax_scale = d_head ** -0.5
+    half = n_local // 2
+    if half == 0 or n_local % 2:
+        raise ValueError(f"local KV length {n_local} must be even")
+
+    fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    rev_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def partial_against(k_blk, v_blk, src, kv_offset_in_shard):
+        """Partial attention of the local q against one resident half-shard,
+        with shard-granular causal dispatch."""
+        def full(_):
+            return flash_attention(
+                q, k_blk, v_blk, causal=False, softmax_scale=softmax_scale,
+                backend=backend,
+            )
+
+        def diag(_):
+            # On-diagonal shard: absolute query position of row r is
+            # my_idx * n_local + r; the resident half covers columns
+            # [src * n_local + off, src * n_local + off + half). With
+            # src == my_idx the kernels' built-in k_len-q_len offset is
+            # wrong (half != n_local), so mask explicitly.
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n_local, half), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (n_local, half), 1)
+            mask = (cols + kv_offset_in_shard) <= rows
+            return flash_attention(
+                q, k_blk, v_blk, softmax_scale=softmax_scale, mask=mask,
+            )
+
+        def skip(_):
+            return (
+                jnp.zeros_like(q),
+                jnp.full((b, h, n_local), -jnp.inf, jnp.float32),
+            )
+
+        if not causal:
+            return full(None)
+        case = jnp.where(src < my_idx, 0, jnp.where(src == my_idx, 1, 2))
+        return jax.lax.switch(case, [full, diag, skip], None)
+
+    k1, k2 = k[:, :, :half], k[:, :, half:]
+    v1, v2 = v[:, :, :half], v[:, :, half:]
+
+    m = jnp.full((b, h, n_local), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, n_local), jnp.float32)
+    acc = jnp.zeros((b, h, n_local, d_head), jnp.float32)
+
+    for step in range(n_dev):  # static
+        src1 = (my_idx - step) % n_dev  # half 1 rotates clockwise
+        src2 = (my_idx + step) % n_dev  # half 2 rotates counter-clockwise
+        o1, lse1 = partial_against(k1, v1, src1, 0)
+        o2, lse2 = partial_against(k2, v2, src2, half)
+        m, l, acc = _merge_partials(m, l, acc, o1, lse1)
+        m, l, acc = _merge_partials(m, l, acc, o2, lse2)
+        if step < n_dev - 1:
+            k1 = jax.lax.ppermute(k1, axis_name, fwd_perm)
+            v1 = jax.lax.ppermute(v1, axis_name, fwd_perm)
+            k2 = jax.lax.ppermute(k2, axis_name, rev_perm)
+            v2 = jax.lax.ppermute(v2, axis_name, rev_perm)
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o = (acc / l_safe[..., None]).astype(q.dtype)
+    lse = m + jnp.log(l_safe)
+    return o, lse
+
+
 def all_gather_attention(
     q: jax.Array,
     k: jax.Array,

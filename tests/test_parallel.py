@@ -56,9 +56,9 @@ def test_ring_attention_matches_oracle(causal):
 def test_sharded_train_step_matches_single_device():
     """dp x tp train step == single-device train step (grad + update parity)."""
     cfg = TransformerConfig(
-        vocab_size=64, d_model=64, n_layers=2, n_heads=4, d_ff=128,
+        vocab_size=64, d_model=64, n_layers=1, n_heads=4, d_ff=64,
         max_seq_len=32, block_size=16, dropout_rate=0.0, dtype=jnp.float32,
-        attention_backend="xla",
+        attention_backend="xla", remat=False,
     )
     tc = TrainConfig(grad_accum=1, warmup_steps=1, total_steps=4,
                      learning_rate=1e-3, weight_decay=0.0)
@@ -102,3 +102,28 @@ def test_param_partition_specs_cover_tree():
     flat = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
     assert any(s == P(None, "model") for s in flat)
     assert any(s == P("model", None) for s in flat)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_bidir_matches_oracle(causal):
+    import functools
+
+    from flashattention_tpu.parallel.ring import ring_attention_bidir
+
+    mesh = make_mesh(data=1, model=1, context=4)
+    q, k, v = make_qkv(1, 2, 128, 32)  # 32 per shard -> halves of 16
+    spec = P(None, None, "context", None)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, P(None, None, "context")), check_vma=False,
+    )
+    def ring(q_, k_, v_):
+        return ring_attention_bidir(
+            q_, k_, v_, axis_name="context", causal=causal, backend="xla"
+        )
+
+    o, lse = jax.jit(ring)(q, k, v)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=1e-3, atol=1e-3)

@@ -156,7 +156,7 @@ def test_paged_decode_gqa():
 def test_pallas_paged_matches_gather_executor(quant):
     from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
 
-    b, h, d, psize = 2, 4, 128, 8
+    b, h, d, psize = 2, 2, 128, 8
     lengths = jnp.asarray([19, 7])
     cache = init_paged_cache(h, 16, psize, d, quant=quant, dtype=jnp.float32)
     kf = jax.random.normal(jax.random.key(0), (b, h, 24, d))
@@ -214,15 +214,26 @@ def test_pallas_paged_gqa_and_empty_seq():
 # -- engine end-to-end --------------------------------------------------------
 
 
-def _naive_greedy(params, prompt, n_new):
+PAD_LEN = 32  # fixed shape -> one compile for every call (causal model:
+# positions past t cannot affect position t's logits)
+
+
+@jax.jit
+def _padded_logits(params, tokens):
+    return apply_transformer(params, tokens, CFG)
+
+
+def _naive_greedy(params, prompt, n_new, cfg=None):
     """Full-forward greedy decoding (no cache) as the oracle."""
     tokens = list(prompt)
     out = []
+    fwd = _padded_logits if cfg is None else (
+        lambda p, t: apply_transformer(p, t, cfg)
+    )
     for _ in range(n_new):
-        logits = apply_transformer(
-            params, jnp.asarray([tokens], jnp.int32), CFG
-        )
-        nxt = int(jnp.argmax(logits[0, -1]))
+        padded = tokens + [0] * (PAD_LEN - len(tokens))
+        logits = fwd(params, jnp.asarray([padded], jnp.int32))
+        nxt = int(jnp.argmax(logits[0, len(tokens) - 1]))
         out.append(nxt)
         tokens.append(nxt)
     return out
