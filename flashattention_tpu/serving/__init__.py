@@ -18,6 +18,7 @@ from flashattention_tpu.serving.engine import (
     GenerationRequest,
     ServingEngine,
 )
+from flashattention_tpu.serving.multihost import MultiHostScheduler
 
 __all__ = [
     "PagedKVCache",
@@ -26,4 +27,5 @@ __all__ = [
     "EngineConfig",
     "GenerationRequest",
     "ServingEngine",
+    "MultiHostScheduler",
 ]

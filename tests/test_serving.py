@@ -316,3 +316,30 @@ def test_engine_gqa_matches_naive_greedy():
         expected.append(nxt)
         tokens.append(nxt)
     assert results[0] == expected
+
+
+def test_multihost_scheduler_matches_naive_greedy(params):
+    """Requests split across two engine replicas; merged results must match
+    the single-model oracle, and the load balancer must use both."""
+    from flashattention_tpu.serving import MultiHostScheduler
+
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=32, max_seq_len=64,
+        prefill_pad=16,
+    )
+    sched = MultiHostScheduler(
+        [ServingEngine(params, CFG, ecfg), ServingEngine(params, CFG, ecfg)]
+    )
+    rng = np.random.default_rng(7)
+    prompts = {i: list(rng.integers(0, CFG.vocab_size, size=4 + i))
+               for i in range(4)}
+    routed = set()
+    for i, p in prompts.items():
+        routed.add(sched.submit(
+            GenerationRequest(request_id=i, prompt=p, max_new_tokens=3)
+        ))
+    assert routed == {0, 1}  # both replicas used
+    results = sched.run()
+    assert set(results) == set(prompts)
+    for i, p in prompts.items():
+        assert results[i] == _naive_greedy(params, p, 3)
