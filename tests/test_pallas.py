@@ -262,3 +262,27 @@ def test_pallas_backward_impls_match_oracle(impl, monkeypatch):
     assert_allclose(dq, dq_r, rtol=2e-3, atol=2e-3)
     assert_allclose(dk, dk_r, rtol=2e-3, atol=2e-3)
     assert_allclose(dv, dv_r, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("d", [40, 48])
+def test_pallas_odd_head_dims(d):
+    """Non-power-of-2 head dims (reference exercises d=40/48,
+    tests/test_correctness_fa2.py:40,92) — pads to the lane width."""
+    b, h, n = 1, 2, 256
+    q, k, v = make_qkv(b, h, n, d)
+    o, lse = pallas_attention(q, k, v, causal=True, block_q=BQ, block_k=BK)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=True)
+    assert o.shape == q.shape
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=LSE_TOL, atol=LSE_TOL)
+
+    do = jax.random.normal(jax.random.key(7), (b, h, n, d), dtype=jnp.float32)
+
+    def loss(q_, k_, v_):
+        o2, _ = pallas_attention(q_, k_, v_, block_q=BQ, block_k=BK)
+        return jnp.sum(o2 * do)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = reference_attention_grads(q, k, v, do)
+    for g, gr in zip(grads, grads_ref):
+        assert_allclose(g, gr, rtol=2e-3, atol=2e-3)
