@@ -39,10 +39,12 @@ def run_config(ns) -> BenchRecord:
     )
     try:
         dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[ns.dtype]
+        kv_heads = ns.kv_heads or ns.heads
         shape = (ns.batch, ns.heads, ns.seqlen, ns.dim)
+        kv_shape = (ns.batch, kv_heads, ns.seqlen, ns.dim)
         q = jax.random.normal(jax.random.key(0), shape, dtype)
-        k = jax.random.normal(jax.random.key(1), shape, dtype)
-        v = jax.random.normal(jax.random.key(2), shape, dtype)
+        k = jax.random.normal(jax.random.key(1), kv_shape, dtype)
+        v = jax.random.normal(jax.random.key(2), kv_shape, dtype)
         algo_fn = {
             "fa1": api.fa1_attention,
             "fa2": api.fa2_attention,
@@ -52,6 +54,16 @@ def run_config(ns) -> BenchRecord:
         if ns.algo == "fa3" and ns.fp8:
             kwargs["fp8"] = True
             rec.dtype = "fp8"
+        if ns.dropout > 0.0:
+            # dropout rides the generic entry point (faX dispatchers keep the
+            # reference's signature, which has no dropout arg)
+            from flashattention_tpu.ops.api import flash_attention
+
+            def algo_fn(q_, k_, v_, causal=False, backend="auto", **_kw):
+                return flash_attention(
+                    q_, k_, v_, causal=causal, backend=backend,
+                    dropout_rate=ns.dropout, dropout_key=jax.random.key(9),
+                )
 
         if ns.direction == "forward":
             fn = jax.jit(lambda q_, k_, v_: algo_fn(q_, k_, v_, **kwargs)[0])
@@ -95,6 +107,10 @@ def main():
                     default="both")
     ap.add_argument("--fp8", action="store_true",
                     help="fa3 runs its fp8 path")
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="attention dropout rate (pallas counter-based)")
+    ap.add_argument("--kv-heads", type=int, default=None,
+                    help="GQA: number of KV heads (< --heads)")
     ap.add_argument("--out", default="benchmarks/results")
     ap.add_argument("--tag", default="sweep")
     ap.add_argument("--quick", action="store_true")
@@ -142,6 +158,10 @@ def main():
                                     cmd.append("--causal-one")
                                 if ns.fp8:
                                     cmd.append("--fp8")
+                                if ns.dropout:
+                                    cmd += ["--dropout", str(ns.dropout)]
+                                if ns.kv_heads:
+                                    cmd += ["--kv-heads", str(ns.kv_heads)]
                                 r = subprocess.run(
                                     cmd, capture_output=True, text=True
                                 )
