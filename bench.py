@@ -103,10 +103,12 @@ def main():
     best = None
     rounds = 3 if on_tpu else 1
     for attempt in range(rounds):
-        mm_tflops = measure_matmul_sol()
+        # Attention first: healthy windows last minutes; don't spend the
+        # window's start on the roofline probe.
         t_fwd = _timeit_loop(fwd_one, (q, k, v), iters=iters, trials=3)
         t_bwd = _timeit_loop(grad_one, (q, k, v), iters=max(iters // 3, 2),
                              trials=3)
+        mm_tflops = measure_matmul_sol()
         tflops = total_flops / (t_fwd + t_bwd) / 1e12
         if best is None or tflops > best[0]:
             best = (tflops, t_fwd, t_bwd, mm_tflops)
