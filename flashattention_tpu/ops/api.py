@@ -55,8 +55,8 @@ def flash_attention(
     causal: bool = False,
     softmax_scale: float | None = None,
     backend: str = "auto",
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     mask: jax.Array | None = None,
     dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
@@ -74,12 +74,17 @@ def flash_attention(
     """
     backend = _resolve_backend(backend)
     h_q, h_kv = q.shape[1], k.shape[1]
-    if h_q != h_kv and backend != "pallas":
+    routes_tiled = mask is not None or (
+        dropout_rate > 0.0 and backend != "pallas"
+    )
+    if h_q != h_kv and (backend != "pallas" or routes_tiled):
+        # The tiled/reference executors want matching head counts; only the
+        # direct Pallas path consumes GQA natively.
         if h_q % h_kv != 0:
             raise ValueError(f"H={h_q} must be a multiple of H_kv={h_kv}")
         k = jnp.repeat(k, h_q // h_kv, axis=1)
         v = jnp.repeat(v, h_q // h_kv, axis=1)
-    if mask is not None or (dropout_rate > 0.0 and backend != "pallas"):
+    if routes_tiled:
         if backend == "reference":
             raise ValueError("reference backend has no dropout path")
         return tiled_attention(

@@ -157,6 +157,11 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)        # (bq, LANES)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[:, :1])
+        if use_mask:
+            # Zero masked entries exactly: a row with NO valid keys has
+            # m == DEFAULT_MASK_VALUE and p == 1 everywhere otherwise,
+            # yielding a bogus uniform average instead of 0.
+            p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
 
@@ -326,6 +331,10 @@ def _bwd_dkv_kernel(
             mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         p = jnp.exp(s2 - lse2)  # (bq, bk) softmax probabilities
+        if use_mask:
+            # Rows with no valid keys carry a garbage finite LSE; exact
+            # zeroing keeps them out of dK/dV (matches the forward).
+            p = jnp.where(mask, p, 0.0)
 
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
@@ -440,6 +449,8 @@ def _bwd_fused_kernel(
             mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         p = jnp.exp(s2 - lse2)  # (bq, bk)
+        if use_mask:
+            p = jnp.where(mask, p, 0.0)  # see dkv kernel note
 
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
@@ -550,6 +561,8 @@ def _bwd_dq_kernel(
             mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         p = jnp.exp(s2 - lse2)
+        if use_mask:
+            p = jnp.where(mask, p, 0.0)  # see dkv kernel note
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -96,6 +96,10 @@ def _fp8_fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[:, :1])
+        if use_mask:
+            # Exact zeroing: rows with no valid keys otherwise contribute
+            # p == 1 garbage (see pallas_attn fwd note).
+            p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
 

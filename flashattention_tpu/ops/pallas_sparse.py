@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flashattention_tpu.ops.pallas_attn import _tile_mask
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
 LANES = 128
@@ -117,18 +118,9 @@ def _sparse_fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         s = s * jnp.float32(softmax_scale)
-        # Elementwise mask from absolute indices: needed on the causal
-        # diagonal and at the ragged KV edge; cheap enough to apply when
-        # either straddles this tile.
-        rows = iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, 1), 0
-        )
-        cols = ik * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1
-        )
-        mask = cols < n_k
-        if causal:
-            mask = mask & (cols <= rows + offset)
+        # Elementwise mask from absolute indices (shared with the dense
+        # kernels): needed on the causal diagonal and at the ragged KV edge.
+        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -136,6 +128,9 @@ def _sparse_fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[:, :1])
+        # Exact zeroing: a row whose active tiles are all masked would
+        # otherwise contribute p == 1 garbage (see pallas_attn fwd note).
+        p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
         v = v_ref[0, 0]
@@ -250,17 +245,9 @@ def _sparse_bwd_dkv_kernel(
         s2 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * jnp.float32(softmax_scale)
-        rows = iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, 1), 0
-        )
-        cols = ik * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1
-        )
-        mask = cols < n_k
-        if causal:
-            mask = mask & (cols <= rows + offset)
+        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
         s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
-        p = jnp.exp(s2 - lse2)
+        p = jnp.where(mask, jnp.exp(s2 - lse2), 0.0)
         dv_scr[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -308,17 +295,9 @@ def _sparse_bwd_dq_kernel(
         s2 = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * jnp.float32(softmax_scale)
-        rows = iq * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, 1), 0
-        )
-        cols = ik * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1
-        )
-        mask = cols < n_k
-        if causal:
-            mask = mask & (cols <= rows + offset)
+        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
         s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
-        p = jnp.exp(s2 - lse2)
+        p = jnp.where(mask, jnp.exp(s2 - lse2), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )

@@ -229,11 +229,15 @@ class ServingEngine:
         ]
         self.allocator = PageAllocator(ecfg.num_pages, native=native_allocator)
         # Reserve a dump page for inactive decode slots / padded prefill.
-        assert self.allocator.grow(-1, 1)
+        if not self.allocator.grow(-1, 1):
+            raise RuntimeError("page pool too small for the dump page")
         self.dump_page = self.allocator.pages(-1)[0]
         self.slots = [_Slot() for _ in range(ecfg.max_batch_size)]
         self.waiting: list[GenerationRequest] = []
         self.finished: dict[int, list[int]] = {}
+        # Tokens already emitted by requests that were evicted mid-flight
+        # and requeued; prepended when the request finally finishes.
+        self._evicted_prefix: dict[int, list[int]] = {}
         self._prefill = make_prefill_fn(cfg)
         self._decode = make_decode_fn(cfg)
         self._steps = 0
@@ -349,7 +353,8 @@ class ServingEngine:
             and slot.generated[-1] == self.ecfg.eos_token
         )
         if done_len or done_eos:
-            self.finished[req.request_id] = list(slot.generated)
+            prefix = self._evicted_prefix.pop(req.request_id, [])
+            self.finished[req.request_id] = prefix + list(slot.generated)
             self.allocator.release(req.request_id)
             slot.request = None
             slot.generated = []
@@ -358,12 +363,19 @@ class ServingEngine:
     def _evict(self, slot: _Slot) -> None:
         req = slot.request
         self.allocator.release(req.request_id)
-        # requeue from scratch (prompt + already-generated tokens)
+        # Requeue from scratch: the new prompt carries everything up to the
+        # last emitted token, whose successor the requeued run re-derives
+        # (greedy decode is deterministic). The emitted tokens themselves
+        # are banked so the final result is complete.
+        done = list(slot.generated[:-1])
+        self._evicted_prefix[req.request_id] = (
+            self._evicted_prefix.get(req.request_id, []) + done
+        )
         self.waiting.append(
             GenerationRequest(
                 request_id=req.request_id,
-                prompt=list(req.prompt) + list(slot.generated[:-1]),
-                max_new_tokens=req.max_new_tokens - len(slot.generated) + 1,
+                prompt=list(req.prompt) + done,
+                max_new_tokens=req.max_new_tokens - len(done),
             )
         )
         slot.request = None

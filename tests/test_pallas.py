@@ -286,3 +286,34 @@ def test_pallas_odd_head_dims(d):
     grads_ref = reference_attention_grads(q, k, v, do)
     for g, gr in zip(grads, grads_ref):
         assert_allclose(g, gr, rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_causal_rows_with_no_valid_keys():
+    """n_q > n_k causal: leading query rows attend to nothing and must emit
+    exactly 0 with zero gradient contribution (previously they produced a
+    uniform average of V and corrupted dK/dV)."""
+    b, h, n_q, n_k, d = 1, 1, 16, 8, 64
+    q, _, _ = make_qkv(b, h, n_q, d)
+    _, k, v = make_qkv(b, h, n_k, d, seed=3)
+    o, lse = pallas_attention(q, k, v, causal=True, block_q=BQ, block_k=BK)
+    offset = n_k - n_q  # row r attends to cols <= r + offset
+    dead_rows = max(0, min(n_q, -offset))
+    assert np.abs(np.asarray(o[:, :, :dead_rows])).max() == 0.0
+    o_ref, lse_ref = reference_attention(q, k, v, causal=True)
+    # live rows still match the oracle
+    assert_allclose(o[:, :, dead_rows:], o_ref[:, :, dead_rows:],
+                    rtol=1e-4, atol=1e-4)
+    do = jax.random.normal(jax.random.key(7), (b, h, n_q, d), jnp.float32)
+
+    def loss(q_, k_, v_):
+        o2, _ = pallas_attention(q_, k_, v_, causal=True, block_q=BQ, block_k=BK)
+        return jnp.sum(o2[:, :, dead_rows:] * do[:, :, dead_rows:])
+
+    def loss_ref(q_, k_, v_):
+        o2, _ = reference_attention(q_, k_, v_, causal=True)
+        return jnp.sum(o2[:, :, dead_rows:] * do[:, :, dead_rows:])
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g, gr):
+        assert_allclose(a, bb, rtol=2e-3, atol=2e-3)
