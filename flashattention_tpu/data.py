@@ -92,19 +92,21 @@ class TokenStreamDataset:
             order = np.arange(self.n_examples)
             if shuffle:
                 rng.shuffle(order)
-            for i in range(0, self.n_examples - (batch_size - 1 if drop_last else 0),
-                           batch_size):
+            stop = (
+                self.n_examples - batch_size + 1 if drop_last
+                else self.n_examples
+            )
+            for i in range(0, max(stop, 0), batch_size):
                 idx = order[i: i + batch_size]
-                batch = np.stack([self[j] for j in idx])
-                if drop_last and batch.shape[0] < batch_size:
-                    break
-                yield {"tokens": batch}
+                yield {"tokens": np.stack([self[j] for j in idx])}
             epoch += 1
 
 
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Host-side prefetch: builds the next batch while the device computes
-    (the reference DataLoader-worker analogue, ln 808-816)."""
+    (the reference DataLoader-worker analogue, ln 808-816). Exceptions from
+    the wrapped iterator re-raise in the consumer — a failed loader must
+    fail the job, not truncate the stream."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
 
@@ -112,8 +114,9 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+            q.put(("__prefetch_error__", e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -121,4 +124,6 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+            raise item[1]
         yield item

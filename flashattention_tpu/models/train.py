@@ -161,6 +161,16 @@ def train(
     if batches is None:
         batches = synthetic_batches(tc, cfg.vocab_size, tc.total_steps)
 
+    batches = iter(batches)
+    if start_step:
+        # Resume semantics: the stream must advance past the batches the
+        # checkpointed run already consumed (steps 0..start_step inclusive —
+        # the checkpoint is written AFTER its step), or the run re-trains
+        # the head of the stream and never sees the tail.
+        for _ in range(start_step + 1):
+            next(batches, None)
+        start_step += 1
+
     losses = []
     t0 = time.perf_counter()
     for step, batch in enumerate(batches, start=start_step):

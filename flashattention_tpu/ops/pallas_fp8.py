@@ -46,13 +46,12 @@ from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
 def quantize_tiles(x: jax.Array, block: int):
     """(B, H, N, D) fp -> (payload fp8, scales fp32 (B, H, N // block)).
-    N must already be padded to a multiple of ``block``."""
-    b, h, n, d = x.shape
-    xb = x.astype(jnp.float32).reshape(b, h, n // block, block, d)
-    absmax = jnp.max(jnp.abs(xb), axis=(-2, -1))
-    scales = jnp.maximum(absmax / FP8_MAX, SCALE_EPS)
-    payload = (xb / scales[..., None, None]).astype(FP8_DTYPE)
-    return payload.reshape(b, h, n, d), scales
+    N must already be padded to a multiple of ``block``. Thin alias of
+    quant.quantize_fp8_blocks so the kernel path and the parity-test path
+    share one quantization definition."""
+    from flashattention_tpu.ops.quant import quantize_fp8_blocks
+
+    return quantize_fp8_blocks(x, block)
 
 
 def _fp8_fwd_kernel(
@@ -76,10 +75,13 @@ def _fp8_fwd_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     def _update(use_mask):
-        # Upcast fp8 tiles in VMEM; MXU runs bf16 (v5e has no fp8 MXU —
-        # the FP8 win here is halved HBM traffic).
-        q = q_ref[0, 0].astype(jnp.bfloat16)
-        k = k_ref[0, 0].astype(jnp.bfloat16)
+        # Upcast fp8 tiles in VMEM via integer bit surgery (v5e has no fp8
+        # MXU and its native fp8 cast is slow — see pallas_paged); the FP8
+        # win here is halved HBM traffic, MXU runs bf16.
+        from flashattention_tpu.ops.pallas_paged import _fp8_e4m3_to_bf16_bits
+
+        q = _fp8_e4m3_to_bf16_bits(q_ref[0, 0])
+        k = _fp8_e4m3_to_bf16_bits(k_ref[0, 0])
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -103,7 +105,7 @@ def _fp8_fwd_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
 
-        v = v_ref[0, 0].astype(jnp.bfloat16)
+        v = _fp8_e4m3_to_bf16_bits(v_ref[0, 0])
         pv = jax.lax.dot(
             p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
         )
@@ -252,8 +254,12 @@ def _fp8_attention_fwd_rule(q, k, v, causal, softmax_scale, block_q, block_k,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
+    # 0-size dtype carriers: the backward must return dk/dv in k/v's dtype
+    # (custom_vjp rejects mismatched cotangent avals under mixed precision).
+    kd_tag = jnp.zeros((0,), k.dtype)
+    vd_tag = jnp.zeros((0,), v.dtype)
     return (o_out, lse_out), (
-        q8, k8, v8, sq, sk, sv, o_out, lse_out, bq, bk, n_k,
+        q8, k8, v8, sq, sk, sv, o_out, lse_out, bq, bk, n_k, kd_tag, vd_tag,
     )
 
 
@@ -262,7 +268,7 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
                             cotangents):
     """STE backward: run the bf16 backward kernels on the dequantized
     payloads (reference fa3_bwd.cu:134-146 semantics)."""
-    q8, k8, v8, sq, sk, sv, o, lse, bq, bk, n_k = residuals
+    q8, k8, v8, sq, sk, sv, o, lse, bq, bk, n_k, kd_tag, vd_tag = residuals
     do, _ = cotangents
     qd = _dequant(q8, sq, bq).astype(jnp.bfloat16)
     kd = _dequant(k8, sk, bk).astype(jnp.bfloat16)
@@ -274,17 +280,15 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
         op = _pad_dim(op, 3, LANES)
         dop = _pad_dim(dop, 3, LANES)
     lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
-    import jax.numpy as _jnp
-
     dq, dk, dv = _flash_bwd(
-        qd, kd, vd, op, lsep, dop, _jnp.zeros((1,), _jnp.int32),
+        qd, kd, vd, op, lsep, dop, jnp.zeros((1,), jnp.int32),
         causal=causal, softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=0.0,
     )
     return (
         dq[:, :, :n_q, :d].astype(out_dtype),
-        dk[:, :, :n_k, :d].astype(out_dtype),
-        dv[:, :, :n_k, :d].astype(out_dtype),
+        dk[:, :, :n_k, :d].astype(kd_tag.dtype),
+        dv[:, :, :n_k, :d].astype(vd_tag.dtype),
     )
 
 

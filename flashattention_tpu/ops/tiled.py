@@ -137,6 +137,11 @@ def _tiled_fwd(
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1))
         alpha = jnp.exp(m_i - m_new)
         p = jnp.exp(s - m_new[..., None])
+        if tm is not None:
+            # Exact zeroing: a fully-masked row otherwise has m == the mask
+            # fill value and p == 1 everywhere — a bogus uniform average
+            # (same fix as the Pallas kernels).
+            p = jnp.where(tm, p, 0.0)
         l_new = alpha * l_i + jnp.sum(p, axis=-1)
         p_v = p
         if has_dropout:
@@ -208,6 +213,8 @@ def _tiled_bwd(
         if tm is not None:
             s = jnp.where(tm, s, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse[..., None])
+        if tm is not None:
+            p = jnp.where(tm, p, 0.0)  # see forward note
         if has_dropout:
             keep = _dropout_keep(dropout_key, j, p.shape, dropout_rate)
             p_v = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)

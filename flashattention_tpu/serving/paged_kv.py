@@ -79,12 +79,12 @@ def init_paged_cache(
     )
 
 
-def _quantize_token(x: jax.Array, quant: str, payload_dtype):
-    """x fp32 (H, D) -> (payload (H, D), scale (H,)) per-token absmax scale."""
+def _quantize_tokens(x: jax.Array, quant: str, payload_dtype):
+    """x fp32 (..., D) -> (payload (..., D), scale (...,)) absmax scales."""
     absmax = jnp.max(jnp.abs(x), axis=-1)
     qmax = INT8_MAX if quant == "int8" else FP8_MAX
     scale = jnp.maximum(absmax / qmax, 1e-6)
-    y = x / scale[:, None]
+    y = x / scale[..., None]
     if quant == "int8":
         return jnp.round(y).astype(jnp.int8), scale
     return y.astype(payload_dtype), scale
@@ -99,42 +99,50 @@ def append_to_pages(
     lengths: jax.Array,       # (B,) current lengths BEFORE this append
     valid_len: jax.Array | None = None,  # (B,) tokens of the T that are real
 ) -> PagedKVCache:
-    """Scatter new K/V tokens into their pages.
+    """Scatter new K/V tokens into their pages — one vectorized scatter over
+    all (b, t) targets (an unrolled per-token loop traces O(B·T) sequential
+    ops and blows compile time on the prefill path).
 
-    ``valid_len`` masks padded prefill tokens: positions t >= valid_len[b]
-    write their target's existing value back (a no-op write), so padding
-    never pollutes pages even when its computed slot lands out of range
-    (gather/scatter indices clamp in XLA).
+    Masked-out writes (``valid_len`` padding, or positions past the
+    sequence's page capacity — which would otherwise silently overwrite live
+    KV in the clamped last page) write their target's existing value back,
+    so they are exact no-ops.
     """
     b, h, t, d = k_new.shape
     page = cache.page_size
+    pps = page_indices.shape[1]
 
-    def write_one(pages, scales, new, b_idx, t_idx):
-        """Write token (b_idx, :, t_idx) into its page slot."""
-        pos = lengths[b_idx] + t_idx
-        logical_page = jnp.minimum(pos // page, page_indices.shape[1] - 1)
-        slot = pos % page
-        phys = page_indices[b_idx, logical_page]
-        token = new[b_idx, :, t_idx].astype(jnp.float32)  # (H, D)
+    pos = lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # (B, T)
+    ok = pos < pps * page
+    if valid_len is not None:
+        ok = ok & (jnp.arange(t, dtype=jnp.int32)[None, :] < valid_len[:, None])
+    logical = jnp.minimum(pos // page, pps - 1)
+    slot = pos % page
+    phys = jnp.take_along_axis(page_indices, logical, axis=1)  # (B, T)
+
+    phys_f = phys.reshape(-1)
+    slot_f = slot.reshape(-1)
+    ok_f = ok.reshape(-1)
+
+    def write(pages, scales, new):
+        tok = new.transpose(0, 2, 1, 3).reshape(b * t, h, d).astype(jnp.float32)
         if cache.quant:
-            payload, scale = _quantize_token(token, cache.quant, pages.dtype)
+            payload, scale = _quantize_tokens(tok, cache.quant, pages.dtype)
         else:
-            payload, scale = token.astype(pages.dtype), None
-        if valid_len is not None:
-            ok = t_idx < valid_len[b_idx]
-            payload = jnp.where(ok, payload, pages[:, phys, slot, :])
-            if scale is not None:
-                scale = jnp.where(ok, scale, scales[:, phys, slot, 0])
+            payload, scale = tok.astype(pages.dtype), None
+        payload = payload.transpose(1, 0, 2)                   # (H, B·T, D)
+        existing = pages[:, phys_f, slot_f, :]
+        payload = jnp.where(ok_f[None, :, None], payload, existing)
+        pages = pages.at[:, phys_f, slot_f, :].set(payload)
         if scale is not None:
-            scales = scales.at[:, phys, slot, 0].set(scale)
-        return pages.at[:, phys, slot, :].set(payload), scales
+            scale = scale.transpose(1, 0)                      # (H, B·T)
+            existing_s = scales[:, phys_f, slot_f, 0]
+            scale = jnp.where(ok_f[None, :], scale, existing_s)
+            scales = scales.at[:, phys_f, slot_f, 0].set(scale)
+        return pages, scales
 
-    k_pages, v_pages = cache.k_pages, cache.v_pages
-    k_scales, v_scales = cache.k_scales, cache.v_scales
-    for b_idx in range(b):          # static loops: B and T are jit-static
-        for t_idx in range(t):
-            k_pages, k_scales = write_one(k_pages, k_scales, k_new, b_idx, t_idx)
-            v_pages, v_scales = write_one(v_pages, v_scales, v_new, b_idx, t_idx)
+    k_pages, k_scales = write(cache.k_pages, cache.k_scales, k_new)
+    v_pages, v_scales = write(cache.v_pages, cache.v_scales, v_new)
     return dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages,
         k_scales=k_scales, v_scales=v_scales,
