@@ -97,8 +97,9 @@ def benchmark_call(
         return lax.fori_loop(0, iters, one, a0)
 
     rest = tuple(x for i, x in enumerate(args) if i != chain_idx)
-    out = loop(ref, *rest)
-    _ = np.asarray(out).ravel()[:4]  # warm + sync
+    for _w in range(max(warmup, 1)):
+        out = loop(ref, *rest)
+        _ = np.asarray(out).ravel()[:4]  # warm + sync
     times = []
     for _t in range(trials):
         t0 = time.perf_counter()
@@ -112,6 +113,8 @@ def write_results(
     records: list[BenchRecord], out_dir: str | Path, tag: str
 ) -> tuple[Path, Path]:
     """Timestamped JSON + CSV (reference bench_utils.py:287-325)."""
+    if not records:
+        raise ValueError("write_results needs at least one record")
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     ts = time.strftime("%Y%m%d_%H%M%S")

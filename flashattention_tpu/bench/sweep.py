@@ -54,6 +54,9 @@ def run_config(ns) -> BenchRecord:
         if ns.algo == "fa3" and ns.fp8:
             kwargs["fp8"] = True
             rec.dtype = "fp8"
+        if ns.dropout > 0.0 and ns.algo == "fa3" and ns.fp8:
+            raise SystemExit("--dropout and --fp8 are mutually exclusive "
+                             "(the fused FP8 kernel has no dropout path)")
         if ns.dropout > 0.0:
             # dropout rides the generic entry point (faX dispatchers keep the
             # reference's signature, which has no dropout arg)
@@ -81,7 +84,7 @@ def run_config(ns) -> BenchRecord:
         )
         rec.tflops = flops / (rec.mean_ms / 1e3) / 1e12
         rec.roofline_frac = rec.tflops / peak_tflops(
-            "bfloat16" if rec.dtype != "fp32" else "float32"
+            {"fp32": "float32", "fp8": "fp8"}.get(rec.dtype, "bfloat16")
         )
     except Exception as e:  # OOM-catch-and-continue (bench_utils.py:227-229)
         rec.status = "oom" if "RESOURCE_EXHAUSTED" in str(e) else "failed"

@@ -159,11 +159,16 @@ def _layer_norm(x, p, eps=1e-5):
 def block_sparse_mask(
     n_q: int, n_k: int, block: int, pattern: jax.Array
 ) -> jax.Array:
-    """Expand an (n_q_blocks, n_k_blocks) block pattern to an elementwise
-    (n_q, n_k) bool mask (reference block_sparse_mask, ln 124)."""
-    reps_q = -(-n_q // pattern.shape[0])
-    reps_k = -(-n_k // pattern.shape[1])
-    m = jnp.repeat(jnp.repeat(pattern.astype(bool), reps_q, 0), reps_k, 1)
+    """Expand an (n_q_blocks, n_k_blocks) tile pattern to an elementwise
+    (n_q, n_k) bool mask (reference block_sparse_mask, ln 124): every tile
+    entry covers exactly ``block`` rows/cols so the expansion lines up with
+    the kernel tile boundaries even when n is not a tile multiple."""
+    if pattern.shape[0] * block < n_q or pattern.shape[1] * block < n_k:
+        raise ValueError(
+            f"pattern {pattern.shape} x block {block} cannot cover "
+            f"({n_q}, {n_k})"
+        )
+    m = jnp.repeat(jnp.repeat(pattern.astype(bool), block, 0), block, 1)
     return m[:n_q, :n_k]
 
 
@@ -350,7 +355,9 @@ def init_kv_cache(
     ]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(1,)
+)
 def decode_step(
     params: Params,
     caches: list[Params],

@@ -42,6 +42,7 @@ class MultiHostScheduler:
             raise ValueError("need at least one engine")
         self._states = [_EngineState(e) for e in engines]
         self._rr = 0
+        self._cost: dict[int, tuple[int, int]] = {}  # rid -> (engine, cost)
 
     def submit(self, request: GenerationRequest) -> int:
         """Routes to the least-loaded engine; returns its index."""
@@ -55,6 +56,7 @@ class MultiHostScheduler:
         )
         self._rr = (best + 1) % len(self._states)
         self._states[best].outstanding += cost
+        self._cost[request.request_id] = (best, cost)
         self._states[best].engine.submit(request)
         return best
 
@@ -63,6 +65,16 @@ class MultiHostScheduler:
         parallel — engines share no state)."""
         for st in self._states:
             st.engine.step()
+        self._settle()
+
+    def _settle(self) -> None:
+        """Release load held by requests that have finished, so the
+        least-loaded routing always sees current load (interleaved
+        submit()/step() usage included)."""
+        for rid, (idx, cost) in list(self._cost.items()):
+            if rid in self._states[idx].engine.finished:
+                self._states[idx].outstanding -= cost
+                del self._cost[rid]
 
     def run(self, max_steps: int = 10_000) -> dict[int, list[int]]:
         """Drive all engines to completion; merged {request_id: tokens}."""
@@ -76,6 +88,7 @@ class MultiHostScheduler:
         while busy() and steps < max_steps:
             self.step()
             steps += 1
+        self._settle()
         results: dict[int, list[int]] = {}
         for st in self._states:
             done = {
@@ -85,7 +98,6 @@ class MultiHostScheduler:
             if overlap:
                 raise RuntimeError(f"duplicate request ids across hosts: {overlap}")
             results.update(done)
-            st.outstanding = 0
         return results
 
     @property
