@@ -236,15 +236,11 @@ def _attention(
                 pallas_sparse_attention,
             )
 
-            ks, vs = k, v
-            if h_kv != h:  # sparse kernel is single-head-layout; expand GQA
-                ks = jnp.repeat(k, h // h_kv, axis=1)
-                vs = jnp.repeat(v, h // h_kv, axis=1)
             o, _ = pallas_sparse_attention(
-                q, ks, vs, sparse_mask, causal=True,
+                q, k, v, sparse_mask, causal=True,
                 softmax_scale=cfg.softmax_scale,
                 block_q=cfg.block_size, block_k=cfg.block_size,
-            )
+            )  # GQA handled natively by the kernel's grouped index maps
         else:
             o, _ = flash_attention(
                 q, k, v,

@@ -151,6 +151,7 @@ def _sparse_fwd(
     interpret, n_q, n_k,
 ):
     b, h, n_q_pad, d = q.shape
+    groups = h // k.shape[1]  # GQA: query head h_ reads KV head h_ // groups
     n_k_pad = k.shape[2]
     n_q_tiles = n_q_pad // block_q
     n_slots = kv_list.shape[1]
@@ -171,13 +172,13 @@ def _sparse_fwd(
             pl.BlockSpec(
                 (1, 1, block_k, d),
                 lambda b_, h_, iq, j, kv_list, kv_count: (
-                    b_, h_, kv_list[iq, j], 0
+                    b_, h_ // groups, kv_list[iq, j], 0
                 ),
             ),
             pl.BlockSpec(
                 (1, 1, block_k, d),
                 lambda b_, h_, iq, j, kv_list, kv_count: (
-                    b_, h_, kv_list[iq, j], 0
+                    b_, h_ // groups, kv_list[iq, j], 0
                 ),
             ),
         ],
@@ -318,6 +319,8 @@ def _sparse_bwd(
     *, causal, softmax_scale, block_q, block_k, interpret, n_q, n_k,
 ):
     b, h, n_q_pad, d = q.shape
+    h_kv = k.shape[1]
+    groups = h // h_kv
     n_k_pad = k.shape[2]
     di = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
@@ -333,6 +336,13 @@ def _sparse_bwd(
     def idx_self(b_, h_, i, j, lst, cnt):
         return (b_, h_, i, 0)
 
+    def idx_kv(b_, h_, i, j, lst, cnt):
+        # GQA: KV tensors carry h_kv heads; q-head h_ reads h_ // groups.
+        return (b_, h_ // groups, lst[i, j], 0)
+
+    def idx_kv_self(b_, h_, i, j, lst, cnt):
+        return (b_, h_ // groups, i, 0)
+
     dk, dv = pl.pallas_call(
         functools.partial(_sparse_bwd_dkv_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -340,13 +350,14 @@ def _sparse_bwd(
             grid=(b, h, n_k_pad // block_k, q_list.shape[1]),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, d), idx_q),
-                pl.BlockSpec((1, 1, block_k, d), idx_self),
-                pl.BlockSpec((1, 1, block_k, d), idx_self),
+                pl.BlockSpec((1, 1, block_k, d), idx_kv_self),
+                pl.BlockSpec((1, 1, block_k, d), idx_kv_self),
                 pl.BlockSpec((1, 1, block_q, d), idx_q),
                 pl.BlockSpec((1, 1, block_q, 1), idx_q),
                 pl.BlockSpec((1, 1, block_q, 1), idx_q),
             ],
             out_specs=[
+                # per *query* head; group-summed below (no atomics on TPU)
                 pl.BlockSpec((1, 1, block_k, d), idx_self),
                 pl.BlockSpec((1, 1, block_k, d), idx_self),
             ],
@@ -356,14 +367,19 @@ def _sparse_bwd(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(q_list, q_count, q, k, v, do, lse, di)
+    if groups > 1:
+        dk = dk.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
+        dv = dv.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
+    dk = dk.astype(k.dtype)
+    dv = dv.astype(v.dtype)
 
     dq = pl.pallas_call(
         functools.partial(_sparse_bwd_dq_kernel, **common),
@@ -372,8 +388,8 @@ def _sparse_bwd(
             grid=(b, h, n_q_pad // block_q, kv_list.shape[1]),
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, d), idx_self),
-                pl.BlockSpec((1, 1, block_k, d), idx_q),
-                pl.BlockSpec((1, 1, block_k, d), idx_q),
+                pl.BlockSpec((1, 1, block_k, d), idx_kv),
+                pl.BlockSpec((1, 1, block_k, d), idx_kv),
                 pl.BlockSpec((1, 1, block_q, d), idx_self),
                 pl.BlockSpec((1, 1, block_q, 1), idx_self),
                 pl.BlockSpec((1, 1, block_q, 1), idx_self),

@@ -97,3 +97,44 @@ def test_sparse_unaligned_seq_padding():
     o_ref, lse_ref = reference_attention(q, k, v, causal=True)
     assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
     assert_allclose(lse, lse_ref, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+def test_sparse_gqa_forward_and_backward():
+    """GQA: H query heads share H_kv KV heads via grouped index maps (no
+    head repetition in HBM)."""
+    b, h_q, h_kv, n, d = 1, 4, 2, 256, 64
+    groups = h_q // h_kv
+    q, _, _ = make_qkv(b, h_q, n, d)
+    _, k, v = make_qkv(b, h_kv, n, d, seed=5)
+    pattern = jnp.asarray([[1, 0], [1, 1]], bool)
+    o, lse = pallas_sparse_attention(
+        q, k, v, pattern, causal=True, block_q=BQ, block_k=BK
+    )
+    k_rep = jnp.repeat(k, groups, axis=1)
+    v_rep = jnp.repeat(v, groups, axis=1)
+    o_ref, lse_ref = tiled_attention(
+        q, k_rep, v_rep, causal=True, mask=_expand(pattern, n, n), block_k=BK
+    )
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=LSE_TOL, atol=LSE_TOL)
+
+    do = jax.random.normal(jax.random.key(7), (b, h_q, n, d), jnp.float32)
+
+    def loss(q_, k_, v_):
+        o2, _ = pallas_sparse_attention(
+            q_, k_, v_, pattern, causal=True, block_q=BQ, block_k=BK
+        )
+        return jnp.sum(o2 * do)
+
+    def loss_ref(q_, k_, v_):
+        o2, _ = tiled_attention(
+            q_, jnp.repeat(k_, groups, axis=1), jnp.repeat(v_, groups, axis=1),
+            causal=True, mask=_expand(pattern, n, n), block_k=BK,
+        )
+        return jnp.sum(o2 * do)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g, gr):
+        assert a.shape == bb.shape
+        assert_allclose(a, bb, rtol=2e-3, atol=2e-3)
