@@ -102,7 +102,11 @@ def main():
     total_flops = 3 * fwd_flops           # fwd + 2x-fwd bwd (reference model)
     best = None
     rounds = 3 if on_tpu else 1
+    t_start = time.perf_counter()
     for attempt in range(rounds):
+        # Always leave time to print: stop starting new rounds after 5 min.
+        if attempt and time.perf_counter() - t_start > 300:
+            break
         # Attention first: healthy windows last minutes; don't spend the
         # window's start on the roofline probe.
         t_fwd = _timeit_loop(fwd_one, (q, k, v), iters=iters, trials=3)
