@@ -14,6 +14,8 @@ iterations) and fetches 8 elements at the end to synchronize.
 """
 
 import json
+import signal
+import sys
 import time
 
 import jax
@@ -101,6 +103,37 @@ def main():
     fwd_flops = 4 * b * h * n * n * d
     total_flops = 3 * fwd_flops           # fwd + 2x-fwd bwd (reference model)
     best = None
+
+    def emit(result):
+        tflops, t_fwd, t_bwd, mm_tflops = result
+        target_ = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS
+        print(json.dumps({
+            "metric": "attn_fwd_bwd_tflops_per_chip_n8k_bf16",
+            "value": round(tflops, 2),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(tflops / target_, 4),
+            "detail": {
+                "fwd_ms": round(t_fwd * 1e3, 3),
+                "fwd_tflops": round(fwd_flops / t_fwd / 1e12, 2),
+                "bwd_ms": round(t_bwd * 1e3, 3),
+                "bwd_tflops": round(3 * fwd_flops / t_bwd / 1e12, 2),
+                "shape": [b, h, n, d],
+                "iters": iters,
+                "matmul_sol_tflops": round(mm_tflops, 2),
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+            },
+        }), flush=True)
+
+    def on_term(signum, frame):
+        # Killed by a driver timeout mid-measurement (the shared chip can
+        # stall for minutes): print the best completed round, if any, so the
+        # run still produces its one JSON line.
+        if best is not None:
+            emit(best)
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
     rounds = 3 if on_tpu else 1
     t_start = time.perf_counter()
     for attempt in range(rounds):
@@ -121,26 +154,7 @@ def main():
             break
         if attempt + 1 < rounds:
             time.sleep(30)
-    tflops, t_fwd, t_bwd, mm_tflops = best
-
-    target = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS
-    print(json.dumps({
-        "metric": "attn_fwd_bwd_tflops_per_chip_n8k_bf16",
-        "value": round(tflops, 2),
-        "unit": "TFLOP/s",
-        "vs_baseline": round(tflops / target, 4),
-        "detail": {
-            "fwd_ms": round(t_fwd * 1e3, 3),
-            "fwd_tflops": round(fwd_flops / t_fwd / 1e12, 2),
-            "bwd_ms": round(t_bwd * 1e3, 3),
-            "bwd_tflops": round(3 * fwd_flops / t_bwd / 1e12, 2),
-            "shape": [b, h, n, d],
-            "iters": iters,
-            "matmul_sol_tflops": round(mm_tflops, 2),
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        },
-    }))
+    emit(best)
 
 
 if __name__ == "__main__":
