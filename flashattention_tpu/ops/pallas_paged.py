@@ -99,6 +99,7 @@ def _decode_kernel(
     pages_per_step,
     h_kv,
     g_pad,
+    q_len,
     quantized,
     compute_dtype,
 ):
@@ -138,7 +139,16 @@ def _decode_kernel(
             slots = page_idx * page_size + jax.lax.broadcasted_iota(
                 jnp.int32, (1, page_size), 1
             )
-            in_range = slots < length
+            # Chunked prefill: query row r of a head group is chunk token
+            # t = r % q_len at absolute position (length - q_len) + t; it
+            # attends to cache slots <= its position (causal — the chunk's
+            # own K/V are already appended). q_len == 1 reduces to decode:
+            # slots < length.
+            row_t = jax.lax.broadcasted_iota(
+                jnp.int32, (g_pad, 1), 0
+            ) % q_len
+            positions = (length - q_len) + row_t          # (g_pad, 1)
+            in_range = slots <= positions                  # (g_pad, page)
             # HIGHEST costs nothing in fp32 debug mode and is ignored for
             # bf16 operands; accumulation is always fp32 (preferred type).
             prec = (
@@ -158,6 +168,9 @@ def _decode_kernel(
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )  # (G, page)
+                # -inf is exact here: page 0 always holds a valid slot for
+                # every row, so the running max is finite before any
+                # fully-masked page contributes exp(-inf) == 0.
                 scores = jnp.where(in_range, scores, -jnp.inf)
 
                 m_prev = m_scr[r0:r1]
@@ -198,7 +211,10 @@ def pallas_paged_attention(
     compute_dtype=jnp.bfloat16,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Paged decode attention on TPU. Returns (B, H, D) in q.dtype.
+    """Paged attention on TPU: decode (q: (B, H, D), one token per sequence)
+    or chunked prefill (q: (B, H, T, D) — the chunk's K/V must already be
+    appended to the cache and ``lengths`` includes the chunk; rows attend
+    causally to their absolute positions). Returns o in q's shape/dtype.
 
     GQA: H % H_kv == 0; query heads are grouped per KV head. Quantized caches
     pass per-slot fp32 scales (both or neither of k_scales/v_scales).
@@ -207,7 +223,10 @@ def pallas_paged_attention(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    b, h_q, d = q.shape
+    decode = q.ndim == 3
+    if decode:
+        q = q[:, :, None, :]
+    b, h_q, q_len, d = q.shape
     h_kv, n_pages_total, page_size, d_k = k_pages.shape
     if d != d_k:
         raise ValueError(f"head_dim mismatch: q has {d}, cache has {d_k}")
@@ -232,11 +251,12 @@ def pallas_paged_attention(
     if pps_pad != pages_per_seq:
         pi = jnp.pad(pi, [(0, 0), (0, pps_pad - pages_per_seq)], mode="edge")
 
-    # Pad the group dim to the fp32 sublane minimum (8).
-    g_pad = max(groups, 8)
-    q4 = q.reshape(b, h_kv, groups, d)
-    if g_pad != groups:
-        q4 = jnp.pad(q4, [(0, 0), (0, 0), (0, g_pad - groups), (0, 0)])
+    # Row layout: row = g * q_len + t, padded to the fp32 sublane minimum.
+    rows = groups * q_len
+    g_pad = max(rows, 8)
+    q4 = q.reshape(b, h_kv, rows, d)
+    if g_pad != rows:
+        q4 = jnp.pad(q4, [(0, 0), (0, 0), (0, g_pad - rows), (0, 0)])
 
     kernel = functools.partial(
         _decode_kernel,
@@ -245,6 +265,7 @@ def pallas_paged_attention(
         pages_per_step=s_count,
         h_kv=h_kv,
         g_pad=g_pad,
+        q_len=q_len,
         quantized=quantized,
         compute_dtype=compute_dtype,
     )
@@ -297,4 +318,5 @@ def pallas_paged_attention(
         ),
         interpret=interpret,
     )(pi.reshape(-1), lengths, *args)
-    return o[:, :, :groups, :].reshape(b, h_q, d)
+    o = o[:, :, :rows, :].reshape(b, h_q, q_len, d)
+    return o[:, :, 0, :] if decode else o

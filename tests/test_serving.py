@@ -343,3 +343,58 @@ def test_multihost_scheduler_matches_naive_greedy(params):
     assert set(results) == set(prompts)
     for i, p in prompts.items():
         assert results[i] == _naive_greedy(params, p, 3)
+
+
+def test_pallas_paged_chunked_prefill():
+    """q_len > 1 against the paged cache: each chunk token attends causally
+    to its absolute position. Oracle = dense causal attention over the
+    sequence's K/V with the chunk as the query suffix."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h, d, psize, total, chunk = 2, 2, 128, 8, 24, 8
+    cache = init_paged_cache(h, 16, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, total, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h, total, d))
+    pi = jnp.asarray([[0, 1, 2], [4, 5, 6]])
+    lengths = jnp.full((b,), total, jnp.int32)
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32)
+    )
+    # the "chunk" is the last `chunk` tokens; cache holds all `total`
+    q = jax.random.normal(jax.random.key(2), (b, h, chunk, d))
+    o = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32,
+    )
+    assert o.shape == q.shape
+    o_ref, _ = reference_attention(q, kf, vf, causal=True)  # q_len != k_len
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pallas_paged_chunked_prefill_gqa_short_seq():
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h_q, h_kv, d, psize = 1, 4, 2, 128, 8
+    total, chunk = 11, 5
+    cache = init_paged_cache(h_kv, 8, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h_kv, total, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h_kv, total, d))
+    pi = jnp.asarray([[0, 1]])
+    lengths = jnp.full((b,), total, jnp.int32)
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32),
+        valid_len=lengths,
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h_q, chunk, d))
+    o = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32,
+    )
+    o_ref, _ = reference_attention(
+        q, jnp.repeat(kf, 2, axis=1), jnp.repeat(vf, 2, axis=1), causal=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref), rtol=2e-5, atol=2e-5
+    )
