@@ -38,6 +38,7 @@ online-softmax reduction sequentially.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,7 @@ from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 from flashattention_tpu.ops.specs import MIN_BLOCK
 
 LANES = 128  # lane width for fp32 m/l scratch rows
+_BWD_IMPL = os.environ.get("FAT_BWD_IMPL")  # None | "split" | "fused"
 
 
 def _interpret_default() -> bool:
@@ -87,7 +89,7 @@ def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset):
     return jnp.broadcast_to(cols < n_k, (block_q, block_k))
 
 
-def _keep_mask(seed, bh, iq, ik, block_q, block_k, n_k_pad, rate):
+def _keep_mask(seed, bh, iq, ik, block_q, block_k, rate):
     """Counter-based dropout keep mask for tile (iq, ik) of batch·head ``bh``.
 
     murmur3 finalizer over a per-element counter; deterministic in
@@ -97,8 +99,15 @@ def _keep_mask(seed, bh, iq, ik, block_q, block_k, n_k_pad, rate):
     """
     rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
     cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-    idx = (rows * n_k_pad + cols).astype(jnp.uint32)
-    x = idx + seed.astype(jnp.uint32) + bh.astype(jnp.uint32) * jnp.uint32(2654435761)
+    # Mix row and col through separate odd multipliers — a flat row*N+col
+    # counter wraps int32 beyond 2^31 elements (~46K x 46K) and would repeat
+    # mask rows with period 2^32/N at long context.
+    x = (
+        rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+        + cols.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+        + seed.astype(jnp.uint32)
+        + bh.astype(jnp.uint32) * jnp.uint32(2654435761)
+    )
     x = x ^ (x >> 16)
     x = x * jnp.uint32(0x85EBCA6B)
     x = x ^ (x >> 13)
@@ -116,7 +125,7 @@ def _keep_mask(seed, bh, iq, ik, block_q, block_k, n_k_pad, rate):
 
 def _fwd_kernel(
     *refs,
-    softmax_scale, causal, n_q, n_k, block_q, block_k, groups, dropout_rate,
+    softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
 ):
     if dropout_rate > 0.0:
         seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
@@ -168,8 +177,7 @@ def _fwd_kernel(
         if dropout_rate > 0.0:
             bh = ib * pl.num_programs(1) + ih
             keep = _keep_mask(
-                seed_ref[0], bh, iq, ik, block_q, block_k,
-                n_kv_tiles * block_k, dropout_rate,
+                seed_ref[0], bh, iq, ik, block_q, block_k, dropout_rate,
             )
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
 
@@ -228,7 +236,6 @@ def _flash_fwd(
         n_k=n_k,
         block_q=block_q,
         block_k=block_k,
-        groups=groups,
         dropout_rate=dropout_rate,
     )
     in_specs = [
@@ -286,7 +293,7 @@ def _flash_fwd(
 
 def _bwd_dkv_kernel(
     *refs,
-    softmax_scale, causal, n_q, n_k, block_q, block_k, groups, dropout_rate,
+    softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
 ):
     """dK/dV: one grid cell per KV tile, sequential loop over Q tiles.
 
@@ -343,8 +350,7 @@ def _bwd_dkv_kernel(
         if dropout_rate > 0.0:
             bh = ib * pl.num_programs(1) + ih
             keep = _keep_mask(
-                seed_ref[0], bh, iq, ik, block_q, block_k,
-                pl.num_programs(2) * block_k, dropout_rate,
+                seed_ref[0], bh, iq, ik, block_q, block_k, dropout_rate,
             )
             inv = 1.0 / (1.0 - dropout_rate)
             p_v = jnp.where(keep, p * inv, 0.0)
@@ -399,7 +405,7 @@ def _bwd_dkv_kernel(
 
 def _bwd_fused_kernel(
     *refs,
-    softmax_scale, causal, n_q, n_k, block_q, block_k, groups, dropout_rate,
+    softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
 ):
     """Fused backward: dK/dV accumulated in scratch per KV tile + a dQ
     *partial* written per (KV tile, Q tile) grid cell and reduced over the KV
@@ -459,8 +465,7 @@ def _bwd_fused_kernel(
         if dropout_rate > 0.0:
             bh = ib * pl.num_programs(1) + ih
             keep = _keep_mask(
-                seed_ref[0], bh, iq, ik, block_q, block_k,
-                pl.num_programs(2) * block_k, dropout_rate,
+                seed_ref[0], bh, iq, ik, block_q, block_k, dropout_rate,
             )
             inv = 1.0 / (1.0 - dropout_rate)
             p_v = jnp.where(keep, p * inv, 0.0)
@@ -523,7 +528,7 @@ def _bwd_fused_kernel(
 
 def _bwd_dq_kernel(
     *refs,
-    softmax_scale, causal, n_q, n_k, block_q, block_k, groups, dropout_rate,
+    softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
 ):
     if dropout_rate > 0.0:
         (seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
@@ -570,8 +575,7 @@ def _bwd_dq_kernel(
         if dropout_rate > 0.0:
             bh = ib * pl.num_programs(1) + ih
             keep = _keep_mask(
-                seed_ref[0], bh, iq, ik, block_q, block_k,
-                n_kv_tiles * block_k, dropout_rate,
+                seed_ref[0], bh, iq, ik, block_q, block_k, dropout_rate,
             )
             dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
         ds = p * (dp - di)
@@ -615,7 +619,7 @@ def _bwd_dq_kernel(
 
 def _flash_bwd(
     q, k, v, o, lse, do, seed, *, causal, softmax_scale, block_q, block_k,
-    interpret, n_q, n_k, dropout_rate,
+    interpret, n_q, n_k, dropout_rate, dlse=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -623,14 +627,17 @@ def _flash_bwd(
     n_k_pad = k.shape[2]
     # di = rowsum(o * do), shared by both backward kernels; carried as
     # (B, H, N, 1) for TPU block-shape legality (see forward LSE note).
+    # The LSE cotangent folds in exactly: d lse_i / d s_ij = p_ij, so
+    # ds = p * (dp - di + dlse) == p * (dp - (di - dlse)).
     di = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
     )
+    if dlse is not None:
+        di = di - dlse.astype(jnp.float32)
 
     common = dict(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
-        block_q=block_q, block_k=block_k, groups=groups,
-        dropout_rate=dropout_rate,
+        block_q=block_q, block_k=block_k, dropout_rate=dropout_rate,
     )
     q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, j, 0))
     kv_spec = pl.BlockSpec(
@@ -655,10 +662,9 @@ def _flash_bwd(
     # but A/B measurement on v5e (2026-08-16, N=8K d=128) puts split 1.35x
     # AHEAD: the O(n_k_tiles · N_q · D) fp32 partial buffer's HBM write+read
     # +reduce costs more than the extra recompute. Default split; the fused
-    # path stays selectable for other shape regimes (FAT_BWD_IMPL=fused).
-    import os
-
-    fused = os.environ.get("FAT_BWD_IMPL") == "fused"
+    # path stays selectable for other shape regimes (FAT_BWD_IMPL=fused,
+    # read at import — jit traces cache the choice anyway).
+    fused = _BWD_IMPL == "fused"
 
     if fused:
         dq_part_spec = pl.BlockSpec(
@@ -817,7 +823,7 @@ def _flash_attention_bwd_rule(
     residuals, cotangents,
 ):
     q, k, v, seed, o, lse = residuals
-    do, _ = cotangents
+    do, dlse = cotangents
     n_q, d = q.shape[-2], q.shape[-1]
     n_k = k.shape[-2]
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
@@ -828,10 +834,12 @@ def _flash_attention_bwd_rule(
         dop = _pad_dim(dop, 3, LANES)
     # Padded query rows: force p = exp(s - lse) = 0 via a huge lse.
     lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
+    dlsep = _pad_dim(dlse, 2, bq)[..., None]
     dq, dk, dv = _flash_bwd(
         qp, kp, vp, op, lsep, dop, seed, causal=causal,
         softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
+        dlse=dlsep,
     )
     return (
         dq[:, :, :n_q, :d].astype(q.dtype),

@@ -269,7 +269,7 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
     """STE backward: run the bf16 backward kernels on the dequantized
     payloads (reference fa3_bwd.cu:134-146 semantics)."""
     q8, k8, v8, sq, sk, sv, o, lse, bq, bk, n_k, kd_tag, vd_tag = residuals
-    do, _ = cotangents
+    do, dlse = cotangents
     qd = _dequant(q8, sq, bq).astype(jnp.bfloat16)
     kd = _dequant(k8, sk, bk).astype(jnp.bfloat16)
     vd = _dequant(v8, sv, bk).astype(jnp.bfloat16)
@@ -280,10 +280,11 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
         op = _pad_dim(op, 3, LANES)
         dop = _pad_dim(dop, 3, LANES)
     lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
+    dlsep = _pad_dim(dlse, 2, bq)[..., None]
     dq, dk, dv = _flash_bwd(
         qd, kd, vd, op, lsep, dop, jnp.zeros((1,), jnp.int32),
         causal=causal, softmax_scale=softmax_scale, block_q=bq, block_k=bk,
-        interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=0.0,
+        interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=0.0, dlse=dlsep,
     )
     return (
         dq[:, :, :n_q, :d].astype(out_dtype),

@@ -317,14 +317,18 @@ def _sparse_bwd_dq_kernel(
 def _sparse_bwd(
     q, k, v, o, lse, do, kv_list, kv_count, q_list, q_count,
     *, causal, softmax_scale, block_q, block_k, interpret, n_q, n_k,
+    dlse=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
     groups = h // h_kv
     n_k_pad = k.shape[2]
+    # LSE cotangent folds into di: ds = p * (dp - (di - dlse)).
     di = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1, keepdims=True
     )
+    if dlse is not None:
+        di = di - dlse.astype(jnp.float32)
     common = dict(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
         block_q=block_q, block_k=block_k,
@@ -466,7 +470,7 @@ def _sparse_attention_bwd(
     causal, softmax_scale, block_q, block_k, interpret, residuals, cotangents
 ):
     q, k, v, pattern, o, lse = residuals
-    do, _ = cotangents
+    do, dlse = cotangents
     n_q, d = q.shape[-2], q.shape[-1]
     n_k = k.shape[-2]
     qp = _pad_seq(q, 2, block_q)
@@ -477,6 +481,9 @@ def _sparse_attention_bwd(
     lsep = jnp.pad(
         lse, [(0, 0), (0, 0), (0, qp.shape[2] - n_q)], constant_values=1e9
     )[..., None]
+    dlsep = jnp.pad(
+        dlse, [(0, 0), (0, 0), (0, qp.shape[2] - n_q)]
+    )[..., None]
     n_q_tiles = qp.shape[2] // block_q
     n_k_tiles = kp.shape[2] // block_k
     kv_list, kv_count, q_list, q_count = _lists_for(
@@ -485,7 +492,7 @@ def _sparse_attention_bwd(
     dq, dk, dv = _sparse_bwd(
         qp, kp, vp, op, lsep, dop, kv_list, kv_count, q_list, q_count,
         causal=causal, softmax_scale=softmax_scale, block_q=block_q,
-        block_k=block_k, interpret=interpret, n_q=n_q, n_k=n_k,
+        block_k=block_k, interpret=interpret, n_q=n_q, n_k=n_k, dlse=dlsep,
     )
     return (
         dq[:, :, :n_q].astype(q.dtype),

@@ -181,8 +181,7 @@ def _tiled_bwd(
     residuals, cotangents,
 ):
     q, k, v, mask, dropout_key, o, lse = residuals
-    do, _dlse = cotangents  # LSE cotangent intentionally ignored (ref parity:
-    # the reference treats lse as a stats output, not a differentiable one).
+    do, dlse = cotangents
 
     b, h, n_q, d = q.shape
     k_p, v_p, n_k = _pad_kv(k, v, block_k)

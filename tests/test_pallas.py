@@ -147,15 +147,19 @@ def test_pallas_gqa_backward():
 
 def _keep_dense(seed, b, h, n_q, n_k_pad, rate):
     """Dense replica of pallas_attn._keep_mask over the whole (N_q, N_k)."""
-    rows = jnp.arange(n_q, dtype=jnp.int32)[:, None]
-    cols = jnp.arange(n_k_pad, dtype=jnp.int32)[None, :]
-    idx = (rows * n_k_pad + cols).astype(jnp.uint32)
+    rows = jnp.arange(n_q, dtype=jnp.int32)[:, None].astype(jnp.uint32)
+    cols = jnp.arange(n_k_pad, dtype=jnp.int32)[None, :].astype(jnp.uint32)
     outs = []
     for ib in range(b):
         row = []
         for ih in range(h):
             bh = jnp.uint32(ib * h + ih)
-            x = idx + jnp.uint32(seed) + bh * jnp.uint32(2654435761)
+            x = (
+                rows * jnp.uint32(0x9E3779B1)
+                + cols * jnp.uint32(0x85EBCA77)
+                + jnp.uint32(seed)
+                + bh * jnp.uint32(2654435761)
+            )
             x = x ^ (x >> 16)
             x = x * jnp.uint32(0x85EBCA6B)
             x = x ^ (x >> 13)
@@ -316,4 +320,39 @@ def test_pallas_causal_rows_with_no_valid_keys():
     g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, bb in zip(g, gr):
+        assert_allclose(a, bb, rtol=2e-3, atol=2e-3)
+
+
+def test_lse_cotangent_flows():
+    """Losses that read the returned LSE must get real gradients (the LSE
+    cotangent folds into di: ds = p * (dp - (di - dlse)))."""
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+
+    def loss(q_, k_, v_):
+        _, lse = pallas_attention(q_, k_, v_, block_q=BQ, block_k=BK)
+        return jnp.sum(lse ** 2)
+
+    def loss_ref(q_, k_, v_):
+        _, lse = reference_attention(q_, k_, v_)
+        return jnp.sum(lse ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    assert np.abs(np.asarray(g[0])).max() > 0  # not silently zero
+    for a, bb in zip(g, gr):
+        assert_allclose(a, bb, rtol=2e-3, atol=2e-3)
+
+    # mixed loss: both o and lse contribute
+    def loss2(q_, k_, v_):
+        o, lse = pallas_attention(q_, k_, v_, causal=True, block_q=BQ, block_k=BK)
+        return jnp.sum(o ** 2) + jnp.sum(lse)
+
+    def loss2_ref(q_, k_, v_):
+        o, lse = reference_attention(q_, k_, v_, causal=True)
+        return jnp.sum(o ** 2) + jnp.sum(lse)
+
+    g2 = jax.grad(loss2, argnums=(0, 1, 2))(q, k, v)
+    g2r = jax.grad(loss2_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g2, g2r):
         assert_allclose(a, bb, rtol=2e-3, atol=2e-3)
