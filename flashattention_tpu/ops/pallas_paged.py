@@ -251,9 +251,12 @@ def pallas_paged_attention(
     if pps_pad != pages_per_seq:
         pi = jnp.pad(pi, [(0, 0), (0, pps_pad - pages_per_seq)], mode="edge")
 
-    # Row layout: row = g * q_len + t, padded to the fp32 sublane minimum.
+    # Row layout: row = g * q_len + t, padded UP to an fp32 sublane multiple
+    # (not just a minimum of 8): every per-head scratch slice
+    # m_scr[h*g_pad:(h+1)*g_pad] must start at an 8-aligned sublane offset or
+    # Mosaic relayouts (or refuses) the slice on real TPU.
     rows = groups * q_len
-    g_pad = max(rows, 8)
+    g_pad = max(8, -(-rows // 8) * 8)
     q4 = q.reshape(b, h_kv, rows, d)
     if g_pad != rows:
         q4 = jnp.pad(q4, [(0, 0), (0, 0), (0, g_pad - rows), (0, 0)])

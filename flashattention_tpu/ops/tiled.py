@@ -192,8 +192,12 @@ def _tiled_bwd(
     qf = q.astype(jnp.float32)
     dof = do.astype(jnp.float32)
     # di = rowsum(o * do) — shared by dq and dk paths (reference
-    # src/fa1/torch/impl.py:84 ``dvec``; JAX flash bwd's ``di``).
+    # src/fa1/torch/impl.py:84 ``dvec``; JAX flash bwd's ``di``). The LSE
+    # cotangent folds in exactly (d lse_i / d s_ij = p_ij, pre-dropout):
+    # ds = p * (dp - di + dlse) == p * (dp - (di - dlse)) — same identity as
+    # pallas_attn._flash_bwd.
     di = jnp.sum(o.astype(jnp.float32) * dof, axis=-1)
+    di = di - dlse.astype(jnp.float32)
 
     def body(dq_acc, inputs):
         j, k_j, v_j = inputs

@@ -105,8 +105,12 @@ def append_to_pages(
 
     Masked-out writes (``valid_len`` padding, or positions past the
     sequence's page capacity — which would otherwise silently overwrite live
-    KV in the clamped last page) write their target's existing value back,
-    so they are exact no-ops.
+    KV in the clamped last page) are *dropped*: their page index is redirected
+    out of bounds and the scatter runs with ``mode="drop"``. (Writing the
+    target's existing value back is NOT a safe no-op: a masked position can
+    alias a genuine in-range write at the same (phys, slot), and XLA scatter
+    order for duplicate indices is unspecified, so the stale write-back could
+    clobber live KV.)
     """
     b, h, t, d = k_new.shape
     page = cache.page_size
@@ -120,9 +124,11 @@ def append_to_pages(
     slot = pos % page
     phys = jnp.take_along_axis(page_indices, logical, axis=1)  # (B, T)
 
+    # Out-of-bounds page index for masked positions -> scatter drops them.
+    phys = jnp.where(ok, phys, cache.num_pages)
+
     phys_f = phys.reshape(-1)
     slot_f = slot.reshape(-1)
-    ok_f = ok.reshape(-1)
 
     def write(pages, scales, new):
         tok = new.transpose(0, 2, 1, 3).reshape(b * t, h, d).astype(jnp.float32)
@@ -131,14 +137,10 @@ def append_to_pages(
         else:
             payload, scale = tok.astype(pages.dtype), None
         payload = payload.transpose(1, 0, 2)                   # (H, B·T, D)
-        existing = pages[:, phys_f, slot_f, :]
-        payload = jnp.where(ok_f[None, :, None], payload, existing)
-        pages = pages.at[:, phys_f, slot_f, :].set(payload)
+        pages = pages.at[:, phys_f, slot_f, :].set(payload, mode="drop")
         if scale is not None:
             scale = scale.transpose(1, 0)                      # (H, B·T)
-            existing_s = scales[:, phys_f, slot_f, 0]
-            scale = jnp.where(ok_f[None, :], scale, existing_s)
-            scales = scales.at[:, phys_f, slot_f, 0].set(scale)
+            scales = scales.at[:, phys_f, slot_f, 0].set(scale, mode="drop")
         return pages, scales
 
     k_pages, k_scales = write(cache.k_pages, cache.k_scales, k_new)

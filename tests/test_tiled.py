@@ -103,6 +103,45 @@ def test_tiled_dropout_statistics_and_backward():
     assert np.all(np.isfinite(np.asarray(g1, dtype=np.float32)))
 
 
+def test_tiled_lse_cotangent_flows():
+    """Tiled-path analogue of test_pallas.test_lse_cotangent_flows: a loss
+    that reads only lse must get real (nonzero, oracle-matching) grads —
+    the dlse cotangent folds into di = rowsum(o*do) - dlse."""
+    b, h, n, d = 1, 2, 64, 32
+    q, k, v = make_qkv(b, h, n, d)
+
+    def loss(q_, k_, v_):
+        _, lse = tiled_attention(q_, k_, v_, block_k=16)
+        return jnp.sum(lse**2)
+
+    def loss_ref(q_, k_, v_):
+        _, lse = reference_attention(q_, k_, v_)
+        return jnp.sum(lse**2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    assert np.abs(np.asarray(g[0])).max() > 0  # not silently zero
+    for a, bb in zip(g, gr):
+        assert_allclose(a, bb, rtol=2e-3, atol=2e-3)
+
+    # mixed loss (o and lse) through the mask route — the path
+    # ring_attention_bidir's diagonal shard takes on every backend.
+    mask = jnp.asarray(np.tril(np.ones((n, n), dtype=bool)))
+
+    def loss2(q_, k_, v_):
+        o, lse = tiled_attention(q_, k_, v_, mask=mask, block_k=16)
+        return jnp.sum(o**2) + jnp.sum(lse)
+
+    def loss2_ref(q_, k_, v_):
+        o, lse = reference_attention(q_, k_, v_, causal=True)
+        return jnp.sum(o**2) + jnp.sum(lse)
+
+    g2 = jax.grad(loss2, argnums=(0, 1, 2))(q, k, v)
+    gr2 = jax.grad(loss2_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, bb in zip(g2, gr2):
+        assert_allclose(a, bb, rtol=2e-3, atol=2e-3)
+
+
 def test_dropout_zero_equals_no_dropout():
     q, k, v = make_qkv(1, 1, 32, 16)
     o1, _ = tiled_attention(q, k, v, block_k=16)
