@@ -137,7 +137,8 @@ def fa2_attention(
 
 def fa3_attention(
     q, k, v, causal: bool = False, softmax_scale=None, backend: str = "auto",
-    fp8: bool = False, fp8_seed: int = 0,
+    fp8: bool = False, fp8_seed: int = 0, dropout_rate: float = 0.0,
+    dropout_key=None,
 ):
     """FA3 generation (reference src/fa3/op.py:7): FA2 schedule + optional FP8.
 
@@ -145,23 +146,32 @@ def fa3_attention(
     float8_e4m3fn per-block quantization of q/k/v before the attention
     matmuls — the reference's fp16 fake-quant path (src/fa3/torch/impl.py:
     118-133) upgraded to real 8-bit storage with correct Hadamard math
-    (bug B5 fixed; see ops/quant.py).
+    (bug B5 fixed; see ops/quant.py). GQA and dropout compose with fp8 on
+    every backend (the fused kernel shares KV tiles/descales per head group
+    and replays the bf16 kernels' counter-based dropout mask).
     """
     spec = pick_fa3_spec(q.shape[-1])
     if not fp8:
         return flash_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
             backend=backend, block_q=spec.block_q, block_k=spec.block_k,
+            dropout_rate=dropout_rate, dropout_key=dropout_key,
         )
+    if dropout_rate > 0.0 and dropout_key is None:
+        raise ValueError("dropout_rate > 0 requires dropout_key")
     qr, kr = quant.incoherent_process(q, k, seed=fp8_seed)
     if _resolve_backend(backend) == "pallas":
         # Fused path: fp8 payloads stream through the kernel, per-tile
         # descales fold into the score/output scaling (ops/pallas_fp8.py).
         from flashattention_tpu.ops.pallas_fp8 import pallas_fp8_attention
 
+        dropout_seed = None
+        if dropout_rate > 0.0:
+            dropout_seed = jax.random.key_data(dropout_key).ravel()[-1]
         return pallas_fp8_attention(
             qr, kr, v, causal=causal, softmax_scale=softmax_scale,
             block_q=spec.block_q, block_k=spec.block_k, stages=spec.stages,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
     blk_q = _fp8_block(q.shape[-2], spec.block_q)
     blk_k = _fp8_block(k.shape[-2], spec.block_k)
@@ -171,6 +181,7 @@ def fa3_attention(
     return flash_attention(
         qq, kq, vq, causal=causal, softmax_scale=softmax_scale,
         backend=backend, block_q=spec.block_q, block_k=spec.block_k,
+        dropout_rate=dropout_rate, dropout_key=dropout_key,
     )
 
 

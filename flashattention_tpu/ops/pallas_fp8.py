@@ -37,6 +37,7 @@ from flashattention_tpu.ops.pallas_attn import (
     _causal_should_run,
     _flash_bwd,
     _interpret_default,
+    _keep_mask,
     _pad_dim,
     _tile_mask,
 )
@@ -55,10 +56,11 @@ def quantize_tiles(x: jax.Array, block: int):
 
 
 def _fp8_fwd_kernel(
-    sq_ref, sk_ref, sv_ref,        # scalar-prefetch: full (B,H,tiles) in SMEM
+    sq_ref, sk_ref, sv_ref, seed_ref,  # scalar-prefetch: (B,H,tiles) in SMEM
     q_ref, k_ref, v_ref,
     o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, softmax_scale, causal, n_q, n_k, block_q, block_k,
+    *, softmax_scale, causal, n_q, n_k, block_q, block_k, groups,
+    dropout_rate,
 ):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -67,6 +69,7 @@ def _fp8_fwd_kernel(
     n_kv_tiles = pl.num_programs(3)
     offset = n_k - n_q
     kv_edge = n_k % block_k != 0
+    hk = hi // groups  # KV head for this query head (GQA; == hi when groups=1)
 
     @pl.when(ik == 0)
     def _init():
@@ -86,7 +89,7 @@ def _fp8_fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         # Fused descale: sq * sk folds into the softmax scale multiply.
-        descale = sq_ref[bi, hi, iq] * sk_ref[bi, hi, ik]
+        descale = sq_ref[bi, hi, iq] * sk_ref[bi, hk, ik]
         s = s * (descale * softmax_scale)
         if use_mask:
             mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
@@ -105,12 +108,22 @@ def _fp8_fwd_kernel(
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
 
+        if dropout_rate > 0.0:
+            # Counter-based replay, identical formula to the bf16 kernels
+            # (pallas_attn._keep_mask) so the STE backward regenerates the
+            # exact mask; applied AFTER l/m (LSE stays pre-dropout).
+            bh = bi * pl.num_programs(1) + hi
+            keep = _keep_mask(
+                seed_ref[0], bh, iq, ik, block_q, block_k, dropout_rate,
+            )
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+
         v = _fp8_e4m3_to_bf16_bits(v_ref[0, 0])
         pv = jax.lax.dot(
             p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
         )
         # v descale: one scalar multiply on the (bq, d) tile contribution.
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * sv_ref[bi, hi, ik]
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * sv_ref[bi, hk, ik]
 
     if causal:
         run = _causal_should_run(iq, ik, block_q, block_k, offset)
@@ -148,16 +161,21 @@ def _fp8_fwd_kernel(
 
 def _fp8_fwd(
     q8, k8, v8, sq, sk, sv, *, causal, softmax_scale, block_q, block_k,
-    out_dtype, interpret, n_q, n_k, stages=2,
+    out_dtype, interpret, n_q, n_k, stages=2, seed=None, dropout_rate=0.0,
 ):
     b, h, n_q_pad, d = q8.shape
+    h_kv = k8.shape[1]
+    groups = h // h_kv
     n_k_pad = k8.shape[2]
     grid = (b, h, n_q_pad // block_q, n_k_pad // block_k)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
 
     kernel = functools.partial(
         _fp8_fwd_kernel,
         softmax_scale=softmax_scale, causal=causal,
-        n_q=n_q, n_k=n_k, block_q=block_q, block_k=block_k,
+        n_q=n_q, n_k=n_k, block_q=block_q, block_k=block_k, groups=groups,
+        dropout_rate=dropout_rate,
     )
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
@@ -171,11 +189,12 @@ def _fp8_fwd(
         if (stages == 1 and not interpret) else None
     )
     kv_spec = pl.BlockSpec(
-        (1, 1, block_k, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, ik, 0),
+        (1, 1, block_k, d),
+        lambda b_, h_, iq, ik, *_refs: (b_, h_ // groups, ik, 0),
         pipeline_mode=kv_pipeline,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # sq, sk, sv ride whole in SMEM
+        num_scalar_prefetch=4,  # sq, sk, sv, dropout seed ride whole in SMEM
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=[
@@ -203,7 +222,7 @@ def _fp8_fwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(sq, sk, sv, q8, k8, v8)
+    )(sq, sk, sv, seed, q8, k8, v8)
     return o, lse
 
 
@@ -213,12 +232,14 @@ def _dequant(payload, scales, block):
     return (xb * scales[..., None, None]).reshape(b, h, n, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _fp8_attention(q, k, v, causal, softmax_scale, block_q, block_k,
-                   interpret, out_dtype, stages):
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
+)
+def _fp8_attention(q, k, v, seed, causal, softmax_scale, block_q, block_k,
+                   interpret, out_dtype, stages, dropout_rate):
     return _fp8_attention_fwd_rule(
-        q, k, v, causal, softmax_scale, block_q, block_k, interpret,
-        out_dtype, stages,
+        q, k, v, seed, causal, softmax_scale, block_q, block_k, interpret,
+        out_dtype, stages, dropout_rate,
     )[0]
 
 
@@ -242,15 +263,16 @@ def _prepare_fp8(q, k, v, block_q, block_k):
     return q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d
 
 
-def _fp8_attention_fwd_rule(q, k, v, causal, softmax_scale, block_q, block_k,
-                            interpret, out_dtype, stages):
+def _fp8_attention_fwd_rule(q, k, v, seed, causal, softmax_scale, block_q,
+                            block_k, interpret, out_dtype, stages,
+                            dropout_rate):
     q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d = _prepare_fp8(
         q, k, v, block_q, block_k
     )
     o, lse = _fp8_fwd(
         q8, k8, v8, sq, sk, sv, causal=causal, softmax_scale=softmax_scale,
         block_q=bq, block_k=bk, out_dtype=out_dtype, interpret=interpret,
-        n_q=n_q, n_k=n_k, stages=stages,
+        n_q=n_q, n_k=n_k, stages=stages, seed=seed, dropout_rate=dropout_rate,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
@@ -259,16 +281,20 @@ def _fp8_attention_fwd_rule(q, k, v, causal, softmax_scale, block_q, block_k,
     kd_tag = jnp.zeros((0,), k.dtype)
     vd_tag = jnp.zeros((0,), v.dtype)
     return (o_out, lse_out), (
-        q8, k8, v8, sq, sk, sv, o_out, lse_out, bq, bk, n_k, kd_tag, vd_tag,
+        q8, k8, v8, sq, sk, sv, seed, o_out, lse_out, bq, bk, n_k,
+        kd_tag, vd_tag,
     )
 
 
 def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
-                            interpret, out_dtype, stages, residuals,
-                            cotangents):
+                            interpret, out_dtype, stages, dropout_rate,
+                            residuals, cotangents):
     """STE backward: run the bf16 backward kernels on the dequantized
-    payloads (reference fa3_bwd.cu:134-146 semantics)."""
-    q8, k8, v8, sq, sk, sv, o, lse, bq, bk, n_k, kd_tag, vd_tag = residuals
+    payloads (reference fa3_bwd.cu:134-146 semantics). With dropout, the
+    same counter-based mask regenerates from (seed, bh, tile) — the bf16
+    backward kernels share `_keep_mask` with the fp8 forward."""
+    (q8, k8, v8, sq, sk, sv, seed, o, lse, bq, bk, n_k,
+     kd_tag, vd_tag) = residuals
     do, dlse = cotangents
     qd = _dequant(q8, sq, bq).astype(jnp.bfloat16)
     kd = _dequant(k8, sk, bk).astype(jnp.bfloat16)
@@ -282,14 +308,16 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
     lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
     dlsep = _pad_dim(dlse, 2, bq)[..., None]
     dq, dk, dv = _flash_bwd(
-        qd, kd, vd, op, lsep, dop, jnp.zeros((1,), jnp.int32),
+        qd, kd, vd, op, lsep, dop, seed,
         causal=causal, softmax_scale=softmax_scale, block_q=bq, block_k=bk,
-        interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=0.0, dlse=dlsep,
+        interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
+        dlse=dlsep,
     )
     return (
         dq[:, :, :n_q, :d].astype(out_dtype),
         dk[:, :, :n_k, :d].astype(kd_tag.dtype),
         dv[:, :, :n_k, :d].astype(vd_tag.dtype),
+        None,
     )
 
 
@@ -336,19 +364,35 @@ def pallas_fp8_attention(
     block_k: int = 1024,
     stages: int = 2,
     interpret: bool | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """FA3 fused-FP8 flash attention: quantizes q/k/v to float8_e4m3fn with
     per-tile scales, streams 1-byte payloads through the kernel, descales in
     the score/output scaling. ``stages`` = K/V pipeline buffer depth.
+
+    GQA: k/v may carry H_kv < H heads (H % H_kv == 0) — KV payload tiles and
+    their descales are shared across each query-head group, same index maps
+    as the bf16 kernel (pallas_attn._flash_fwd). Dropout uses the bf16
+    kernels' counter-based mask (identical replay in the STE backward).
     Returns (o in q.dtype, lse fp32)."""
     if q.ndim != 4:
         raise ValueError(f"expected (B, H, N, D), got {q.shape}")
+    h_q, h_kv = q.shape[1], k.shape[1]
+    if h_q % h_kv != 0:
+        raise ValueError(f"H={h_q} must be a multiple of H_kv={h_kv}")
     d = q.shape[-1]
     if softmax_scale is None:
         softmax_scale = d ** -0.5
     if interpret is None:
         interpret = _interpret_default()
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = jnp.asarray(
+        [0 if dropout_seed is None else dropout_seed], jnp.int32
+    ).ravel()[:1]
     return _fp8_attention(
-        q, k, v, causal, float(softmax_scale), int(block_q), int(block_k),
-        bool(interpret), q.dtype, int(stages),
+        q, k, v, seed, causal, float(softmax_scale), int(block_q),
+        int(block_k), bool(interpret), q.dtype, int(stages),
+        float(dropout_rate),
     )

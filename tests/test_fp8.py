@@ -83,3 +83,82 @@ def test_fa3_fp8_dispatches_fused_kernel_on_pallas():
     o_ref, _ = reference_attention(q, k, v)
     assert o.shape == q.shape
     assert_allclose(o, o_ref, rtol=FP8_O_TOL, atol=FP8_O_TOL)
+
+
+def _gqa_quantized_oracle(q, k, v, bq, bk, causal, groups):
+    """Quantize at H_kv resolution (what the kernel consumes), THEN expand
+    heads — per-KV-head scales shared across the query group."""
+    q8, sq = quantize_tiles(q, bq)
+    k8, sk = quantize_tiles(k, bk)
+    v8, sv = quantize_tiles(v, bk)
+    kd = jnp.repeat(_dequant(k8, sk, bk).astype(q.dtype), groups, axis=1)
+    vd = jnp.repeat(_dequant(v8, sv, bk).astype(q.dtype), groups, axis=1)
+    return reference_attention(
+        _dequant(q8, sq, bq).astype(q.dtype), kd, vd, causal=causal
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fp8_kernel_gqa(causal):
+    """GQA parity with the bf16 kernel: KV tiles + descales shared per
+    query-head group (VERDICT r1 item 4 — the fp8 KV index maps previously
+    walked off the KV head axis when H_kv < H)."""
+    b, h_q, h_kv, n, d = 2, 8, 2, 256, 64
+    q, _, _ = make_qkv(b, h_q, n, d)
+    _, k, v = make_qkv(b, h_kv, n, d, seed=5)
+    o, lse = pallas_fp8_attention(q, k, v, causal=causal, block_q=BQ, block_k=BK)
+    o_qref, lse_qref = _gqa_quantized_oracle(q, k, v, BQ, BK, causal, h_q // h_kv)
+    assert_allclose(o, o_qref, rtol=5e-3, atol=5e-3)
+    assert_allclose(lse, lse_qref, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+def test_fp8_gqa_rejects_ragged_heads():
+    q, _, _ = make_qkv(1, 6, 128, 64)
+    _, k, v = make_qkv(1, 4, 128, 64)
+    with pytest.raises(ValueError, match="multiple"):
+        pallas_fp8_attention(q, k, v)
+
+
+def test_fp8_dropout_deterministic_and_backward():
+    """fp8 + dropout compose: LSE is pre-dropout, same seed is bit-identical,
+    different seeds differ, grads replay the mask (finite + deterministic)."""
+    q, k, v = make_qkv(1, 2, 256, 64)
+    rate = 0.3
+    o0, lse0 = pallas_fp8_attention(q, k, v, block_q=BQ, block_k=BK)
+    o1, lse1 = pallas_fp8_attention(
+        q, k, v, block_q=BQ, block_k=BK, dropout_rate=rate, dropout_seed=7
+    )
+    o2, _ = pallas_fp8_attention(
+        q, k, v, block_q=BQ, block_k=BK, dropout_rate=rate, dropout_seed=7
+    )
+    o3, _ = pallas_fp8_attention(
+        q, k, v, block_q=BQ, block_k=BK, dropout_rate=rate, dropout_seed=8
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3), atol=1e-3)
+    assert not np.allclose(np.asarray(o1), np.asarray(o0), atol=1e-3)
+    # LSE stays pre-dropout
+    np.testing.assert_allclose(np.asarray(lse1), np.asarray(lse0), atol=1e-6)
+
+    def loss(q_):
+        o, _ = pallas_fp8_attention(
+            q_, k, v, block_q=BQ, block_k=BK, dropout_rate=rate,
+            dropout_seed=7,
+        )
+        return jnp.sum(o**2)
+
+    g1 = jax.grad(loss)(q)
+    g2 = jax.grad(loss)(q)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    assert np.isfinite(np.asarray(g1, np.float32)).all()
+
+
+def test_fa3_fp8_gqa_dropout_through_api():
+    q, _, _ = make_qkv(1, 4, 256, 64)
+    _, k, v = make_qkv(1, 2, 256, 64, seed=11)
+    o, _ = fa3_attention(
+        q, k, v, fp8=True, backend="pallas", dropout_rate=0.2,
+        dropout_key=jax.random.key(3),
+    )
+    assert o.shape == q.shape
+    assert np.isfinite(np.asarray(o, np.float32)).all()
