@@ -60,6 +60,7 @@ def flash_attention(
     mask: jax.Array | None = None,
     dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
+    q_offset: jax.Array | int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
@@ -71,6 +72,12 @@ def flash_attention(
     ``mask`` routes through the XLA executor; ``dropout`` runs natively in
     the Pallas kernels (counter-based replay) or via saved-key replay in the
     XLA executor.
+
+    ``q_offset``: absolute key-timeline position of query row 0 under
+    ``causal=True`` (row r attends cols <= r + q_offset; may be a traced
+    scalar). Default n_k - n_q, the bottom-aligned decode convention. Used
+    by context-parallel shards (parallel/ring.py) so causal tile skipping
+    stays on the kernel fast path on every shard.
     """
     backend = _resolve_backend(backend)
     h_q, h_kv = q.shape[1], k.shape[1]
@@ -91,6 +98,7 @@ def flash_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
             block_k=min(block_k, 128) if k.shape[-2] < block_k else block_k,
             mask=mask, dropout_rate=dropout_rate, dropout_key=dropout_key,
+            q_offset=q_offset,
         )
     if backend == "pallas":
         dropout_seed = None
@@ -103,20 +111,23 @@ def flash_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
             block_q=block_q, block_k=block_k, interpret=interpret,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            q_offset=q_offset,
         )
     if backend == "xla":
         return tiled_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
-            block_k=min(block_k, 512),
+            block_k=min(block_k, 512), q_offset=q_offset,
         )
-    return reference_attention(q, k, v, causal=causal, softmax_scale=softmax_scale)
+    return reference_attention(
+        q, k, v, causal=causal, softmax_scale=softmax_scale, q_offset=q_offset
+    )
 
 
 def fa1_attention(
     q, k, v, causal: bool = False, softmax_scale=None, backend: str = "auto"
 ):
     """FA1 generation (reference src/fa1/op.py:7)."""
-    spec = pick_fa1_spec(q.shape[-1])
+    spec = pick_fa1_spec(q.shape[-1], q.shape[-2])
     return flash_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale, backend=backend,
         block_q=spec.block_q, block_k=spec.block_k,
@@ -128,7 +139,7 @@ def fa2_attention(
 ):
     """FA2 generation (reference src/fa2/op.py:7). Deferred normalization is
     done once (the reference divides twice — bug B2)."""
-    spec = pick_fa2_spec(q.shape[-1])
+    spec = pick_fa2_spec(q.shape[-1], q.shape[-2])
     return flash_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale, backend=backend,
         block_q=spec.block_q, block_k=spec.block_k,
@@ -150,7 +161,7 @@ def fa3_attention(
     every backend (the fused kernel shares KV tiles/descales per head group
     and replays the bf16 kernels' counter-based dropout mask).
     """
-    spec = pick_fa3_spec(q.shape[-1])
+    spec = pick_fa3_spec(q.shape[-1], q.shape[-2])
     if not fp8:
         return flash_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,

@@ -128,16 +128,21 @@ def _fwd_kernel(
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
 ):
     if dropout_rate > 0.0:
-        seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        (qoff_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        (qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
         seed_ref = None
     ib = pl.program_id(0)
     ih = pl.program_id(1)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     n_kv_tiles = pl.num_programs(3)
-    offset = n_k - n_q
+    # Absolute key-timeline position of query row 0 (ring/CP shards pass
+    # their shard offset; default n_k - n_q = bottom-aligned/decode). A
+    # runtime SMEM scalar so sharded callers can pass a traced offset.
+    offset = qoff_ref[0]
     kv_edge = n_k % block_k != 0  # static
 
     @pl.when(ik == 0)
@@ -219,8 +224,8 @@ def _fwd_kernel(
 
 
 def _flash_fwd(
-    q, k, v, seed, *, causal, softmax_scale, block_q, block_k, interpret,
-    n_q, n_k, dropout_rate,
+    q, k, v, seed, qoff, *, causal, softmax_scale, block_q, block_k,
+    interpret, n_q, n_k, dropout_rate,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -239,6 +244,7 @@ def _flash_fwd(
         dropout_rate=dropout_rate,
     )
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # qoff scalar
         pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
         pl.BlockSpec(
             (1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_ // groups, ik, 0)
@@ -247,12 +253,12 @@ def _flash_fwd(
             (1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_ // groups, ik, 0)
         ),
     ]
-    args = [q, k, v]
+    args = [qoff, q, k, v]
     if dropout_rate > 0.0:
         in_specs.insert(
-            0, pl.BlockSpec(memory_space=pltpu.SMEM)
+            1, pl.BlockSpec(memory_space=pltpu.SMEM)
         )
-        args.insert(0, seed)
+        args.insert(1, seed)
     flops_mm = 4 * b * h * n_q * n_k * d
     o, lse = pl.pallas_call(
         kernel,
@@ -302,10 +308,10 @@ def _bwd_dkv_kernel(
     scale multiply.
     """
     if dropout_rate > 0.0:
-        (seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+        (qoff_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
          dk_ref, dv_ref, dk_scr, dv_scr) = refs
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+        (qoff_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
          dk_ref, dv_ref, dk_scr, dv_scr) = refs
         seed_ref = None
     ib = pl.program_id(0)
@@ -313,7 +319,7 @@ def _bwd_dkv_kernel(
     ik = pl.program_id(2)
     iq = pl.program_id(3)
     n_q_tiles = pl.num_programs(3)
-    offset = n_k - n_q
+    offset = qoff_ref[0]  # see _fwd_kernel note
     kv_edge = n_k % block_k != 0
 
     @pl.when(iq == 0)
@@ -419,10 +425,10 @@ def _bwd_fused_kernel(
     TPU-native equivalent.
     """
     if dropout_rate > 0.0:
-        (seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+        (qoff_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
          dk_ref, dv_ref, dq_ref, dk_scr, dv_scr) = refs
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+        (qoff_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
          dk_ref, dv_ref, dq_ref, dk_scr, dv_scr) = refs
         seed_ref = None
     ib = pl.program_id(0)
@@ -430,7 +436,7 @@ def _bwd_fused_kernel(
     ik = pl.program_id(2)
     iq = pl.program_id(3)
     n_q_tiles = pl.num_programs(3)
-    offset = n_k - n_q
+    offset = qoff_ref[0]  # see _fwd_kernel note
     kv_edge = n_k % block_k != 0
 
     @pl.when(iq == 0)
@@ -531,17 +537,18 @@ def _bwd_dq_kernel(
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
 ):
     if dropout_rate > 0.0:
-        (seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+        (qoff_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
          dq_ref, dq_scr) = refs
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr) = refs
+        (qoff_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+         dq_ref, dq_scr) = refs
         seed_ref = None
     ib = pl.program_id(0)
     ih = pl.program_id(1)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     n_kv_tiles = pl.num_programs(3)
-    offset = n_k - n_q
+    offset = qoff_ref[0]  # see _fwd_kernel note
 
     kv_edge = n_k % block_k != 0
 
@@ -619,7 +626,7 @@ def _bwd_dq_kernel(
 
 def _flash_bwd(
     q, k, v, o, lse, do, seed, *, causal, softmax_scale, block_q, block_k,
-    interpret, n_q, n_k, dropout_rate, dlse=None,
+    interpret, n_q, n_k, dropout_rate, dlse=None, qoff=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -634,6 +641,8 @@ def _flash_bwd(
     )
     if dlse is not None:
         di = di - dlse.astype(jnp.float32)
+    if qoff is None:
+        qoff = jnp.asarray([n_k - n_q], jnp.int32)
 
     common = dict(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
@@ -649,11 +658,14 @@ def _flash_bwd(
     dkv_spec = pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, i, 0))
     row_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, j, 0))
 
-    in_specs = [q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec]
-    args = [q, k, v, do, lse, di]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # qoff scalar
+        q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
+    ]
+    args = [qoff, q, k, v, do, lse, di]
     if dropout_rate > 0.0:
-        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
-        args.insert(0, seed)
+        in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(1, seed)
 
     n_k_tiles = n_k_pad // block_k
     n_q_tiles = n_q_pad // block_q
@@ -725,11 +737,14 @@ def _flash_bwd(
     )
     row_spec2 = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, i, 0))
 
-    in_specs2 = [q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2]
-    args2 = [q, k, v, do, lse, di]
+    in_specs2 = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # qoff scalar
+        q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2,
+    ]
+    args2 = [qoff, q, k, v, do, lse, di]
     if dropout_rate > 0.0:
-        in_specs2.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
-        args2.insert(0, seed)
+        in_specs2.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args2.insert(1, seed)
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
@@ -790,39 +805,39 @@ def _prepare(q, k, v, block_q, block_k):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
 def _flash_attention(
-    q, k, v, seed, causal, softmax_scale, block_q, block_k, interpret,
+    q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
     dropout_rate,
 ):
     o, lse = _flash_attention_fwd_rule(
-        q, k, v, seed, causal, softmax_scale, block_q, block_k, interpret,
-        dropout_rate,
+        q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k,
+        interpret, dropout_rate,
     )[0]
     return o, lse
 
 
 def _flash_attention_fwd_rule(
-    q, k, v, seed, causal, softmax_scale, block_q, block_k, interpret,
+    q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
     dropout_rate,
 ):
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
     o, lse = _flash_fwd(
-        qp, kp, vp, seed, causal=causal, softmax_scale=softmax_scale,
+        qp, kp, vp, seed, qoff, causal=causal, softmax_scale=softmax_scale,
         block_q=bq, block_k=bk, interpret=interpret, n_q=n_q, n_k=n_k,
         dropout_rate=dropout_rate,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
-    return (o_out, lse_out), (q, k, v, seed, o_out, lse_out)
+    return (o_out, lse_out), (q, k, v, seed, qoff, o_out, lse_out)
 
 
 def _flash_attention_bwd_rule(
     causal, softmax_scale, block_q, block_k, interpret, dropout_rate,
     residuals, cotangents,
 ):
-    q, k, v, seed, o, lse = residuals
+    q, k, v, seed, qoff, o, lse = residuals
     do, dlse = cotangents
     n_q, d = q.shape[-2], q.shape[-1]
     n_k = k.shape[-2]
@@ -839,12 +854,13 @@ def _flash_attention_bwd_rule(
         qp, kp, vp, op, lsep, dop, seed, causal=causal,
         softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
-        dlse=dlsep,
+        dlse=dlsep, qoff=qoff,
     )
     return (
         dq[:, :, :n_q, :d].astype(q.dtype),
         dk[:, :, :n_k, :d].astype(k.dtype),
         dv[:, :, :n_k, :d].astype(v.dtype),
+        None,
         None,
     )
 
@@ -863,12 +879,22 @@ def pallas_attention(
     block_k: int = 1024,
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int | None = None,
+    q_offset: jax.Array | int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
 
     K/V may carry fewer heads than Q (GQA/MQA): H % H_kv == 0; each group of
     H/H_kv query heads attends to one shared KV head.
+
+    ``q_offset``: absolute key-timeline position of query row 0 under
+    ``causal=True`` — row r attends to cols <= r + q_offset. Defaults to
+    ``n_k - n_q`` (bottom-aligned; the KV-cache/decode convention of the
+    reference's look_ahead_mask_, flashattention_pytorch.py:176-190). Ring /
+    context-parallel shards pass their shard's offset — may be a traced
+    scalar (it rides to the kernels in SMEM), so causal tile *skipping*
+    follows the true diagonal on every shard instead of falling back to an
+    elementwise mask.
 
     ``dropout_rate`` applies attention-weight dropout with inverted scaling
     (reference flashattention_pytorch.py:149-156); the keep mask is
@@ -898,7 +924,10 @@ def pallas_attention(
     if dropout_seed is None:
         dropout_seed = 0
     seed = jnp.asarray(dropout_seed, dtype=jnp.int32).reshape((1,))
+    if q_offset is None:
+        q_offset = k.shape[-2] - q.shape[-2]
+    qoff = jnp.asarray(q_offset, dtype=jnp.int32).reshape((1,))
     return _flash_attention(
-        q, k, v, seed, causal, float(softmax_scale), int(block_q),
+        q, k, v, seed, qoff, causal, float(softmax_scale), int(block_q),
         int(block_k), bool(interpret), float(dropout_rate),
     )

@@ -48,6 +48,7 @@ def reference_attention(
     softmax_scale: float | None = None,
     bias: jax.Array | None = None,
     mask: jax.Array | None = None,
+    q_offset: jax.Array | int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dense fp32 attention oracle.
 
@@ -58,6 +59,10 @@ def reference_attention(
       softmax_scale: defaults to D**-0.5 (reference src/fa1/op.py:8-9).
       bias: optional additive bias broadcastable to (..., N_q, N_k).
       mask: optional boolean mask broadcastable to (..., N_q, N_k); True=attend.
+      q_offset: absolute key position of query row 0 under causal (row r
+        attends cols <= r + q_offset; may be traced). Default n_k - n_q —
+        note this is the *absolute* convention of flash_attention, not
+        causal_mask's additive-shift q_offset.
 
     Returns:
       (o, lse): o has q's shape/dtype; lse is fp32 (..., N_q) —
@@ -76,7 +81,10 @@ def reference_attention(
     if bias is not None:
         s = s + bias.astype(jnp.float32)
     if causal:
-        cm = causal_mask(n_q, n_k)
+        offset = (n_k - n_q) if q_offset is None else q_offset
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 1)
+        cm = cols <= rows + offset
         s = jnp.where(cm, s, DEFAULT_MASK_VALUE)
     if mask is not None:
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)

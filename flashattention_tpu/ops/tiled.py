@@ -61,8 +61,12 @@ def _tile_scores_mask(
     n_k: int,
     causal: bool,
     mask_tile: jax.Array | None,
+    qoff: jax.Array | None = None,
 ) -> jax.Array | None:
-    """Boolean (n_q, block_k) mask for KV tile ``j``; None if nothing masks."""
+    """Boolean (n_q, block_k) mask for KV tile ``j``; None if nothing masks.
+
+    ``qoff``: absolute key position of query row 0 (row r attends cols <=
+    r + qoff); None means the bottom-aligned default n_k - n_q."""
     col0 = j * block_k
     cols = col0 + jax.lax.broadcasted_iota(jnp.int32, (n_q, block_k), 1)
     m = None
@@ -70,7 +74,8 @@ def _tile_scores_mask(
         m = cols < n_k
     if causal:
         rows = jax.lax.broadcasted_iota(jnp.int32, (n_q, block_k), 0)
-        cm = cols <= rows + (n_k - n_q)
+        offset = (n_k - n_q) if qoff is None else qoff
+        cm = cols <= rows + offset
         m = cm if m is None else (m & cm)
     if mask_tile is not None:
         m = mask_tile if m is None else (m & mask_tile)
@@ -86,26 +91,26 @@ def _dropout_keep(key, j, shape, rate):
 # ---------------------------------------------------------------------------
 # custom_vjp core
 # ---------------------------------------------------------------------------
-# Primal args: q, k, v, mask, dropout_key.
+# Primal args: q, k, v, mask, dropout_key, qoff.
 # Static args: causal, softmax_scale, block_k, dropout_rate, has_mask,
 #              has_dropout.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def _tiled_attention(
-    q, k, v, mask, dropout_key, causal, softmax_scale, block_k, dropout_rate,
-    has_mask, has_dropout,
+    q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
+    dropout_rate, has_mask, has_dropout,
 ):
     o, lse = _tiled_fwd(
-        q, k, v, mask, dropout_key, causal, softmax_scale, block_k,
+        q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
         dropout_rate, has_mask, has_dropout,
     )
     return o, lse
 
 
 def _tiled_fwd(
-    q, k, v, mask, dropout_key, causal, softmax_scale, block_k, dropout_rate,
-    has_mask, has_dropout,
+    q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
+    dropout_rate, has_mask, has_dropout,
 ):
     b, h, n_q, d = q.shape
     k, v, n_k = _pad_kv(k, v, block_k)
@@ -129,7 +134,7 @@ def _tiled_fwd(
             )
         tm = _tile_scores_mask(
             j=j, block_k=block_k, n_q=n_q, n_k=n_k, causal=causal,
-            mask_tile=mask_tile,
+            mask_tile=mask_tile, qoff=qoff,
         )
         if tm is not None:
             s = jnp.where(tm, s, DEFAULT_MASK_VALUE)
@@ -166,21 +171,21 @@ def _tiled_fwd(
 
 
 def _tiled_fwd_vjp(
-    q, k, v, mask, dropout_key, causal, softmax_scale, block_k, dropout_rate,
-    has_mask, has_dropout,
+    q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
+    dropout_rate, has_mask, has_dropout,
 ):
     o, lse = _tiled_fwd(
-        q, k, v, mask, dropout_key, causal, softmax_scale, block_k,
+        q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
         dropout_rate, has_mask, has_dropout,
     )
-    return (o, lse), (q, k, v, mask, dropout_key, o, lse)
+    return (o, lse), (q, k, v, mask, dropout_key, qoff, o, lse)
 
 
 def _tiled_bwd(
     causal, softmax_scale, block_k, dropout_rate, has_mask, has_dropout,
     residuals, cotangents,
 ):
-    q, k, v, mask, dropout_key, o, lse = residuals
+    q, k, v, mask, dropout_key, qoff, o, lse = residuals
     do, dlse = cotangents
 
     b, h, n_q, d = q.shape
@@ -211,7 +216,7 @@ def _tiled_bwd(
             )
         tm = _tile_scores_mask(
             j=j, block_k=block_k, n_q=n_q, n_k=n_k, causal=causal,
-            mask_tile=mask_tile,
+            mask_tile=mask_tile, qoff=qoff,
         )
         if tm is not None:
             s = jnp.where(tm, s, DEFAULT_MASK_VALUE)
@@ -243,7 +248,10 @@ def _tiled_bwd(
     dq = dq.astype(q.dtype)
 
     residual_mask, residual_key = residuals[3], residuals[4]
-    return dq, dk, dv, _float0_like(residual_mask), _float0_like(residual_key)
+    return (
+        dq, dk, dv, _float0_like(residual_mask), _float0_like(residual_key),
+        _float0_like(residuals[5]),
+    )
 
 
 _tiled_attention.defvjp(_tiled_fwd_vjp, _tiled_bwd)
@@ -265,6 +273,7 @@ def tiled_attention(
     mask: jax.Array | None = None,
     dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
+    q_offset: jax.Array | int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Tiled online-softmax attention (XLA executor).
 
@@ -275,6 +284,8 @@ def tiled_attention(
       dropout_rate/dropout_key: attention-weight dropout with inverted scaling
         (reference flashattention_pytorch.py:149-156); the mask is regenerated
         deterministically per tile in the backward.
+      q_offset: absolute key position of query row 0 under causal (row r
+        attends cols <= r + q_offset; may be traced). Default n_k - n_q.
 
     Returns:
       (o, lse) with o in q.dtype, lse fp32 (B, H, N_q).
@@ -299,7 +310,10 @@ def tiled_attention(
             mask = jnp.pad(mask, ((0, 0), (0, n_pad)))
     if dropout_key is None:
         dropout_key = jax.random.key(0)
+    if q_offset is None:
+        q_offset = k.shape[-2] - q.shape[-2]
+    qoff = jnp.asarray(q_offset, jnp.int32)
     return _tiled_attention(
-        q, k, v, mask, dropout_key, causal, float(softmax_scale), int(block_k),
-        float(dropout_rate), has_mask, has_dropout,
+        q, k, v, mask, dropout_key, qoff, causal, float(softmax_scale),
+        int(block_k), float(dropout_rate), has_mask, has_dropout,
     )

@@ -356,3 +356,61 @@ def test_lse_cotangent_flows():
     g2r = jax.grad(loss2_ref, argnums=(0, 1, 2))(q, k, v)
     for a, bb in zip(g2, g2r):
         assert_allclose(a, bb, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("q_offset", [-64, 0, 37, 128])
+def test_q_offset_forward_and_grads(q_offset):
+    """Explicit q_offset (the CP-shard diagonal convention: row r attends
+    cols <= r + q_offset) vs the oracle with the same offset, fwd + grads.
+    Covers negative offsets (rows with zero keys -> o = 0, dead grads)."""
+    b, h, n_q, n_k, d = 1, 2, 128, 128, 64
+    q, _, _ = make_qkv(b, h, n_q, d)
+    _, k, v = make_qkv(b, h, n_k, d, seed=3)
+    o, lse = pallas_attention(
+        q, k, v, causal=True, q_offset=q_offset, block_q=BQ, block_k=BK
+    )
+    o_ref, lse_ref = reference_attention(q, k, v, causal=True, q_offset=q_offset)
+    dead = max(0, min(n_q, -q_offset))  # rows attending nothing
+    if dead:
+        assert np.abs(np.asarray(o[:, :, :dead], np.float32)).max() == 0.0
+    assert_allclose(o[:, :, dead:], o_ref[:, :, dead:], rtol=1e-4, atol=1e-4)
+    assert_allclose(
+        lse[:, :, dead:], lse_ref[:, :, dead:], rtol=1e-3, atol=1e-3
+    )
+
+    do = jax.random.normal(jax.random.key(5), q.shape, jnp.float32)
+
+    def loss(fn):
+        def f(q_, k_, v_):
+            o2, _ = fn(q_, k_, v_)
+            return jnp.sum(o2[:, :, dead:] * do[:, :, dead:])
+        return f
+
+    g = jax.grad(
+        loss(lambda *a: pallas_attention(
+            *a, causal=True, q_offset=q_offset, block_q=BQ, block_k=BK
+        )),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        loss(lambda *a: reference_attention(*a, causal=True, q_offset=q_offset)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, bb in zip(g, gr):
+        assert_allclose(a, bb, rtol=2e-3, atol=2e-3)
+
+
+def test_q_offset_traced():
+    """q_offset as a traced scalar (the all-gather CP path) under jit."""
+    q, k, v = make_qkv(1, 2, 128, 64)
+
+    @jax.jit
+    def run(off):
+        return pallas_attention(
+            q, k, v, causal=True, q_offset=off, block_q=BQ, block_k=BK
+        )[0]
+
+    for off in (0, 64):
+        o = run(jnp.int32(off))
+        o_ref, _ = reference_attention(q, k, v, causal=True, q_offset=off)
+        assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
