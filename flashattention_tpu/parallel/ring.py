@@ -70,18 +70,23 @@ def ring_attention(
             backend=backend,
         )
 
-    def partial_diag(qkv):
+    def partial_causal(qkv, src):
+        # Shard-granular causal dispatch folded into ONE scalar q_offset
+        # (row r attends cols <= r + q_offset): past shards attend fully
+        # (offset = +n_local), the diagonal shard uses its true diagonal
+        # (offset = 0), future shards attend nothing (offset = -n_local —
+        # the kernel's tile-skip predicates see the offset, so no tile
+        # runs and lse comes back as -inf). One traced call instead of a
+        # lax.switch over kernel branches: differentiable (cond partial-
+        # eval can't merge the branches' custom_vjp residuals) and still
+        # free of wasted MXU work on the Pallas path.
         q_, k_, v_ = qkv
+        offset = jnp.where(
+            src < my_idx, n_local, jnp.where(src == my_idx, 0, -n_local)
+        )
         return flash_attention(
             q_, k_, v_, causal=True, softmax_scale=softmax_scale,
-            backend=backend,
-        )
-
-    def partial_skip(qkv):
-        q_ = qkv[0]
-        return (
-            jnp.zeros_like(q_),
-            jnp.full((b, h, n_local), -jnp.inf, jnp.float32),
+            backend=backend, q_offset=offset,
         )
 
     m = jnp.full((b, h, n_local), -jnp.inf, jnp.float32)
@@ -92,12 +97,7 @@ def ring_attention(
     for step in range(n_dev):  # static: n_dev known at trace time
         src = (my_idx - step) % n_dev  # which shard we hold right now
         if causal:
-            # 0: past shard (full), 1: diagonal (causal), 2: future (skip)
-            case = jnp.where(src < my_idx, 0, jnp.where(src == my_idx, 1, 2))
-            o_p, lse_p = jax.lax.switch(
-                case, [partial_full, partial_diag, partial_skip],
-                (q, k_blk, v_blk),
-            )
+            o_p, lse_p = partial_causal((q, k_blk, v_blk), src)
         else:
             o_p, lse_p = partial_full((q, k_blk, v_blk))
         m, l, acc = _merge_partials(m, l, acc, o_p, lse_p)
@@ -146,37 +146,30 @@ def ring_attention_bidir(
     rev_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
     def partial_against(k_blk, v_blk, src, kv_offset_in_shard):
-        """Partial attention of the local q against one resident half-shard,
-        with shard-granular causal dispatch."""
-        def full(_):
+        """Partial attention of the local q against one resident half-shard.
+
+        Shard-granular causal dispatch folds into ONE scalar q_offset (row r
+        attends half-local cols c with c <= r + offset): past shards attend
+        fully (offset = +half), the diagonal shard uses its true diagonal
+        (offset = -kv_offset_in_shard — the kernels' absolute-index mask and
+        tile skip, no elementwise-mask fallback), future shards attend
+        nothing (offset = -n_local, every tile skipped, lse = -inf). A
+        single traced call, unlike a lax.switch over kernel branches, is
+        differentiable (cond partial-eval can't merge the branches'
+        custom_vjp residuals)."""
+        if not causal:
             return flash_attention(
                 q, k_blk, v_blk, causal=False, softmax_scale=softmax_scale,
                 backend=backend,
             )
-
-        def diag(_):
-            # On-diagonal shard: absolute query position of row r is
-            # my_idx * n_local + r; the resident half covers columns
-            # [src * n_local + off, src * n_local + off + half). With
-            # src == my_idx the kernels' built-in k_len-q_len offset is
-            # wrong (half != n_local), so mask explicitly.
-            rows = jax.lax.broadcasted_iota(jnp.int32, (n_local, half), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (n_local, half), 1)
-            mask = (cols + kv_offset_in_shard) <= rows
-            return flash_attention(
-                q, k_blk, v_blk, softmax_scale=softmax_scale, mask=mask,
-            )
-
-        def skip(_):
-            return (
-                jnp.zeros_like(q),
-                jnp.full((b, h, n_local), -jnp.inf, jnp.float32),
-            )
-
-        if not causal:
-            return full(None)
-        case = jnp.where(src < my_idx, 0, jnp.where(src == my_idx, 1, 2))
-        return jax.lax.switch(case, [full, diag, skip], None)
+        offset = jnp.where(
+            src < my_idx, half,
+            jnp.where(src == my_idx, -kv_offset_in_shard, -n_local),
+        )
+        return flash_attention(
+            q, k_blk, v_blk, causal=True, softmax_scale=softmax_scale,
+            backend=backend, q_offset=offset,
+        )
 
     k1, k2 = k[:, :, :half], k[:, :, half:]
     v1, v2 = v[:, :, :half], v[:, :, half:]
@@ -227,15 +220,14 @@ def all_gather_attention(
             q, k_full, v_full, causal=False, softmax_scale=softmax_scale,
             backend=backend,
         )
-    # Causal with a per-chip offset: query row r is global position
-    # my_idx * n_local + r. The kernels' built-in offset is k_len - q_len;
-    # here we need an explicit mask because the offset varies per chip.
-    n_k = k_full.shape[2]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_local, n_k), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n_local, n_k), 1)
-    mask = cols <= rows + my_idx * n_local
+    # Causal with a per-chip offset: query row r sits at global position
+    # my_idx * n_local + r. The offset is a *traced* scalar (axis_index),
+    # which the kernels accept via their SMEM q_offset — causal tile
+    # skipping follows each chip's true diagonal (chip 0 computes 1 shard's
+    # worth of KV tiles, the last chip all of them).
     return flash_attention(
-        q, k_full, v_full, softmax_scale=softmax_scale, mask=mask,
+        q, k_full, v_full, causal=True, softmax_scale=softmax_scale,
+        backend=backend, q_offset=my_idx * n_local,
     )
 
 
