@@ -111,7 +111,12 @@ def _lm_logits(params, x):
 
 def make_prefill_fn(cfg: TransformerConfig):
     """Returns jitted prefill(params, caches, tokens(1,Tp), page_indices(1,P),
-    prompt_len) -> (next_token (1,), caches)."""
+    prompt_len) -> (next_token (1,), caches).
+
+    Whole-prompt prefill via the XLA tiled executor — the correctness anchor
+    and compile-per-padded-length fallback. The engine's hot path is
+    ``make_chunk_prefill_fn`` (chunked prefill through the paged Pallas
+    kernel, one fixed-shape compile for every prompt length)."""
 
     def prefill(params, caches, tokens, page_indices, prompt_len):
         b, tp = tokens.shape
@@ -146,6 +151,88 @@ def make_prefill_fn(cfg: TransformerConfig):
         return jnp.argmax(logits, axis=-1), new_caches
 
     return jax.jit(prefill, donate_argnums=(1,))
+
+
+def make_chunk_prefill_fn(
+    cfg: TransformerConfig, chunk: int, *, use_pallas: bool | None = None
+):
+    """Chunked prefill on the paged-cache fast path (VERDICT r1 item 5).
+
+    Returns jitted chunk_prefill(params, caches, tokens(1,C), page_indices
+    (1,P), base_len, valid) -> (x (1,C,D), caches): appends the chunk's K/V
+    into the pages (positions base..base+valid), then attends each chunk row
+    causally against the cache *through the paged kernel* —
+    ``pallas_paged_attention`` with q_len=C and lengths=base+C (rows past
+    ``valid`` are padding; their overhanging slots are masked in-kernel by
+    the causal slot<=position predicate and their outputs discarded).
+
+    Every chunk of every prompt reuses ONE fixed-shape compilation (the
+    whole-prompt path recompiles per padded length). Off-TPU the kernel
+    would run interpreted, so the XLA route gathers pages and runs the tiled
+    executor with a traced ``q_offset=base`` — same math, same cache.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def _chunk_attn(q, cache, page_indices, base):
+        # q: (1, H, C, dh); rows t at absolute position base + t.
+        if use_pallas:
+            from flashattention_tpu.ops.pallas_paged import (
+                pallas_paged_attention,
+            )
+
+            lengths = base[None] + chunk  # (1,), includes the whole chunk
+            return pallas_paged_attention(
+                q, cache.k_pages, cache.v_pages, page_indices, lengths,
+                k_scales=cache.k_scales, v_scales=cache.v_scales,
+                softmax_scale=cfg.softmax_scale,
+            )
+        from flashattention_tpu.serving.paged_kv import gather_pages
+
+        k_full, v_full = gather_pages(cache, page_indices)  # (1,H_kv,L,D)
+        if cfg.kv_heads != cfg.n_heads:
+            groups = cfg.n_heads // cfg.kv_heads
+            k_full = jnp.repeat(k_full, groups, axis=1)
+            v_full = jnp.repeat(v_full, groups, axis=1)
+        o, _ = tiled_attention(
+            q, k_full.astype(q.dtype), v_full.astype(q.dtype),
+            causal=True, softmax_scale=cfg.softmax_scale, q_offset=base,
+        )
+        return o
+
+    def chunk_prefill(params, caches, tokens, page_indices, base, valid):
+        b, c = tokens.shape
+        x = _embed(params, tokens, cfg, base)
+        new_caches = []
+        base_b = jnp.full((b,), base, jnp.int32)
+        valid_b = jnp.full((b,), valid, jnp.int32)
+        for bp, cache in zip(params["blocks"], caches):
+            a = bp["attn"]
+            q, k, v = _qkv(x, a, cfg)
+            cache = append_to_pages(
+                cache, k, v, page_indices, base_b, valid_len=valid_b
+            )
+            new_caches.append(cache)
+            o = _chunk_attn(q, cache, page_indices, base)
+            x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
+            x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
+        return x, new_caches
+
+    return jax.jit(chunk_prefill, donate_argnums=(1,))
+
+
+def make_sample_last_fn(cfg: TransformerConfig):
+    """jitted (params, x(1,C,D), idx) -> argmax token of row ``idx`` after the
+    final layer norm — the chunked-prefill epilogue (logits for one row, not
+    the whole chunk)."""
+
+    def sample_last(params, x, idx):
+        x = _layer_norm(x, params["final_ln"])
+        last = jax.lax.dynamic_slice_in_dim(x, idx, 1, 1)  # (1, 1, D)
+        logits = _lm_logits(params, last)[:, 0]
+        return jnp.argmax(logits, axis=-1)
+
+    return jax.jit(sample_last)
 
 
 def make_decode_fn(cfg: TransformerConfig, *, use_pallas: bool | None = None):
@@ -238,7 +325,8 @@ class ServingEngine:
         # Tokens already emitted by requests that were evicted mid-flight
         # and requeued; prepended when the request finally finishes.
         self._evicted_prefix: dict[int, list[int]] = {}
-        self._prefill = make_prefill_fn(cfg)
+        self._chunk_prefill = make_chunk_prefill_fn(cfg, ecfg.prefill_pad)
+        self._sample_last = make_sample_last_fn(cfg)
         self._decode = make_decode_fn(cfg)
         self._steps = 0
 
@@ -276,9 +364,12 @@ class ServingEngine:
                 continue
             req = self.waiting[0]
             prompt_len = len(req.prompt)
-            if prompt_len + req.max_new_tokens > self.ecfg.max_seq_len:
+            if (
+                prompt_len == 0
+                or prompt_len + req.max_new_tokens > self.ecfg.max_seq_len
+            ):
                 self.waiting.pop(0)
-                self.finished[req.request_id] = []  # rejected: too long
+                self.finished[req.request_id] = []  # rejected: empty/too long
                 continue
             # all-or-nothing page reservation for prompt + one decode token
             if not self.allocator.grow(
@@ -290,14 +381,22 @@ class ServingEngine:
             slot.length = prompt_len
             slot.generated = []
 
-            pad = self.ecfg.prefill_pad
-            tp = -(-prompt_len // pad) * pad
-            tokens = np.zeros((1, tp), np.int32)
-            tokens[0, :prompt_len] = req.prompt
-            first_tok, self.caches = self._prefill(
-                self.params, self.caches, jnp.asarray(tokens),
-                self._page_row(req.request_id)[None],
-                jnp.int32(prompt_len),
+            # Chunked prefill on the paged fast path: every chunk reuses one
+            # fixed-shape compilation; K/V land directly in the pages and
+            # each chunk attends through the paged kernel.
+            chunk = self.ecfg.prefill_pad
+            page_row = self._page_row(req.request_id)[None]
+            x = None
+            for base in range(0, prompt_len, chunk):
+                valid = min(chunk, prompt_len - base)
+                toks = np.zeros((1, chunk), np.int32)
+                toks[0, :valid] = req.prompt[base : base + valid]
+                x, self.caches = self._chunk_prefill(
+                    self.params, self.caches, jnp.asarray(toks), page_row,
+                    jnp.int32(base), jnp.int32(valid),
+                )
+            first_tok = self._sample_last(
+                self.params, x, jnp.int32((prompt_len - 1) % chunk)
             )
             slot.generated.append(int(first_tok[0]))
             slot.length = prompt_len  # cache holds the prompt only

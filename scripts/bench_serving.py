@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--quant", default=None, choices=[None, "int8", "fp8"])
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--prefill-len", type=int, default=4096,
+                    help="prompt length for the chunked-prefill measurement")
+    ap.add_argument("--prefill-chunk", type=int, default=256)
     ns = ap.parse_args()
 
     from flashattention_tpu.models.transformer import TransformerConfig, init_transformer
@@ -142,7 +145,67 @@ def main():
             "params_m": round(n_params / 1e6, 1),
             "backend": jax.default_backend(),
         },
-    }))
+    }), flush=True)
+
+    # -- chunked prefill throughput (the engine's paged-kernel prefill path,
+    # VERDICT r1 item 5): one fixed-shape chunk program, all chunks of one
+    # prompt chained on-device in a fori_loop.
+    from flashattention_tpu.serving.engine import make_chunk_prefill_fn
+
+    C, L = ns.prefill_chunk, ns.prefill_len
+    if L % C:
+        raise SystemExit("--prefill-len must be a multiple of --prefill-chunk")
+    n_chunks = L // C
+    caches_p = [
+        init_paged_cache(cfg.kv_heads, num_pages, ns.page, cfg.d_head,
+                         quant=ns.quant, dtype=cfg.dtype)
+        for _ in range(cfg.n_layers)
+    ]
+    chunk_raw = make_chunk_prefill_fn(
+        cfg, C, use_pallas=jax.default_backend() == "tpu"
+    ).__wrapped__
+    tok_chunks = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.vocab_size, (n_chunks, 1, C)),
+        jnp.int32,
+    )
+    pi1 = page_indices[:1]
+
+    @jax.jit
+    def ploop(params_, pi_, toks, caches_):
+        x0 = jnp.zeros((1, C, cfg.d_model), cfg.dtype)
+
+        def body(i, carry):
+            _, cch = carry
+            return chunk_raw(
+                params_, cch, toks[i], pi_, i * C, jnp.int32(C)
+            )
+
+        return lax.fori_loop(0, n_chunks, body, (x0, caches_))
+
+    out_p = ploop(params, pi1, tok_chunks, caches_p)
+    _ = np.asarray(out_p[0]).ravel()[:8]
+    best_p = float("inf")
+    for t in range(ns.trials):
+        t0 = time.perf_counter()
+        out_p = ploop(params, pi1, tok_chunks, out_p[1])
+        _ = np.asarray(out_p[0]).ravel()[:8]
+        best_p = min(best_p, time.perf_counter() - t0)
+        if t + 1 < ns.trials:
+            time.sleep(2)
+
+    print(json.dumps({
+        "metric": "serving_prefill_tokens_per_s",
+        "value": round(L / best_p, 1),
+        "unit": "tokens/s/chip",
+        "detail": {
+            "prompt_ms": round(best_p * 1e3, 3),
+            "prefill_len": L, "chunk": C, "layers": cfg.n_layers,
+            "d_model": cfg.d_model, "page": ns.page,
+            "quant": ns.quant or "bf16",
+            "path": "paged-kernel chunked prefill",
+            "backend": jax.default_backend(),
+        },
+    }), flush=True)
 
 
 if __name__ == "__main__":
