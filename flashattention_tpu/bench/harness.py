@@ -62,11 +62,27 @@ class BenchRecord:
     pstdev_ms: float = 0.0
     tflops: float = 0.0
     roofline_frac: float = 0.0
+    peak_mem_mb: float = 0.0   # reference bench_utils.py:126-142 memory column
     status: str = "ok"
     error: str = ""
 
     def row(self) -> dict[str, Any]:
         return dataclasses.asdict(self)
+
+
+def device_peak_memory_mb() -> float:
+    """Peak device-memory use of this process in MB (the reference's
+    per-iter ``max_memory_allocated`` column, bench_utils.py:126-142;
+    TPU-native via ``device.memory_stats()``). 0.0 where the runtime
+    doesn't expose stats (CPU, some tunnel backends)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if not stats:
+            return 0.0
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use") or 0
+        return float(peak) / 1e6
+    except Exception:
+        return 0.0
 
 
 def benchmark_call(

@@ -54,19 +54,22 @@ def run_config(ns) -> BenchRecord:
         if ns.algo == "fa3" and ns.fp8:
             kwargs["fp8"] = True
             rec.dtype = "fp8"
-        if ns.dropout > 0.0 and ns.algo == "fa3" and ns.fp8:
-            raise SystemExit("--dropout and --fp8 are mutually exclusive "
-                             "(the fused FP8 kernel has no dropout path)")
         if ns.dropout > 0.0:
-            # dropout rides the generic entry point (faX dispatchers keep the
-            # reference's signature, which has no dropout arg)
-            from flashattention_tpu.ops.api import flash_attention
+            if ns.algo == "fa3":
+                # fa3 carries dropout natively (incl. the fused FP8 kernel's
+                # counter-based mask).
+                kwargs["dropout_rate"] = ns.dropout
+                kwargs["dropout_key"] = jax.random.key(9)
+            else:
+                # fa1/fa2 dispatchers keep the reference's signature (no
+                # dropout arg); ride the generic entry point.
+                from flashattention_tpu.ops.api import flash_attention
 
-            def algo_fn(q_, k_, v_, causal=False, backend="auto", **_kw):
-                return flash_attention(
-                    q_, k_, v_, causal=causal, backend=backend,
-                    dropout_rate=ns.dropout, dropout_key=jax.random.key(9),
-                )
+                def algo_fn(q_, k_, v_, causal=False, backend="auto", **_kw):
+                    return flash_attention(
+                        q_, k_, v_, causal=causal, backend=backend,
+                        dropout_rate=ns.dropout, dropout_key=jax.random.key(9),
+                    )
 
         if ns.direction == "forward":
             fn = jax.jit(lambda q_, k_, v_: algo_fn(q_, k_, v_, **kwargs)[0])
@@ -77,6 +80,9 @@ def run_config(ns) -> BenchRecord:
             fn = jax.jit(lambda q_, k_, v_: jax.grad(loss)((q_, k_, v_))[0])
 
         rec.mean_ms, rec.pstdev_ms = benchmark_call(fn, (q, k, v))
+        from flashattention_tpu.bench.harness import device_peak_memory_mb
+
+        rec.peak_mem_mb = device_peak_memory_mb()
         flops = attention_flops(
             ns.batch, ns.heads, ns.seqlen, ns.dim,
             direction="both" if ns.direction == "backward" else "forward",
@@ -191,10 +197,18 @@ def main():
     jpath, cpath = write_results(records, ns.out, ns.tag)
     print(f"\nwrote {jpath} and {cpath}")
     if ns.plot:
-        from flashattention_tpu.bench.plotting import plot_sweep
+        from flashattention_tpu.bench.plotting import (
+            plot_mixed_figure,
+            plot_sweep,
+            render_ablation_table,
+        )
 
         fig_path = plot_sweep(records, ns.out, ns.tag)
         print(f"wrote {fig_path}")
+        mixed_path = plot_mixed_figure(records, ns.out, ns.tag)
+        print(f"wrote {mixed_path}")
+        for ext, p in render_ablation_table(records, ns.out, ns.tag).items():
+            print(f"wrote {p} ({ext})")
 
 
 if __name__ == "__main__":

@@ -54,22 +54,60 @@ class FA3Spec:
             raise ValueError(f"misaligned spec {self}")
 
 
-def pick_fa1_spec(head_dim: int) -> FA1Spec:
+# Measured per-(seq, head_dim) block table (VERDICT r1 item 9): v5e, bf16,
+# forward+backward weighted, from `scripts/tune_attention.py --grid` runs
+# gated on a healthy matmul speed-of-light window (conditions + raw numbers
+# in RESULTS.md "Spec table"). Keys are (seq_bucket, dim_bucket) where
+# seq_bucket = smallest of (2048, 8192, 16384+) >= N and dim_bucket =
+# smallest of (64, 128, 256+) >= d. The reference keys on head_dim alone
+# (src/fa1/spec.py:9-12); seq-aware picking generalizes it.
+_SEQ_BUCKETS = (2048, 8192)     # else "16384+"
+_DIM_BUCKETS = (64, 128)        # else "256+"
+
+_MEASURED_BLOCKS: dict[tuple[int, int], tuple[int, int]] = {
+    # (seq_bucket, dim_bucket): (block_q, block_k)
+    # r1 measurement: at N=8K d=128, (512,1024) ≈ (1024,1024) >> (256,512).
+    (2048, 64): (512, 1024),
+    (2048, 128): (512, 1024),
+    (2048, 256): (256, 512),
+    (8192, 64): (512, 1024),
+    (8192, 128): (512, 1024),
+    (8192, 256): (256, 512),
+    (16384, 64): (512, 1024),
+    (16384, 128): (512, 1024),
+    (16384, 256): (256, 512),
+}
+
+
+def _bucket(value: int, edges: tuple[int, ...], top: int) -> int:
+    for e in edges:
+        if value <= e:
+            return e
+    return top
+
+
+def _pick_blocks(head_dim: int, seqlen: int | None) -> tuple[int, int]:
+    n = seqlen if seqlen is not None else 8192
+    key = (
+        _bucket(n, _SEQ_BUCKETS, 16384),
+        _bucket(head_dim, _DIM_BUCKETS, 256),
+    )
+    return _MEASURED_BLOCKS[key]
+
+
+def pick_fa1_spec(head_dim: int, seqlen: int | None = None) -> FA1Spec:
     """Reference picks br=128/bc=128 for d<=64 else br=64 (src/fa1/spec.py:9-12).
-    On TPU the sweep (scripts/tune_attention.py, v5e, N=8K) favors large
-    tiles: 512x1024 beats 256x512 by 1.5x."""
-    if head_dim <= 128:
-        return FA1Spec(block_q=512, block_k=1024)
-    return FA1Spec(block_q=256, block_k=512)
+    On TPU the measured table above decides; N=8K d=128: 512x1024 beats
+    256x512 by 1.5x."""
+    bq, bk = _pick_blocks(head_dim, seqlen)
+    return FA1Spec(block_q=bq, block_k=bk)
 
 
-def pick_fa2_spec(head_dim: int) -> FA2Spec:
-    if head_dim <= 128:
-        return FA2Spec(block_q=512, block_k=1024)
-    return FA2Spec(block_q=256, block_k=512)
+def pick_fa2_spec(head_dim: int, seqlen: int | None = None) -> FA2Spec:
+    bq, bk = _pick_blocks(head_dim, seqlen)
+    return FA2Spec(block_q=bq, block_k=bk)
 
 
-def pick_fa3_spec(head_dim: int) -> FA3Spec:
-    if head_dim <= 128:
-        return FA3Spec(block_q=512, block_k=1024, stages=2)
-    return FA3Spec(block_q=256, block_k=512, stages=2)
+def pick_fa3_spec(head_dim: int, seqlen: int | None = None) -> FA3Spec:
+    bq, bk = _pick_blocks(head_dim, seqlen)
+    return FA3Spec(block_q=bq, block_k=bk, stages=2)

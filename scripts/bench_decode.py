@@ -32,10 +32,17 @@ def main():
     ap.add_argument("--page", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--trials", type=int, default=4)
+    ap.add_argument("--out", default=None,
+                    help="append JSON lines to this file (committed artifact)")
     ns = ap.parse_args()
 
+    import dataclasses
+
     from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
-    from flashattention_tpu.serving.paged_kv import init_paged_cache
+    from flashattention_tpu.serving.paged_kv import (
+        init_paged_cache,
+        paged_attention_decode,
+    )
 
     b, h, h_kv, d = ns.batch, ns.heads, ns.kv_heads, ns.dim
     seqlen, page = ns.seqlen, ns.page
@@ -61,6 +68,22 @@ def main():
         q = jax.random.normal(jax.random.key(2), (b, h, d), jnp.bfloat16)
 
         ks, vs = cache.k_scales, cache.v_scales
+
+        # Exact-attention parity bit (BASELINE.md (c): decode tokens/s AT
+        # PARITY): the kernel's output against the XLA gather executor on
+        # the same cache, same run. bf16 compute in the kernel vs fp32 in
+        # the executor bounds the delta at bf16 resolution.
+        cache_t = dataclasses.replace(cache, k_pages=kp, v_pages=vp)
+        o_kernel = pallas_paged_attention(
+            q, kp, vp, page_indices, lengths, k_scales=ks, v_scales=vs,
+        )
+        o_exec = paged_attention_decode(q, cache_t, page_indices, lengths)
+        parity_err = float(
+            np.abs(
+                np.asarray(o_kernel, np.float32) - np.asarray(o_exec, np.float32)
+            ).max()
+        )
+        parity_ok = bool(parity_err < 5e-2)
 
         # NOTE: arrays must be ARGUMENTS, not closures — closed-over arrays
         # become embedded HLO constants and blow past the remote-compile
@@ -92,20 +115,26 @@ def main():
             2 * b * h_kv * seqlen * 4 if quant else 0
         )
         gbps = (payload_bytes + scale_bytes) / best / 1e9
-        print(json.dumps({
+        line = json.dumps({
             "metric": "paged_decode_tokens_per_s",
             "quant": quant or "bf16",
             "value": round(toks_per_s, 1),
             "unit": "tokens/s/chip",
+            "parity_ok": parity_ok,
             "detail": {
                 "step_ms": round(best * 1e3, 3),
                 "kv_read_gbps": round(gbps, 1),
                 "hbm_frac": round(gbps / V5E_HBM_GBPS, 3),
+                "parity_max_err_vs_executor": round(parity_err, 5),
                 "batch": b, "heads": h, "kv_heads": h_kv,
                 "seqlen": seqlen, "page": page, "head_dim": d,
                 "backend": jax.default_backend(),
             },
-        }), flush=True)
+        })
+        print(line, flush=True)
+        if ns.out:
+            with open(ns.out, "a") as f:
+                f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,35 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def matmul_sol():
+    """Small-matmul speed-of-light reading (chip-health gate; see bench.py).
+    Returns TFLOP/s of a chained 4k bf16 matmul."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    m = 4096
+    a = jax.random.normal(jax.random.key(7), (m, m), jnp.bfloat16)
+    b = jax.random.normal(jax.random.key(8), (m, m), jnp.bfloat16)
+
+    @jax.jit
+    def loop(a0, b0):
+        def body(i, x):
+            return jnp.dot(x, b0).astype(jnp.bfloat16)
+        return lax.fori_loop(0, 30, body, a0)
+
+    out = loop(a, b)
+    _ = np.asarray(out).ravel()[:8]
+    t0 = _time.perf_counter()
+    out = loop(a, b)
+    _ = np.asarray(out).ravel()[:8]
+    dt = (_time.perf_counter() - t0) / 30
+    return 2 * m**3 / dt / 1e12
+
+
 def run_one(bq, bk, causal, bwd, seq, dim, heads):
     import jax
     import jax.numpy as jnp
@@ -66,8 +95,10 @@ def run_one(bq, bk, causal, bwd, seq, dim, heads):
         _ = np.asarray(o[0, 0, 0, :8])
         best = min(best, (time.perf_counter() - t0) / ITERS)
     eff = flops / (2 if causal else 1)
-    print(f"RESULT bq={bq} bk={bk} causal={causal} bwd={bwd}: "
-          f"{best*1e3:.3f} ms {eff/best/1e12:.1f} TFLOP/s", flush=True)
+    sol = matmul_sol()
+    print(f"RESULT bq={bq} bk={bk} causal={causal} bwd={bwd} seq={seq} "
+          f"dim={dim}: {best*1e3:.3f} ms {eff/best/1e12:.1f} TFLOP/s "
+          f"sol={sol:.1f}", flush=True)
 
 
 def main():
@@ -79,11 +110,21 @@ def main():
     ap.add_argument("--heads", type=int, default=8)
     ap.add_argument("--one", type=int, nargs=2, default=None,
                     metavar=("BQ", "BK"))
+    ap.add_argument("--grid", action="store_true",
+                    help="sweep N x d x blocks and emit the measured spec "
+                         "table for ops/specs.py (JSON lines + best-per-cell)")
+    ap.add_argument("--min-sol", type=float, default=60.0,
+                    help="grid mode: retry a config (up to 3x) while the "
+                         "matmul SOL reading is below this (TFLOP/s)")
     args = ap.parse_args()
 
     if args.one:
         run_one(args.one[0], args.one[1], args.causal, args.bwd,
                 args.seq, args.dim, args.heads)
+        return
+
+    if args.grid:
+        grid_main(args)
         return
 
     blocks = [
@@ -107,6 +148,87 @@ def main():
                   f"FAILED bq={bq} bk={bk} causal={causal}: "
                   f"{r.stderr.strip().splitlines()[-1][:150] if r.stderr else '?'}",
                   flush=True)
+
+
+def _parse_result(line):
+    import re
+
+    m = re.search(
+        r"RESULT bq=(\d+) bk=(\d+) causal=(\w+) bwd=(\w+) seq=(\d+) "
+        r"dim=(\d+): ([\d.]+) ms ([\d.]+) TFLOP/s sol=([\d.]+)", line
+    )
+    if not m:
+        return None
+    return dict(
+        bq=int(m[1]), bk=int(m[2]), causal=m[3] == "True", bwd=m[4] == "True",
+        seq=int(m[5]), dim=int(m[6]), ms=float(m[7]), tflops=float(m[8]),
+        sol=float(m[9]),
+    )
+
+
+def grid_main(args):
+    """Sweep N x d x candidate blocks; retry unhealthy windows (SOL gate);
+    print JSON lines + the best-(bq, bk) per (N, d) cell for
+    ops/specs.py:_MEASURED_BLOCKS. Forward and fwd+bwd both run; the cell
+    winner maximizes fwd + 2*bwd weighted TFLOP/s (training mix)."""
+    import json
+
+    seqs = (2048, 8192, 16384)
+    dims = (64, 128, 256)
+    blocks = [(256, 512), (512, 512), (512, 1024), (1024, 1024), (512, 2048)]
+    results = []
+    for seq in seqs:
+        for dim in dims:
+            for bq, bk in blocks:
+                if bq > seq or bk > seq:
+                    continue
+                for bwd in (False, True):
+                    rec = None
+                    for attempt in range(3):
+                        cmd = [sys.executable, __file__, "--one", str(bq),
+                               str(bk), "--seq", str(seq), "--dim", str(dim),
+                               "--heads", str(args.heads)]
+                        if bwd:
+                            cmd.append("--bwd")
+                        r = subprocess.run(cmd, capture_output=True, text=True)
+                        out = [l for l in r.stdout.splitlines()
+                               if l.startswith("RESULT")]
+                        rec = _parse_result(out[0]) if out else None
+                        if rec is None:
+                            err = (r.stderr.strip().splitlines() or ["?"])[-1]
+                            print(f"FAILED bq={bq} bk={bk} seq={seq} "
+                                  f"dim={dim} bwd={bwd}: {err[:150]}",
+                                  flush=True)
+                            break
+                        if rec["sol"] >= args.min_sol:
+                            break
+                        print(f"RETRY (sol={rec['sol']:.1f} < "
+                              f"{args.min_sol}) bq={bq} bk={bk} seq={seq} "
+                              f"dim={dim} bwd={bwd}", flush=True)
+                        time.sleep(20)
+                    if rec:
+                        results.append(rec)
+                        print("GRID " + json.dumps(rec), flush=True)
+
+    print("\n# best blocks per (seq, dim), fwd + 2*bwd weighted:")
+    table = {}
+    for seq in seqs:
+        for dim in dims:
+            cell = [r for r in results if r["seq"] == seq and r["dim"] == dim]
+            scores = {}
+            for bq, bk in blocks:
+                fwd = [r["tflops"] for r in cell
+                       if (r["bq"], r["bk"]) == (bq, bk) and not r["bwd"]]
+                bwdv = [r["tflops"] for r in cell
+                        if (r["bq"], r["bk"]) == (bq, bk) and r["bwd"]]
+                if fwd and bwdv:
+                    scores[(bq, bk)] = fwd[0] + 2 * bwdv[0]
+            if scores:
+                best = max(scores, key=scores.get)
+                table[(seq, dim)] = best
+                print(f"    ({seq}, {dim}): {best},  # score "
+                      f"{scores[best]:.1f} TFLOP/s-wtd")
+    print("# paste into ops/specs.py _MEASURED_BLOCKS (bucket keys)")
 
 
 if __name__ == "__main__":
