@@ -49,7 +49,13 @@ from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 from flashattention_tpu.ops.specs import MIN_BLOCK
 
 LANES = 128  # lane width for fp32 m/l scratch rows
-_BWD_IMPL = os.environ.get("FAT_BWD_IMPL")  # None | "split" | "fused"
+# Backward strategy default: FUSED (dK/dV in scratch + dQ partials reduced
+# in XLA; 5 matmul passes vs the split pair's 7). Round-1's "split wins
+# 1.35x" A/B was invalid — its timing loop carried only dq, so XLA
+# dead-code-eliminated the split path's dKV kernel entirely. Re-measured
+# 2026-08-17 with all three grads consumed and overhead-corrected timing:
+# fused 6.21 ms vs split 7.40 ms at N=8K d=128 (RESULTS.md round-2 table).
+_BWD_IMPL = os.environ.get("FAT_BWD_IMPL", "fused")  # "split" | "fused"
 
 
 def _interpret_default() -> bool:
@@ -412,30 +418,35 @@ def _bwd_dkv_kernel(
 def _bwd_fused_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
+    resident,
 ):
-    """Fused backward: dK/dV accumulated in scratch per KV tile + a dQ
-    *partial* written per (KV tile, Q tile) grid cell and reduced over the KV
-    axis outside the kernel (XLA sum).
+    """Fused backward: dK/dV accumulated in scratch per KV tile, plus dQ by
+    one of two strategies (TPU has no atomics — the reference's Triton dQ
+    uses fp16 atomic_add, src/fa1/triton/kernels_bwd.py:89):
 
-    vs. the split dKV/dQ pair this skips one full recompute of s and dp —
-    5 matmul passes instead of 7 (~29% less MXU work) — at the cost of an
-    O(n_k_tiles · N_q · D) fp32 partial buffer in HBM. TPU has no atomics
-    (the reference's Triton dQ uses fp16 atomic_add,
-    src/fa1/triton/kernels_bwd.py:89); the partial-sum layout is the
-    TPU-native equivalent.
+    - ``resident`` (default when it fits): the WHOLE dQ lives in a
+      (N_q_pad, D) fp32 VMEM scratch, accumulated across the outer KV-tile
+      sweep and written to HBM exactly once during the final sweep (the dq
+      output's index map points every earlier sweep at a dummy block).
+      Zero extra HBM traffic; 5 matmul passes vs the split pair's 7.
+    - partial (large N fallback): a dQ partial per (KV tile, Q tile) grid
+      cell, reduced over the KV axis outside the kernel (XLA sum) — costs
+      an O(n_k_tiles · N_q · D) fp32 buffer's write+read.
     """
     if dropout_rate > 0.0:
         (qoff_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr) = refs
+         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, *dq_scr) = refs
     else:
         (qoff_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr) = refs
+         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, *dq_scr) = refs
         seed_ref = None
+    dq_scr = dq_scr[0] if resident else None
     ib = pl.program_id(0)
     ih = pl.program_id(1)
     ik = pl.program_id(2)
     iq = pl.program_id(3)
     n_q_tiles = pl.num_programs(3)
+    n_k_tiles = pl.num_programs(2)
     offset = qoff_ref[0]  # see _fwd_kernel note
     kv_edge = n_k % block_k != 0
 
@@ -443,6 +454,13 @@ def _bwd_fused_kernel(
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if resident:
+        @pl.when(ik == 0)
+        def _init_dq():
+            dq_scr[pl.ds(iq * block_q, block_q), :] = jnp.zeros(
+                (block_q, dq_scr.shape[1]), jnp.float32
+            )
 
     def _update(use_mask):
         q = q_ref[0, 0]
@@ -489,16 +507,18 @@ def _bwd_fused_kernel(
             ds_cast, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dq_ref[0, 0, 0] = (
-            jax.lax.dot(ds_cast, k, preferred_element_type=jnp.float32)
-            * jnp.float32(softmax_scale)
-        )
+        dq_tile = jax.lax.dot(ds_cast, k, preferred_element_type=jnp.float32)
+        if resident:
+            sl = pl.ds(iq * block_q, block_q)
+            dq_scr[sl, :] += dq_tile
+        else:
+            dq_ref[0, 0, 0] = dq_tile * jnp.float32(softmax_scale)
 
     if causal:
         run = _causal_should_run(iq, ik, block_q, block_k, offset)
         needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
         if kv_edge:
-            needs_mask = needs_mask | (ik == pl.num_programs(2) - 1)
+            needs_mask = needs_mask | (ik == n_k_tiles - 1)
 
         @pl.when(run & needs_mask)
         def _masked():
@@ -508,11 +528,12 @@ def _bwd_fused_kernel(
         def _unmasked():
             _update(False)
 
-        @pl.when(jnp.logical_not(run))
-        def _skipped():
-            dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
+        if not resident:
+            @pl.when(jnp.logical_not(run))
+            def _skipped():
+                dq_ref[0, 0, 0] = jnp.zeros_like(dq_ref[0, 0, 0])
     elif kv_edge:
-        is_edge = ik == pl.num_programs(2) - 1
+        is_edge = ik == n_k_tiles - 1
 
         @pl.when(is_edge)
         def _edge():
@@ -530,6 +551,17 @@ def _bwd_fused_kernel(
             dk_scr[...] * jnp.float32(softmax_scale)
         ).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+    if resident:
+        # Final KV sweep: flush this Q tile's finished dQ row block. (On
+        # earlier sweeps the dq output's index map points at the dummy
+        # block, so nothing real is written.)
+        @pl.when(ik == n_k_tiles - 1)
+        def _store_dq():
+            dq_ref[0, 0] = (
+                dq_scr[pl.ds(iq * block_q, block_q), :]
+                * jnp.float32(softmax_scale)
+            ).astype(dq_ref.dtype)
 
 
 def _bwd_dq_kernel(
@@ -670,38 +702,89 @@ def _flash_bwd(
     n_k_tiles = n_k_pad // block_k
     n_q_tiles = n_q_pad // block_q
     # Backward strategy. The fused kernel (dK/dV in scratch + per-KV-tile dQ
-    # partials reduced in XLA) does 5 matmul passes vs the split pair's 7,
-    # but A/B measurement on v5e (2026-08-16, N=8K d=128) puts split 1.35x
-    # AHEAD: the O(n_k_tiles · N_q · D) fp32 partial buffer's HBM write+read
-    # +reduce costs more than the extra recompute. Default split; the fused
-    # path stays selectable for other shape regimes (FAT_BWD_IMPL=fused,
-    # read at import — jit traces cache the choice anyway).
+    # partials reduced in XLA) does 5 matmul passes vs the split pair's 7;
+    # honest A/B (all grads consumed — a dq-only loss lets XLA DCE the split
+    # path's dKV kernel, which invalidated the round-1 comparison) puts
+    # fused 1.19x AHEAD at N=8K d=128 (6.21 vs 7.40 ms, 2026-08-17).
+    # FAT_BWD_IMPL=split selects the pair (less HBM partial traffic — may
+    # win at longer N where the partial buffer grows).
     fused = _BWD_IMPL == "fused"
 
     if fused:
-        dq_part_spec = pl.BlockSpec(
-            (1, 1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, j, 0)
-        )
-        dk, dv, dq_part = pl.pallas_call(
-            functools.partial(_bwd_fused_kernel, **common),
-            grid=(b, h, n_k_tiles, n_q_tiles),
-            in_specs=in_specs,
-            out_specs=[dkv_spec, dkv_spec, dq_part_spec],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
-                jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
-                jax.ShapeDtypeStruct((b, h, n_k_tiles, n_q_pad, d), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((block_k, d), jnp.float32),
-                pltpu.VMEM((block_k, d), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            ),
-            interpret=interpret,
-        )(*args)
-        dq = dq_part.sum(axis=2).astype(q.dtype)
+        # dQ residency: keep the whole (N_q_pad, D) fp32 dQ in VMEM scratch
+        # when it fits (<= ~8 MB leaves room for the tile pipeline in 16 MB
+        # VMEM) — zero partial-buffer HBM traffic. Larger shapes fall back
+        # to HBM partials + XLA reduce.
+        resident = n_q_pad * q.shape[-1] * 4 <= 8 * 1024 * 1024
+
+        if resident:
+            # Earlier KV sweeps park the dq output block on a dummy index
+            # (n_q_tiles — one padding block past the real rows); only the
+            # final sweep maps real blocks, so each is written exactly once.
+            dq_spec = pl.BlockSpec(
+                (1, 1, block_q, d),
+                lambda b_, h_, i, j: (
+                    b_, h_,
+                    jnp.where(i == n_k_tiles - 1, j, n_q_tiles), 0,
+                ),
+            )
+            dk, dv, dq_full = pl.pallas_call(
+                functools.partial(_bwd_fused_kernel, resident=True, **common),
+                grid=(b, h, n_k_tiles, n_q_tiles),
+                in_specs=in_specs,
+                out_specs=[dkv_spec, dkv_spec, dq_spec],
+                out_shape=[
+                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+                    jax.ShapeDtypeStruct(
+                        (b, h, n_q_pad + block_q, d), jnp.float32
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((n_q_pad, d), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    # ik carries the dq accumulator across sweeps ->
+                    # sequential ("arbitrary"), like iq for dkv.
+                    dimension_semantics=(
+                        "parallel", "parallel", "arbitrary", "arbitrary",
+                    ),
+                ),
+                interpret=interpret,
+            )(*args)
+            dq = dq_full[:, :, :n_q_pad, :].astype(q.dtype)
+        else:
+            dq_part_spec = pl.BlockSpec(
+                (1, 1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, j, 0)
+            )
+            dk, dv, dq_part = pl.pallas_call(
+                functools.partial(
+                    _bwd_fused_kernel, resident=False, **common
+                ),
+                grid=(b, h, n_k_tiles, n_q_tiles),
+                in_specs=in_specs,
+                out_specs=[dkv_spec, dkv_spec, dq_part_spec],
+                out_shape=[
+                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+                    jax.ShapeDtypeStruct(
+                        (b, h, n_k_tiles, n_q_pad, d), jnp.float32
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                    pltpu.VMEM((block_k, d), jnp.float32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(
+                        "parallel", "parallel", "parallel", "arbitrary",
+                    ),
+                ),
+                interpret=interpret,
+            )(*args)
+            dq = dq_part.sum(axis=2).astype(q.dtype)
         if groups > 1:
             dk = dk.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
             dv = dv.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)

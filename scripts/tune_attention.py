@@ -20,8 +20,9 @@ sys.path.insert(0, "/root/repo")
 
 
 def matmul_sol():
-    """Small-matmul speed-of-light reading (chip-health gate; see bench.py).
-    Returns TFLOP/s of a chained 4k bf16 matmul."""
+    """Matmul speed-of-light reading, overhead-corrected (two-point over a
+    traced-length loop — a fixed short loop reads dispatch overhead, not
+    compute; see bench.py docstring). Returns TFLOP/s of a 6k bf16 matmul."""
     import time as _time
 
     import jax
@@ -29,29 +30,40 @@ def matmul_sol():
     import numpy as np
     from jax import lax
 
-    m = 4096
+    m = 6144
     a = jax.random.normal(jax.random.key(7), (m, m), jnp.bfloat16)
     b = jax.random.normal(jax.random.key(8), (m, m), jnp.bfloat16)
 
     @jax.jit
-    def loop(a0, b0):
+    def loop(n, a0, b0):
         def body(i, x):
             return jnp.dot(x, b0).astype(jnp.bfloat16)
-        return lax.fori_loop(0, 30, body, a0)
+        return lax.fori_loop(0, n, body, a0)
 
-    out = loop(a, b)
+    out = loop(jnp.int32(2), a, b)
     _ = np.asarray(out).ravel()[:8]
-    t0 = _time.perf_counter()
-    out = loop(a, b)
-    _ = np.asarray(out).ravel()[:8]
-    dt = (_time.perf_counter() - t0) / 30
-    return 2 * m**3 / dt / 1e12
+    i1, i2 = 30, 330
+    best = {i1: float("inf"), i2: float("inf")}
+    for _trial in range(2):
+        for iters in (i1, i2):
+            t0 = _time.perf_counter()
+            out = loop(jnp.int32(iters), a, b)
+            _ = np.asarray(out).ravel()[:8]
+            best[iters] = min(best[iters], _time.perf_counter() - t0)
+    t_iter = (best[i2] - best[i1]) / (i2 - i1)
+    return 2 * m**3 / t_iter / 1e12
 
 
 def run_one(bq, bk, causal, bwd, seq, dim, heads):
+    """Overhead-corrected timing of one (block_q, block_k) config.
+
+    Methodology per bench.py (round-2): traced-length fori_loop, two-point
+    fit; the backward loop consumes ALL grads (a dq-only carry lets XLA
+    DCE the dKV kernel — the round-1 tuning-data hazard)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     from flashattention_tpu.ops.pallas_attn import pallas_attention
 
@@ -68,36 +80,38 @@ def run_one(bq, bk, causal, bwd, seq, dim, heads):
                     t[0], t[1], t[2], causal=causal, block_q=bq, block_k=bk
                 )
                 return jnp.sum(o.astype(jnp.float32) ** 2)
-            return jax.grad(loss)((q_, k_, v_))[0]
-        flops = fwd_flops * 2.5
+            dq, dk, dv = jax.grad(loss)((q_, k_, v_))
+            return (dq + dk + dv).astype(q_.dtype)
+        flops = fwd_flops * 3.0
+        i1, i2 = 10, max(110, 10 * 8192 // seq)
     else:
         def f(q_, k_, v_):
             return pallas_attention(
                 q_, k_, v_, causal=causal, block_q=bq, block_k=bk
-            )[0]
+            )[0].astype(q_.dtype)
         flops = fwd_flops
-    from jax import lax
-
-    ITERS = 60 if not bwd else 20
+        i1, i2 = 30, max(330, 30 * 8192 // seq)
 
     @jax.jit
-    def g(q_, k_, v_):
+    def g(n, q_, k_, v_):
         def body(i, acc):
-            return f(acc, k_, v_).astype(q_.dtype)
-        return lax.fori_loop(0, ITERS, body, q_)
+            return f(acc, k_, v_)
+        return lax.fori_loop(0, n, body, q_)
 
-    o = g(q, k, v)
-    _ = np.asarray(o[0, 0, 0, :8])
-    best = float("inf")
+    o = g(jnp.int32(2), q, k, v)
+    _ = np.asarray(o).ravel()[:8]
+    best = {i1: float("inf"), i2: float("inf")}
     for _trial in range(3):
-        t0 = time.perf_counter()
-        o = g(q, k, v)
-        _ = np.asarray(o[0, 0, 0, :8])
-        best = min(best, (time.perf_counter() - t0) / ITERS)
+        for iters in (i1, i2):
+            t0 = time.perf_counter()
+            o = g(jnp.int32(iters), q, k, v)
+            _ = np.asarray(o).ravel()[:8]
+            best[iters] = min(best[iters], time.perf_counter() - t0)
+    t_iter = (best[i2] - best[i1]) / (i2 - i1)
     eff = flops / (2 if causal else 1)
     sol = matmul_sol()
     print(f"RESULT bq={bq} bk={bk} causal={causal} bwd={bwd} seq={seq} "
-          f"dim={dim}: {best*1e3:.3f} ms {eff/best/1e12:.1f} TFLOP/s "
+          f"dim={dim}: {t_iter*1e3:.3f} ms {eff/t_iter/1e12:.1f} TFLOP/s "
           f"sol={sol:.1f}", flush=True)
 
 
@@ -113,7 +127,7 @@ def main():
     ap.add_argument("--grid", action="store_true",
                     help="sweep N x d x blocks and emit the measured spec "
                          "table for ops/specs.py (JSON lines + best-per-cell)")
-    ap.add_argument("--min-sol", type=float, default=60.0,
+    ap.add_argument("--min-sol", type=float, default=100.0,
                     help="grid mode: retry a config (up to 3x) while the "
                          "matmul SOL reading is below this (TFLOP/s)")
     args = ap.parse_args()
