@@ -93,17 +93,25 @@ def ring_attention(
     l = jnp.zeros((b, h, n_local), jnp.float32)
     acc = jnp.zeros((b, h, n_local, d_head), jnp.float32)
 
+    # Double-buffered ring: step j+1's ppermute is ISSUED before step j's
+    # attention compute. The transfer's dataflow chain is permute->permute->
+    # ...->parameters — no attention op ever gates a transfer (verified on
+    # the compiled HLO by scripts/ring_overlap_trace.py), so the scheduler
+    # is free to hide every hop behind the concurrent partial's compute.
     k_blk, v_blk = k, v
     for step in range(n_dev):  # static: n_dev known at trace time
         src = (my_idx - step) % n_dev  # which shard we hold right now
+        k_next = v_next = None
+        if step < n_dev - 1:
+            k_next = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_next = jax.lax.ppermute(v_blk, axis_name, perm)
         if causal:
             o_p, lse_p = partial_causal((q, k_blk, v_blk), src)
         else:
             o_p, lse_p = partial_full((q, k_blk, v_blk))
         m, l, acc = _merge_partials(m, l, acc, o_p, lse_p)
-        if step < n_dev - 1:
-            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        if k_next is not None:
+            k_blk, v_blk = k_next, v_next
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = (acc / l_safe[..., None]).astype(q.dtype)
@@ -178,18 +186,25 @@ def ring_attention_bidir(
     l = jnp.zeros((b, h, n_local), jnp.float32)
     acc = jnp.zeros((b, h, n_local, d_head), jnp.float32)
 
+    # Double-buffered in both directions: the next halves are requested
+    # before this step's compute (see ring_attention's overlap note).
     for step in range(n_dev):  # static
         src1 = (my_idx - step) % n_dev  # half 1 rotates clockwise
         src2 = (my_idx + step) % n_dev  # half 2 rotates counter-clockwise
+        nxt = None
+        if step < n_dev - 1:
+            nxt = (
+                jax.lax.ppermute(k1, axis_name, fwd_perm),
+                jax.lax.ppermute(v1, axis_name, fwd_perm),
+                jax.lax.ppermute(k2, axis_name, rev_perm),
+                jax.lax.ppermute(v2, axis_name, rev_perm),
+            )
         o1, lse1 = partial_against(k1, v1, src1, 0)
         o2, lse2 = partial_against(k2, v2, src2, half)
         m, l, acc = _merge_partials(m, l, acc, o1, lse1)
         m, l, acc = _merge_partials(m, l, acc, o2, lse2)
-        if step < n_dev - 1:
-            k1 = jax.lax.ppermute(k1, axis_name, fwd_perm)
-            v1 = jax.lax.ppermute(v1, axis_name, fwd_perm)
-            k2 = jax.lax.ppermute(k2, axis_name, rev_perm)
-            v2 = jax.lax.ppermute(v2, axis_name, rev_perm)
+        if nxt is not None:
+            k1, v1, k2, v2 = nxt
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = (acc / l_safe[..., None]).astype(q.dtype)
