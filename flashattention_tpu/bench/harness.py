@@ -89,14 +89,17 @@ def benchmark_call(
     fn: Callable, args: tuple, *, chain_idx: int = 0, warmup: int = 1,
     iters: int = 60, trials: int = 3,
 ) -> tuple[float, float]:
-    """Returns (mean_ms_of_best_trial, pstdev_ms_across_trials).
+    """Returns (t_iter_ms, pstdev_ms_across_per-length_samples).
 
-    ITERS chained calls run on device inside ONE jitted lax.fori_loop —
-    host-loop chaining pays a per-dispatch tunnel constant (buffer
-    re-upload) that dwarfs the kernel (see bench.py docstring). The chained
-    value must keep the dtype/shape of args[chain_idx].
+    Two-point overhead-corrected timing (bench.py methodology, round 2):
+    chained calls run on device inside ONE jitted lax.fori_loop whose trip
+    count is a TRACED argument; two lengths (iters, 9*iters) interleave and
+    t_iter comes from the difference — the tunnel's 0.4-1.7 s per-dispatch
+    constant cancels exactly. The chained value keeps args[chain_idx]'s
+    shape/dtype.
     """
     import jax
+    import jax.numpy as jnp
     from jax import lax
 
     ref = args[chain_idx]
@@ -104,25 +107,30 @@ def benchmark_call(
     # All arrays ride as jit ARGUMENTS: closed-over arrays embed as HLO
     # constants and can exceed the tunnel's compile-request size limit.
     @jax.jit
-    def loop(a0, *rest):
+    def loop(n, a0, *rest):
         def one(i, a):
             full = list(rest[:chain_idx]) + [a] + list(rest[chain_idx:])
             out = fn(*full)
             first = out[0] if isinstance(out, (tuple, list)) else out
             return first.astype(ref.dtype).reshape(ref.shape)
-        return lax.fori_loop(0, iters, one, a0)
+        return lax.fori_loop(0, n, one, a0)
 
     rest = tuple(x for i, x in enumerate(args) if i != chain_idx)
-    for _w in range(max(warmup, 1)):
-        out = loop(ref, *rest)
-        _ = np.asarray(out).ravel()[:4]  # warm + sync
-    times = []
-    for _t in range(trials):
-        t0 = time.perf_counter()
-        out = loop(ref, *rest)
-        _ = np.asarray(out).ravel()[:4]
-        times.append((time.perf_counter() - t0) / iters * 1e3)
-    return min(times), statistics.pstdev(times) if len(times) > 1 else 0.0
+    out = loop(jnp.int32(2), ref, *rest)
+    _ = np.asarray(out).ravel()[:4]  # compile + sync
+    i1, i2 = iters, 9 * iters
+    best = {i1: float("inf"), i2: float("inf")}
+    samples = []
+    for _t in range(max(trials, 2)):
+        for n in (i1, i2):
+            t0 = time.perf_counter()
+            out = loop(jnp.int32(n), ref, *rest)
+            _ = np.asarray(out).ravel()[:4]
+            dt = time.perf_counter() - t0
+            best[n] = min(best[n], dt)
+            samples.append(dt / n * 1e3)
+    t_iter = (best[i2] - best[i1]) / (i2 - i1)
+    return max(t_iter, 1e-9) * 1e3, statistics.pstdev(samples)
 
 
 def write_results(

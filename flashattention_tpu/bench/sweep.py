@@ -77,7 +77,15 @@ def run_config(ns) -> BenchRecord:
             def loss(t):
                 o, _ = algo_fn(t[0], t[1], t[2], **kwargs)
                 return jnp.sum(o.astype(jnp.float32) ** 2)
-            fn = jax.jit(lambda q_, k_, v_: jax.grad(loss)((q_, k_, v_))[0])
+
+            def fn(q_, k_, v_):
+                # ALL grads consumed — a dq-only carry lets XLA DCE the dKV
+                # kernel (bench.py docstring, round-2 finding). dk/dv may
+                # carry fewer heads under GQA; reduce them into dq's shape.
+                dq, dk, dv = jax.grad(loss)((q_, k_, v_))
+                return dq + jnp.sum(dk + dv, axis=1, keepdims=True).astype(
+                    dq.dtype
+                )
 
         rec.mean_ms, rec.pstdev_ms = benchmark_call(fn, (q, k, v))
         from flashattention_tpu.bench.harness import device_peak_memory_mb

@@ -88,26 +88,32 @@ def main():
         # NOTE: arrays must be ARGUMENTS, not closures — closed-over arrays
         # become embedded HLO constants and blow past the remote-compile
         # request size limit (HTTP 413) with a multi-100MB cache.
+        # Timing: two-point overhead-corrected over a traced-length loop
+        # (bench.py methodology — the tunnel's 0.4-1.7 s dispatch constant
+        # dominated the round-1 decode numbers at 20 fixed iters).
         @jax.jit
-        def loop(q0, kp_, vp_, ks_, vs_, pi_, len_):
+        def loop(n, q0, kp_, vp_, ks_, vs_, pi_, len_):
             def body(i, qq):
                 o = pallas_paged_attention(
                     qq, kp_, vp_, pi_, len_, k_scales=ks_, v_scales=vs_,
                 )
                 return o.astype(qq.dtype)
-            return lax.fori_loop(0, ns.iters, body, q0)
+            return lax.fori_loop(0, n, body, q0)
 
         call_args = (q, kp, vp, ks, vs, page_indices, lengths)
-        out = loop(*call_args)
+        out = loop(jnp.int32(2), *call_args)
         _ = np.asarray(out).ravel()[:8]
-        best = float("inf")
+        i1, i2 = ns.iters, 9 * ns.iters
+        bests = {i1: float("inf"), i2: float("inf")}
         for t in range(ns.trials):
-            t0 = time.perf_counter()
-            out = loop(*call_args)
-            _ = np.asarray(out).ravel()[:8]
-            best = min(best, (time.perf_counter() - t0) / ns.iters)
+            for n in (i1, i2):
+                t0 = time.perf_counter()
+                out = loop(jnp.int32(n), *call_args)
+                _ = np.asarray(out).ravel()[:8]
+                bests[n] = min(bests[n], time.perf_counter() - t0)
             if t + 1 < ns.trials:
                 time.sleep(2)
+        best = (bests[i2] - bests[i1]) / (i2 - i1)
 
         toks_per_s = b / best
         payload_bytes = 2 * b * h_kv * seqlen * d * cache.k_pages.dtype.itemsize
