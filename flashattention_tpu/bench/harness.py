@@ -116,17 +116,29 @@ def benchmark_call(
         return lax.fori_loop(0, n, one, a0)
 
     rest = tuple(x for i, x in enumerate(args) if i != chain_idx)
-    out = loop(jnp.int32(2), ref, *rest)
-    _ = np.asarray(out).ravel()[:4]  # compile + sync
-    i1, i2 = iters, 9 * iters
-    best = {i1: float("inf"), i2: float("inf")}
-    samples = []
-    for _t in range(max(trials, 2)):
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = loop(jnp.int32(n), ref, *rest)
+        _ = np.asarray(out).ravel()[:4]
+        return time.perf_counter() - t0
+
+    run(2)  # compile + sync
+    # Auto-scale the long length so the DIFFERENTIAL compute is >= ~2 s —
+    # the overhead constant jitters by a few hundred ms between dispatches,
+    # so a small delta (fast kernels / short seqs) would drown the signal.
+    i1 = iters
+    t1 = min(run(i1) for _ in range(2))
+    i2 = 9 * i1
+    t2 = run(i2)
+    while t2 - t1 < 2.0 and i2 < 400_000:
+        i2 *= 4
+        t2 = run(i2)
+    best = {i1: t1, i2: t2}
+    samples = [t1 / i1 * 1e3, t2 / i2 * 1e3]
+    for _t in range(max(trials - 1, 1)):
         for n in (i1, i2):
-            t0 = time.perf_counter()
-            out = loop(jnp.int32(n), ref, *rest)
-            _ = np.asarray(out).ravel()[:4]
-            dt = time.perf_counter() - t0
+            dt = run(n)
             best[n] = min(best[n], dt)
             samples.append(dt / n * 1e3)
     t_iter = (best[i2] - best[i1]) / (i2 - i1)
