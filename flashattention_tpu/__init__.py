@@ -27,6 +27,7 @@ from flashattention_tpu.ops.api import (
     flash_attention,
 )
 from flashattention_tpu.ops.reference import reference_attention
+from flashattention_tpu.tokenizer import BPETokenizer
 from flashattention_tpu.ops.specs import (
     FA1Spec,
     FA2Spec,
@@ -44,6 +45,7 @@ __all__ = [
     "fa3_attention",
     "flash_attention",
     "reference_attention",
+    "BPETokenizer",
     "FA1Spec",
     "FA2Spec",
     "FA3Spec",

@@ -9,7 +9,10 @@ This build keeps the tokenize-once stream design but stays dependency-light:
 - ``bytes`` tokenizer (vocab 256) works on any text with zero downloads —
   this environment has no network egress, and the reference's
   tiktoken/datasets stack is a network dependency (reference ln 788-794).
-- a HuggingFace tokenizer can be passed in where one is available locally.
+- ``tokenizer.BPETokenizer`` — a local byte-level BPE (GPT-2/tiktoken file
+  format; trainable from a corpus) for subword streams with no downloads:
+  ``load_token_stream(path, tokenizer=BPETokenizer.train(text, 8192).encode)``.
+- any HuggingFace tokenizer can be passed in where one is available locally.
 - batches are (B, seq_len + 1) int32 arrays; ``loss_fn`` shifts them into
   (inputs, targets) (models/train.py:79-88).
 

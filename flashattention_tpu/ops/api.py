@@ -23,6 +23,8 @@ schedule, not a separate code path.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +64,7 @@ def flash_attention(
     dropout_key: jax.Array | None = None,
     q_offset: jax.Array | int | None = None,
     interpret: bool | None = None,
+    stages: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
     """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
 
@@ -69,9 +72,15 @@ def flash_attention(
     shares KV tiles across the head group natively; the xla/reference
     backends expand k/v by head repetition (identical semantics).
 
-    ``mask`` routes through the XLA executor; ``dropout`` runs natively in
-    the Pallas kernels (counter-based replay) or via saved-key replay in the
-    XLA executor.
+    ``mask`` routes through the XLA executor (an arbitrary dense mask defeats
+    tile skipping; causal/offset masks stay on the kernel path) — a warning
+    is emitted if the caller explicitly asked for ``backend="pallas"``, so
+    the degradation is never silent (the repo's own criticism of reference
+    quirk Q5). ``dropout`` runs natively in the Pallas kernels
+    (counter-based replay) or via saved-key replay in the XLA executor.
+
+    ``stages``: Pallas forward pipeline depth (1 = single-buffered KV DMA,
+    2 = double-buffered); the FAx generation specs pick it (ops/specs.py).
 
     ``q_offset``: absolute key-timeline position of query row 0 under
     ``causal=True`` (row r attends cols <= r + q_offset; may be a traced
@@ -94,6 +103,13 @@ def flash_attention(
     if routes_tiled:
         if backend == "reference":
             raise ValueError("reference backend has no dropout path")
+        if backend == "pallas" and mask is not None:
+            warnings.warn(
+                "flash_attention(backend='pallas', mask=...) runs the tiled "
+                "XLA executor: an arbitrary dense mask defeats kernel tile "
+                "skipping. Use causal=/q_offset= to stay on the Pallas path.",
+                stacklevel=2,
+            )
         return tiled_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
             block_k=min(block_k, 128) if k.shape[-2] < block_k else block_k,
@@ -111,7 +127,7 @@ def flash_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
             block_q=block_q, block_k=block_k, interpret=interpret,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
-            q_offset=q_offset,
+            q_offset=q_offset, stages=stages,
         )
     if backend == "xla":
         return tiled_attention(
@@ -126,11 +142,12 @@ def flash_attention(
 def fa1_attention(
     q, k, v, causal: bool = False, softmax_scale=None, backend: str = "auto"
 ):
-    """FA1 generation (reference src/fa1/op.py:7)."""
+    """FA1 generation (reference src/fa1/op.py:7). Single-buffered KV
+    stream (stages=1): the FA1-era schedule has no software pipelining."""
     spec = pick_fa1_spec(q.shape[-1], q.shape[-2])
     return flash_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale, backend=backend,
-        block_q=spec.block_q, block_k=spec.block_k,
+        block_q=spec.block_q, block_k=spec.block_k, stages=spec.stages,
     )
 
 
@@ -142,7 +159,7 @@ def fa2_attention(
     spec = pick_fa2_spec(q.shape[-1], q.shape[-2])
     return flash_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale, backend=backend,
-        block_q=spec.block_q, block_k=spec.block_k,
+        block_q=spec.block_q, block_k=spec.block_k, stages=spec.stages,
     )
 
 
@@ -167,6 +184,7 @@ def fa3_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
             backend=backend, block_q=spec.block_q, block_k=spec.block_k,
             dropout_rate=dropout_rate, dropout_key=dropout_key,
+            stages=spec.stages,
         )
     if dropout_rate > 0.0 and dropout_key is None:
         raise ValueError("dropout_rate > 0 requires dropout_key")

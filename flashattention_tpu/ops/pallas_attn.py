@@ -231,7 +231,7 @@ def _fwd_kernel(
 
 def _flash_fwd(
     q, k, v, seed, qoff, *, causal, softmax_scale, block_q, block_k,
-    interpret, n_q, n_k, dropout_rate,
+    interpret, n_q, n_k, dropout_rate, stages=2,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -249,14 +249,24 @@ def _flash_fwd(
         block_k=block_k,
         dropout_rate=dropout_rate,
     )
+    # ``stages`` — the FAx pipeline-depth knob (the reference plumbs it but
+    # never uses it, quirk Q6; src/fa3/spec.py:3-13). Here it sets the K/V
+    # stream's in-flight buffer count: 1 = no software pipelining (FA1-era
+    # schedule, halved VMEM), 2 = double buffering (Mosaic's max/default).
+    kv_pipeline = (
+        pl.Buffered(buffer_count=1)
+        if (stages == 1 and not interpret) else None
+    )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # qoff scalar
         pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0)),
         pl.BlockSpec(
-            (1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_ // groups, ik, 0)
+            (1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_ // groups, ik, 0),
+            pipeline_mode=kv_pipeline,
         ),
         pl.BlockSpec(
-            (1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_ // groups, ik, 0)
+            (1, 1, block_k, d), lambda b_, h_, iq, ik: (b_, h_ // groups, ik, 0),
+            pipeline_mode=kv_pipeline,
         ),
     ]
     args = [qoff, q, k, v]
@@ -888,28 +898,28 @@ def _prepare(q, k, v, block_q, block_k):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
 )
 def _flash_attention(
     q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
-    dropout_rate,
+    dropout_rate, stages,
 ):
     o, lse = _flash_attention_fwd_rule(
         q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k,
-        interpret, dropout_rate,
+        interpret, dropout_rate, stages,
     )[0]
     return o, lse
 
 
 def _flash_attention_fwd_rule(
     q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
-    dropout_rate,
+    dropout_rate, stages,
 ):
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
     o, lse = _flash_fwd(
         qp, kp, vp, seed, qoff, causal=causal, softmax_scale=softmax_scale,
         block_q=bq, block_k=bk, interpret=interpret, n_q=n_q, n_k=n_k,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, stages=stages,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
@@ -917,7 +927,7 @@ def _flash_attention_fwd_rule(
 
 
 def _flash_attention_bwd_rule(
-    causal, softmax_scale, block_q, block_k, interpret, dropout_rate,
+    causal, softmax_scale, block_q, block_k, interpret, dropout_rate, stages,
     residuals, cotangents,
 ):
     q, k, v, seed, qoff, o, lse = residuals
@@ -964,8 +974,14 @@ def pallas_attention(
     dropout_seed: jax.Array | int | None = None,
     q_offset: jax.Array | int | None = None,
     interpret: bool | None = None,
+    stages: int = 2,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
+
+    ``stages``: forward K/V-stream pipeline depth — 1 disables software
+    pipelining (single-buffered DMA, FA1-era schedule, halves KV VMEM),
+    2 (default) double-buffers so DMA overlaps compute. The reference plumbs
+    this knob but never uses it (quirk Q6, src/fa3/spec.py:3-13).
 
     K/V may carry fewer heads than Q (GQA/MQA): H % H_kv == 0; each group of
     H/H_kv query heads attends to one shared KV head.
@@ -1010,7 +1026,9 @@ def pallas_attention(
     if q_offset is None:
         q_offset = k.shape[-2] - q.shape[-2]
     qoff = jnp.asarray(q_offset, dtype=jnp.int32).reshape((1,))
+    if stages not in (1, 2):
+        raise ValueError(f"stages must be 1 or 2 (Mosaic limit), got {stages}")
     return _flash_attention(
         q, k, v, seed, qoff, causal, float(softmax_scale), int(block_q),
-        int(block_k), bool(interpret), float(dropout_rate),
+        int(block_k), bool(interpret), float(dropout_rate), int(stages),
     )

@@ -18,10 +18,12 @@ MIN_BLOCK = 128  # TPU lane width; minimum useful tile dim on any axis.
 
 @dataclasses.dataclass(frozen=True)
 class FA1Spec:
-    """FA1 schedule: rescale-accumulator-every-step online softmax."""
+    """FA1 schedule: rescale-accumulator-every-step online softmax, no
+    software pipelining (single-buffered KV DMA)."""
 
     block_q: int
     block_k: int
+    stages: int = 1  # FA1-era: no DMA/compute overlap.
 
     def validate(self) -> None:
         if self.block_q % 8 or self.block_k % MIN_BLOCK:
@@ -30,10 +32,12 @@ class FA1Spec:
 
 @dataclasses.dataclass(frozen=True)
 class FA2Spec:
-    """FA2 schedule: deferred normalization (divide by l once, at the end)."""
+    """FA2 schedule: deferred normalization (divide by l once, at the end),
+    double-buffered KV stream."""
 
     block_q: int
     block_k: int
+    stages: int = 2
 
     def validate(self) -> None:
         if self.block_q % 8 or self.block_k % MIN_BLOCK:

@@ -127,9 +127,13 @@ def main():
     ap.add_argument("--grid", action="store_true",
                     help="sweep N x d x blocks and emit the measured spec "
                          "table for ops/specs.py (JSON lines + best-per-cell)")
-    ap.add_argument("--min-sol", type=float, default=100.0,
+    ap.add_argument("--min-sol", type=float, default=0.0,
                     help="grid mode: retry a config (up to 3x) while the "
-                         "matmul SOL reading is below this (TFLOP/s)")
+                         "matmul SOL reading is below this (TFLOP/s); the "
+                         "two-point timing made the gate mostly redundant")
+    ap.add_argument("--resume", type=str, default=None,
+                    help="grid mode: path to a previous grid log; cells with "
+                         "a GRID line there are reused, not re-run")
     args = ap.parse_args()
 
     if args.one:
@@ -189,7 +193,8 @@ def grid_main(args):
 
     seqs = (2048, 8192, 16384)
     dims = (64, 128, 256)
-    blocks = [(256, 512), (512, 512), (512, 1024), (1024, 1024), (512, 2048)]
+    blocks = [(256, 512), (512, 1024), (1024, 1024)]
+    done = _load_resume(args.resume) if args.resume else {}
     results = []
     for seq in seqs:
         for dim in dims:
@@ -197,6 +202,12 @@ def grid_main(args):
                 if bq > seq or bk > seq:
                     continue
                 for bwd in (False, True):
+                    prev = done.get((seq, dim, bq, bk, bwd))
+                    if prev is not None:
+                        results.append(prev)
+                        print("GRID " + json.dumps(prev) + "  # resumed",
+                              flush=True)
+                        continue
                     rec = None
                     for attempt in range(3):
                         cmd = [sys.executable, __file__, "--one", str(bq),
@@ -204,16 +215,20 @@ def grid_main(args):
                                "--heads", str(args.heads)]
                         if bwd:
                             cmd.append("--bwd")
-                        r = subprocess.run(cmd, capture_output=True, text=True)
+                        r = subprocess.run(cmd, capture_output=True,
+                                           text=True, timeout=1800)
                         out = [l for l in r.stdout.splitlines()
                                if l.startswith("RESULT")]
                         rec = _parse_result(out[0]) if out else None
                         if rec is None:
+                            # Subprocess crash (tunnel hiccups are common) —
+                            # log the real tail and retry.
                             err = (r.stderr.strip().splitlines() or ["?"])[-1]
-                            print(f"FAILED bq={bq} bk={bk} seq={seq} "
-                                  f"dim={dim} bwd={bwd}: {err[:150]}",
-                                  flush=True)
-                            break
+                            print(f"FAILED (attempt {attempt}) bq={bq} "
+                                  f"bk={bk} seq={seq} dim={dim} bwd={bwd}: "
+                                  f"{err[:200]}", flush=True)
+                            time.sleep(15)
+                            continue
                         if rec["sol"] >= args.min_sol:
                             break
                         print(f"RETRY (sol={rec['sol']:.1f} < "
@@ -243,6 +258,24 @@ def grid_main(args):
                 print(f"    ({seq}, {dim}): {best},  # score "
                       f"{scores[best]:.1f} TFLOP/s-wtd")
     print("# paste into ops/specs.py _MEASURED_BLOCKS (bucket keys)")
+
+
+def _load_resume(path):
+    """Parse GRID json lines from a previous grid log."""
+    import json
+
+    done = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                if line.startswith("GRID "):
+                    rec = json.loads(line[5:])
+                    key = (rec["seq"], rec["dim"], rec["bq"], rec["bk"],
+                           rec["bwd"])
+                    done[key] = rec
+    except OSError:
+        pass
+    return done
 
 
 if __name__ == "__main__":

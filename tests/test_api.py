@@ -129,3 +129,47 @@ def test_profiling_compiled_cost_and_timed():
         q, q, q, iters=2, trials=1,
     )
     assert t > 0
+
+
+def test_stages_knob_parity_and_validation():
+    """`stages` (pipeline depth) must not change the math; bad values raise.
+
+    On CPU the kernel runs in interpret mode where buffering is a no-op, but
+    the argument threads through the full custom_vjp plumbing either way
+    (the real double- vs single-buffer A/B lives in scripts/ablate_fwd.py).
+    """
+    from flashattention_tpu.ops.api import flash_attention
+
+    q, k, v = make_qkv(1, 2, 256, 64)
+    o2, lse2 = flash_attention(q, k, v, causal=True, backend="pallas")
+    o1, lse1 = flash_attention(
+        q, k, v, causal=True, backend="pallas", stages=1
+    )
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse1), np.asarray(lse2), atol=1e-6)
+    with pytest.raises(ValueError, match="stages"):
+        flash_attention(q, k, v, backend="pallas", stages=3)
+
+
+def test_fa_generation_specs_differ():
+    """FA1 is the unpipelined generation; FA2/FA3 double-buffer (VERDICT r1:
+    the three spec tables must not be numerically identical)."""
+    s1, s2, s3 = pick_fa1_spec(128), pick_fa2_spec(128), pick_fa3_spec(128)
+    assert s1.stages == 1
+    assert s2.stages == 2 and s3.stages == 2
+
+
+def test_pallas_mask_fallback_warns():
+    """Explicitly requesting pallas with a dense mask degrades to the tiled
+    executor — loudly (the repo's own criticism of reference quirk Q5)."""
+    import warnings as _w
+
+    from flashattention_tpu.ops.api import flash_attention
+
+    q, k, v = make_qkv(1, 1, 64, 32)
+    mask = jnp.ones((64, 64), bool)
+    with pytest.warns(UserWarning, match="tiled XLA executor"):
+        flash_attention(q, k, v, backend="pallas", mask=mask)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # auto backend: no warning
+        flash_attention(q, k, v, mask=mask)

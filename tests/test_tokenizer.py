@@ -1,0 +1,67 @@
+"""Byte-level BPE tokenizer tests — the reference's tiktoken path
+(src/fa3/torch/flashattention_pytorch.py:788-794) made local: train on real
+text, roundtrip exactly, persist/reload in the GPT-2 artifact format, and
+feed the LM data pipeline."""
+
+from pathlib import Path
+
+import numpy as np
+
+from flashattention_tpu.data import TokenStreamDataset, load_token_stream
+from flashattention_tpu.tokenizer import BPETokenizer, bytes_to_unicode
+
+REAL_TEXT = (Path(__file__).resolve().parents[1] / "README.md").read_text(
+    encoding="utf-8"
+)
+
+
+def test_byte_table_is_a_bijection():
+    table = bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256
+
+
+def test_train_roundtrip_on_real_text():
+    tok = BPETokenizer.train(REAL_TEXT, vocab_size=512)
+    assert 256 < tok.vocab_size <= 512
+    ids = tok.encode(REAL_TEXT)
+    assert tok.decode(ids) == REAL_TEXT
+    # Subword merges must beat byte-level tokenization on the training text.
+    assert len(ids) < len(REAL_TEXT.encode("utf-8"))
+
+
+def test_handles_non_ascii_and_empty():
+    tok = BPETokenizer.train("héllo wörld — ünïcode! " * 5, vocab_size=300)
+    s = "héllo — ünïcode"
+    assert tok.decode(tok.encode(s)) == s
+    assert tok.encode("").size == 0
+
+
+def test_save_load_gpt2_format(tmp_path):
+    tok = BPETokenizer.train(REAL_TEXT[:4000], vocab_size=320)
+    tok.save(tmp_path)
+    assert (tmp_path / "encoder.json").exists()
+    assert (tmp_path / "vocab.bpe").read_text(encoding="utf-8").startswith(
+        "#version"
+    )
+    tok2 = BPETokenizer.from_files(
+        tmp_path / "encoder.json", tmp_path / "vocab.bpe"
+    )
+    s = REAL_TEXT[:1000]
+    np.testing.assert_array_equal(tok.encode(s), tok2.encode(s))
+    assert tok2.vocab_size == tok.vocab_size
+
+
+def test_feeds_data_pipeline(tmp_path):
+    """The tokenize-once stream (reference ln 735-782) with a trained BPE."""
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(REAL_TEXT, encoding="utf-8")
+    tok = BPETokenizer.train(REAL_TEXT, vocab_size=384)
+    stream = load_token_stream(corpus, tokenizer=tok.encode)
+    assert stream.dtype == np.int32
+    assert stream.max() < tok.vocab_size
+    ds = TokenStreamDataset(stream, seq_len=32)
+    window = ds[0]
+    assert window.shape == (33,)
+    # The decoded window is a contiguous snippet of the original text.
+    assert tok.decode(window) in REAL_TEXT
