@@ -107,14 +107,23 @@ def main():
         if base is None:
             base = tps
         eff = tps / (base * n)
-        print(json.dumps({
+        rec = {
             "metric": "train_tokens_per_s_scaling",
             "devices": n,
             "value": round(tps, 1),
             "unit": "tokens/s",
-            "efficiency_vs_linear": round(eff, 4),
-            "virtual": bool(ns.virtual),
-        }), flush=True)
+        }
+        if ns.virtual:
+            # Virtual CPU devices validate that the sharded program compiles
+            # and runs; the throughput ratio reflects HOST-CORE contention,
+            # not ICI scaling — name it so no reader mistakes it (VERDICT r1
+            # weak-7). True efficiency requires a pod run.
+            rec["mode"] = "program-validation (virtual CPU devices)"
+            rec["host_contention_ratio"] = round(eff, 4)
+        else:
+            rec["mode"] = "hardware"
+            rec["efficiency_vs_linear"] = round(eff, 4)
+        print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
