@@ -1,9 +1,9 @@
 """Ablation study of the forward kernel's cost structure on the real chip.
 
 Each variant strips one piece of the online-softmax pipeline so the delta
-isolates its cost. Times via a 10-iter on-device fori_loop (per-call tunnel
-dispatch is ~35 ms and would swamp the kernel otherwise — see memory note
-tpu-bench-contention).
+isolates its cost. Timing: two-point overhead subtraction over ONE jitted
+fori_loop with a TRACED trip count (bench.py docstring — per-dispatch tunnel
+overhead is 0.4-1.7 s and would swamp a fixed short loop).
 """
 import functools
 import sys
@@ -20,7 +20,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 B, H, N, D = 1, 8, 8192, 128
 FWD_FLOPS = 4 * B * H * N * N * D
-ITERS = 10
 
 
 def make_fwd(block_q, block_k, mode):
@@ -117,20 +116,26 @@ def make_fwd(block_q, block_k, mode):
 
 def bench(fn, q, k, v, label):
     @jax.jit
-    def loop(q_, k_, v_):
+    def loop(n, q_, k_, v_):
         def body(i, o):
             return fn(o.astype(q_.dtype), k_, v_)
-        return lax.fori_loop(0, ITERS, body, q_)
+        return lax.fori_loop(0, n, body, q_)
 
-    out = loop(q, k, v)
-    _ = np.asarray(out[0, 0, 0, :8])
-    best = float("inf")
-    for _ in range(4):
+    def run(iters):
         t0 = time.perf_counter()
-        out = loop(q, k, v)
+        out = loop(jnp.int32(iters), q, k, v)
         _ = np.asarray(out[0, 0, 0, :8])
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    print(f"{label:40s} {best*1e3:8.3f} ms  {FWD_FLOPS/best/1e12:6.1f} TFLOP/s", flush=True)
+        return time.perf_counter() - t0
+
+    run(2)  # compile (one executable; the trip count is a runtime arg)
+    i1, i2 = 30, 330
+    best = {i1: float("inf"), i2: float("inf")}
+    for _ in range(3):
+        for iters in (i1, i2):
+            best[iters] = min(best[iters], run(iters))
+    t_iter = (best[i2] - best[i1]) / (i2 - i1)
+    print(f"{label:40s} {t_iter*1e3:8.3f} ms  {FWD_FLOPS/t_iter/1e12:6.1f} "
+          f"TFLOP/s", flush=True)
 
 
 def make_fwd_bf16exp(block_q, block_k):
@@ -332,10 +337,11 @@ def main():
     k = jax.random.normal(jax.random.key(1), (B, H, N, D), dtype=jnp.bfloat16)
     v = jax.random.normal(jax.random.key(2), (B, H, N, D), dtype=jnp.bfloat16)
     try:
-        if mode == "prod":
+        if mode in ("prod", "stages1"):
             from flashattention_tpu.ops.pallas_attn import pallas_attention
+            st = 1 if mode == "stages1" else 2
             fn = lambda q_, k_, v_: pallas_attention(
-                q_, k_, v_, block_q=bq, block_k=bk
+                q_, k_, v_, block_q=bq, block_k=bk, stages=st
             )[0]
         elif mode == "jaxfa":
             from jax.experimental.pallas.ops.tpu.flash_attention import (

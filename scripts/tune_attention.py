@@ -239,6 +239,16 @@ def grid_main(args):
                         results.append(rec)
                         print("GRID " + json.dumps(rec), flush=True)
 
+    # Two-point fits occasionally glitch (overhead shifted between the two
+    # lengths): an implied rate above the chip's physical peak is impossible
+    # — drop such records before scoring (bench.py applies the same cap).
+    n_raw = len(results)
+    results = [r for r in results
+               if r["tflops"] <= 197 * 1.05 and r["sol"] <= 197 * 1.05]
+    if len(results) != n_raw:
+        print(f"# dropped {n_raw - len(results)} fit-glitch records "
+              f"(implied rate > physical peak)")
+
     print("\n# best blocks per (seq, dim), fwd + 2*bwd weighted:")
     table = {}
     for seq in seqs:
