@@ -215,18 +215,23 @@ def grid_main(args):
                                "--heads", str(args.heads)]
                         if bwd:
                             cmd.append("--bwd")
-                        r = subprocess.run(cmd, capture_output=True,
-                                           text=True, timeout=1800)
+                        try:
+                            r = subprocess.run(cmd, capture_output=True,
+                                               text=True, timeout=1800)
+                            tail = "\n".join(
+                                r.stderr.strip().splitlines()[-3:]
+                            ) or "?"
+                        except subprocess.TimeoutExpired:
+                            r, tail = None, "timeout 1800s (tunnel wedge?)"
                         out = [l for l in r.stdout.splitlines()
-                               if l.startswith("RESULT")]
+                               if l.startswith("RESULT")] if r else []
                         rec = _parse_result(out[0]) if out else None
                         if rec is None:
-                            # Subprocess crash (tunnel hiccups are common) —
-                            # log the real tail and retry.
-                            err = (r.stderr.strip().splitlines() or ["?"])[-1]
+                            # Subprocess crash/hang (tunnel hiccups are
+                            # common) — log the real tail and retry.
                             print(f"FAILED (attempt {attempt}) bq={bq} "
                                   f"bk={bk} seq={seq} dim={dim} bwd={bwd}: "
-                                  f"{err[:200]}", flush=True)
+                                  f"{tail[-300:]}", flush=True)
                             time.sleep(15)
                             continue
                         if rec["sol"] >= args.min_sol:
