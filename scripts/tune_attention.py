@@ -194,6 +194,12 @@ def grid_main(args):
     seqs = (2048, 8192, 16384)
     dims = (64, 128, 256)
     blocks = [(256, 512), (512, 1024), (1024, 1024)]
+    # Backward compiles for these combos are PATHOLOGICAL on the remote
+    # Mosaic service (measured 2026-08-17: >15 min compile hang or silent
+    # process death, deterministic across 3+ attempts each; every other
+    # combo compiles in seconds-minutes). Skip them: a block shape that
+    # cannot compile in reasonable time loses the sweep by definition.
+    doomed_bwd = {(1024, 1024, 128), (1024, 1024, 256), (256, 512, 256)}
     done = _load_resume(args.resume) if args.resume else {}
     results = []
     for seq in seqs:
@@ -202,6 +208,10 @@ def grid_main(args):
                 if bq > seq or bk > seq:
                     continue
                 for bwd in (False, True):
+                    if bwd and (bq, bk, dim) in doomed_bwd:
+                        print(f"SKIP bwd bq={bq} bk={bk} dim={dim} "
+                              f"(pathological compile)", flush=True)
+                        continue
                     prev = done.get((seq, dim, bq, bk, bwd))
                     if prev is not None:
                         results.append(prev)
