@@ -722,10 +722,21 @@ def _flash_bwd(
 
     if fused:
         # dQ residency: keep the whole (N_q_pad, D) fp32 dQ in VMEM scratch
-        # when it fits (<= ~8 MB leaves room for the tile pipeline in 16 MB
-        # VMEM) — zero partial-buffer HBM traffic. Larger shapes fall back
-        # to HBM partials + XLA reduce.
-        resident = n_q_pad * q.shape[-1] * 4 <= 8 * 1024 * 1024
+        # when the kernel's TOTAL VMEM footprint fits — zero partial-buffer
+        # HBM traffic. The budget must count the tile pipeline too, not just
+        # the scratch: dQ scratch + dk/dv scratch + double-buffered in/out
+        # blocks. (At N=8K d=256 the old "dQ <= 8 MB" gate passed exactly at
+        # the boundary and Mosaic OOM'd scoped vmem by 512 KB: 16.5 MB vs
+        # the 16 MB limit, measured 2026-08-17.)
+        vmem_est = (
+            n_q_pad * d * 4                # resident dQ scratch
+            + 2 * block_k * d * 4          # dk/dv fp32 scratch
+            + 2 * 2 * (block_q * d * 2)    # q, do in-blocks (x2 buffers)
+            + 2 * 2 * (block_k * d * 2)    # k, v in-blocks
+            + 2 * 2 * (block_k * d * 4)    # dk, dv out-blocks
+            + 2 * (block_q * d * 4)        # dq out-block
+        )
+        resident = vmem_est <= 14 * 1024 * 1024
 
         if resident:
             # Earlier KV sweeps park the dq output block on a dummy index

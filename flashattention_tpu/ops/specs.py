@@ -70,16 +70,25 @@ _DIM_BUCKETS = (64, 128)        # else "256+"
 
 _MEASURED_BLOCKS: dict[tuple[int, int], tuple[int, int]] = {
     # (seq_bucket, dim_bucket): (block_q, block_k)
-    # r1 measurement: at N=8K d=128, (512,1024) ≈ (1024,1024) >> (256,512).
+    # r2 grid (scripts/tune_attention.py --grid, two-point timing, fwd+2*bwd
+    # weighted score; raw rows in RESULTS.md "Spec table"): (512,1024) wins
+    # EVERY cell measured — d=64 by 1.6x over (256,512) and ~par with
+    # (1024,1024) fwd-only (whose backward fails to compile at N=8K);
+    # d=128 by 1.07-1.5x; d=256 by default AND by score: (256,512)+d256
+    # backward is a pathological remote-Mosaic compile (>15 min hang,
+    # deterministic — the r1 table's d=256 row was an untested trap), while
+    # (512,1024)+d256 compiles and reads the best credited TFLOP/s of any
+    # cell. 16384 rows inherit the 8192 winners (resident-dQ backward
+    # verified to N=16K; grid cells at 16K not yet run — r3 item).
     (2048, 64): (512, 1024),
     (2048, 128): (512, 1024),
-    (2048, 256): (256, 512),
+    (2048, 256): (512, 1024),
     (8192, 64): (512, 1024),
     (8192, 128): (512, 1024),
-    (8192, 256): (256, 512),
+    (8192, 256): (512, 1024),
     (16384, 64): (512, 1024),
     (16384, 128): (512, 1024),
-    (16384, 256): (256, 512),
+    (16384, 256): (512, 1024),
 }
 
 

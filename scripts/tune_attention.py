@@ -134,6 +134,15 @@ def main():
     ap.add_argument("--resume", type=str, default=None,
                     help="grid mode: path to a previous grid log; cells with "
                          "a GRID line there are reused, not re-run")
+    ap.add_argument("--timeout", type=int, default=1800,
+                    help="grid mode: per-cell subprocess timeout (s); remote "
+                         "Mosaic compiles usually land in 30s-10min, so a "
+                         "tighter budget trades tail cells for wall-clock")
+    ap.add_argument("--attempts", type=int, default=3,
+                    help="grid mode: retries per cell before giving up")
+    ap.add_argument("--seqs", type=str, default="2048,8192,16384",
+                    help="grid mode: comma-separated seq lengths to sweep "
+                         "(resumed cells outside the list still score)")
     args = ap.parse_args()
 
     if args.one:
@@ -191,7 +200,7 @@ def grid_main(args):
     winner maximizes fwd + 2*bwd weighted TFLOP/s (training mix)."""
     import json
 
-    seqs = (2048, 8192, 16384)
+    seqs = tuple(int(s) for s in args.seqs.split(","))
     dims = (64, 128, 256)
     blocks = [(256, 512), (512, 1024), (1024, 1024)]
     # Backward compiles for these combos are PATHOLOGICAL on the remote
@@ -219,7 +228,7 @@ def grid_main(args):
                               flush=True)
                         continue
                     rec = None
-                    for attempt in range(3):
+                    for attempt in range(args.attempts):
                         cmd = [sys.executable, __file__, "--one", str(bq),
                                str(bk), "--seq", str(seq), "--dim", str(dim),
                                "--heads", str(args.heads)]
@@ -227,7 +236,8 @@ def grid_main(args):
                             cmd.append("--bwd")
                         try:
                             r = subprocess.run(cmd, capture_output=True,
-                                               text=True, timeout=1800)
+                                               text=True,
+                                               timeout=args.timeout)
                             tail = "\n".join(
                                 r.stderr.strip().splitlines()[-3:]
                             ) or "?"
@@ -266,7 +276,7 @@ def grid_main(args):
 
     print("\n# best blocks per (seq, dim), fwd + 2*bwd weighted:")
     table = {}
-    for seq in seqs:
+    for seq in sorted({r["seq"] for r in results}):
         for dim in dims:
             cell = [r for r in results if r["seq"] == seq and r["dim"] == dim]
             scores = {}
