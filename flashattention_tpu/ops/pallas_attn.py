@@ -56,6 +56,11 @@ LANES = 128  # lane width for fp32 m/l scratch rows
 # 2026-08-17 with all three grads consumed and overhead-corrected timing:
 # fused 6.21 ms vs split 7.40 ms at N=8K d=128 (RESULTS.md round-2 table).
 _BWD_IMPL = os.environ.get("FAT_BWD_IMPL", "fused")  # "split" | "fused"
+# Backward K/V-stream pipeline depth, the bwd analogue of the forward's
+# ``stages`` knob (PARITY C7: the reference plumbs ``stages`` but never uses
+# it). 2 = Mosaic's default double buffering; 1 = single-buffer the
+# Q-streamed inputs (q/do), halving their VMEM so larger blocks fit.
+_BWD_STAGES = int(os.environ.get("FAT_BWD_STAGES", "2"))
 
 
 def _interpret_default() -> bool:
@@ -690,7 +695,17 @@ def _flash_bwd(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
         block_q=block_q, block_k=block_k, dropout_rate=dropout_rate,
     )
-    q_spec = pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, j, 0))
+    # Pipeline depth for the inner-loop-streamed Q-side inputs (q, do): the
+    # bwd analogue of the forward's ``stages`` knob. Buffered(1) halves
+    # their double-buffer VMEM at the cost of DMA/compute overlap.
+    q_pipeline = (
+        pl.Buffered(buffer_count=1)
+        if (_BWD_STAGES == 1 and not interpret) else None
+    )
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, j, 0),
+        pipeline_mode=q_pipeline,
+    )
     kv_spec = pl.BlockSpec(
         (1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_ // groups, i, 0)
     )

@@ -333,6 +333,8 @@ def make_fwd_kt(block_q, block_k):
 def main():
     mode = sys.argv[1]
     bq, bk = int(sys.argv[2]), int(sys.argv[3])
+    from flashattention_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     q = jax.random.normal(jax.random.key(0), (B, H, N, D), dtype=jnp.bfloat16)
     k = jax.random.normal(jax.random.key(1), (B, H, N, D), dtype=jnp.bfloat16)
     v = jax.random.normal(jax.random.key(2), (B, H, N, D), dtype=jnp.bfloat16)

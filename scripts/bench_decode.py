@@ -39,6 +39,9 @@ def main():
     import dataclasses
 
     from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+    from flashattention_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     from flashattention_tpu.serving.paged_kv import (
         init_paged_cache,
         paged_attention_decode,

@@ -40,6 +40,9 @@ def main():
     from flashattention_tpu.models.transformer import TransformerConfig, init_transformer
     from flashattention_tpu.serving.engine import make_decode_fn
     from flashattention_tpu.serving.paged_kv import init_paged_cache, append_to_pages
+    from flashattention_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     cfg = TransformerConfig(
         vocab_size=32000, d_model=ns.d_model, n_layers=ns.layers,

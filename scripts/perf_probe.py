@@ -44,6 +44,9 @@ def main():
     print(f"matmul {m}x{m}x{m}: {t*1e3:.3f} ms  {2*m**3/t/1e12:.1f} TFLOP/s")
 
     from flashattention_tpu.ops.pallas_attn import pallas_attention
+    from flashattention_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     for causal in (False, True):
         f = jax.jit(lambda q_, k_, v_, c=causal: pallas_attention(q_, k_, v_, causal=c)[0])

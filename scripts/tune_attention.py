@@ -66,6 +66,9 @@ def run_one(bq, bk, causal, bwd, seq, dim, heads):
     from jax import lax
 
     from flashattention_tpu.ops.pallas_attn import pallas_attention
+    from flashattention_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     B, H, N, D = 1, heads, seq, dim
     q = jax.random.normal(jax.random.key(0), (B, H, N, D), dtype=jnp.bfloat16)
