@@ -8,6 +8,11 @@ pure-functional JAX (init/apply over pytrees) so it composes with jit/pjit/
 shard_map directly.
 """
 
+from flashattention_tpu.models.compat import (
+    apply_reference_transformer,
+    convert_reference_state_dict,
+    reference_lm_loss,
+)
 from flashattention_tpu.models.transformer import (
     TransformerConfig,
     apply_transformer,
@@ -22,4 +27,7 @@ __all__ = [
     "apply_transformer",
     "init_kv_cache",
     "decode_step",
+    "convert_reference_state_dict",
+    "apply_reference_transformer",
+    "reference_lm_loss",
 ]
