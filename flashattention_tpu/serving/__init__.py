@@ -19,6 +19,7 @@ from flashattention_tpu.serving.engine import (
     ServingEngine,
 )
 from flashattention_tpu.serving.multihost import MultiHostScheduler
+from flashattention_tpu.serving.sampling import SamplingConfig, sample_logits
 
 __all__ = [
     "PagedKVCache",
@@ -28,4 +29,6 @@ __all__ = [
     "GenerationRequest",
     "ServingEngine",
     "MultiHostScheduler",
+    "SamplingConfig",
+    "sample_logits",
 ]

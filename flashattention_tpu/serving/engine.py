@@ -38,6 +38,7 @@ from flashattention_tpu.serving.paged_kv import (
     init_paged_cache,
     paged_attention_decode,
 )
+from flashattention_tpu.serving.sampling import SamplingConfig, sample_logits
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +50,10 @@ class EngineConfig:
     prefill_pad: int = 64          # prompts padded to a multiple of this
     quant: str | None = None       # None | "int8" | "fp8" page payloads
     eos_token: int | None = None
+    # None / temperature 0.0 = greedy argmax (deterministic). Stochastic
+    # decode folds a per-call key from ``seed`` (serving/sampling.py).
+    sampling: SamplingConfig | None = None
+    seed: int = 0
 
     @property
     def pages_per_seq(self) -> int:
@@ -221,26 +226,41 @@ def make_chunk_prefill_fn(
     return jax.jit(chunk_prefill, donate_argnums=(1,))
 
 
-def make_sample_last_fn(cfg: TransformerConfig):
-    """jitted (params, x(1,C,D), idx) -> argmax token of row ``idx`` after the
+def make_sample_last_fn(
+    cfg: TransformerConfig, sampling: SamplingConfig | None = None
+):
+    """jitted (params, x(1,C,D), idx[, key]) -> token of row ``idx`` after the
     final layer norm — the chunked-prefill epilogue (logits for one row, not
-    the whole chunk)."""
+    the whole chunk). Greedy argmax unless a stochastic ``sampling`` config
+    is given, in which case the jitted function takes a PRNG key."""
 
-    def sample_last(params, x, idx):
+    def _last_logits(params, x, idx):
         x = _layer_norm(x, params["final_ln"])
         last = jax.lax.dynamic_slice_in_dim(x, idx, 1, 1)  # (1, 1, D)
-        logits = _lm_logits(params, last)[:, 0]
-        return jnp.argmax(logits, axis=-1)
+        return _lm_logits(params, last)[:, 0]
+
+    if sampling is not None and not sampling.greedy:
+        def sample_last(params, x, idx, key):
+            return sample_logits(_last_logits(params, x, idx), key, sampling)
+    else:
+        def sample_last(params, x, idx):
+            return jnp.argmax(_last_logits(params, x, idx), axis=-1)
 
     return jax.jit(sample_last)
 
 
-def make_decode_fn(cfg: TransformerConfig, *, use_pallas: bool | None = None):
+def make_decode_fn(
+    cfg: TransformerConfig,
+    *,
+    use_pallas: bool | None = None,
+    sampling: SamplingConfig | None = None,
+):
     """Returns jitted decode(params, caches, tokens(B,1), page_indices(B,P),
-    lengths(B,)) -> (next_tokens (B,), caches).
+    lengths(B,)[, key]) -> (next_tokens (B,), caches).
 
     lengths = tokens already in cache for each slot; the new token is written
-    at position lengths[b] and attends to lengths[b]+1 entries.
+    at position lengths[b] and attends to lengths[b]+1 entries. A stochastic
+    ``sampling`` config adds the trailing PRNG-key argument; default greedy.
 
     ``use_pallas`` selects the double-buffered Pallas paged kernel
     (ops/pallas_paged.py) over the XLA gather executor; default: on TPU only
@@ -262,8 +282,7 @@ def make_decode_fn(cfg: TransformerConfig, *, use_pallas: bool | None = None):
             q, cache, page_indices, lengths, softmax_scale=cfg.softmax_scale
         )
 
-    def decode(params, caches, tokens, page_indices, lengths):
-        b, _ = tokens.shape
+    def _decode_logits(params, caches, tokens, page_indices, lengths):
         x = _embed_decode(params, tokens, cfg, lengths)
         new_caches = []
         for bp, cache in zip(params["blocks"], caches):
@@ -278,8 +297,20 @@ def make_decode_fn(cfg: TransformerConfig, *, use_pallas: bool | None = None):
             x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
             x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
         x = _layer_norm(x, params["final_ln"])
-        logits = _lm_logits(params, x)[:, 0]
-        return jnp.argmax(logits, axis=-1), new_caches
+        return _lm_logits(params, x)[:, 0], new_caches
+
+    if sampling is not None and not sampling.greedy:
+        def decode(params, caches, tokens, page_indices, lengths, key):
+            logits, new_caches = _decode_logits(
+                params, caches, tokens, page_indices, lengths
+            )
+            return sample_logits(logits, key, sampling), new_caches
+    else:
+        def decode(params, caches, tokens, page_indices, lengths):
+            logits, new_caches = _decode_logits(
+                params, caches, tokens, page_indices, lengths
+            )
+            return jnp.argmax(logits, axis=-1), new_caches
 
     return jax.jit(decode, donate_argnums=(1,))
 
@@ -326,9 +357,20 @@ class ServingEngine:
         # and requeued; prepended when the request finally finishes.
         self._evicted_prefix: dict[int, list[int]] = {}
         self._chunk_prefill = make_chunk_prefill_fn(cfg, ecfg.prefill_pad)
-        self._sample_last = make_sample_last_fn(cfg)
-        self._decode = make_decode_fn(cfg)
+        self._sample_last = make_sample_last_fn(cfg, sampling=ecfg.sampling)
+        self._decode = make_decode_fn(cfg, sampling=ecfg.sampling)
+        self._stochastic = (
+            ecfg.sampling is not None and not ecfg.sampling.greedy
+        )
+        self._rng = jax.random.key(ecfg.seed)
+        self._rng_calls = 0
         self._steps = 0
+
+    def _next_key(self) -> jax.Array:
+        """Fresh per-call key: fold a monotone counter into the engine seed
+        (each prefill epilogue / batched decode step gets its own key)."""
+        self._rng_calls += 1
+        return jax.random.fold_in(self._rng, self._rng_calls)
 
     # -- public API --------------------------------------------------------
 
@@ -395,9 +437,13 @@ class ServingEngine:
                     self.params, self.caches, jnp.asarray(toks), page_row,
                     jnp.int32(base), jnp.int32(valid),
                 )
-            first_tok = self._sample_last(
-                self.params, x, jnp.int32((prompt_len - 1) % chunk)
-            )
+            idx = jnp.int32((prompt_len - 1) % chunk)
+            if self._stochastic:
+                first_tok = self._sample_last(
+                    self.params, x, idx, self._next_key()
+                )
+            else:
+                first_tok = self._sample_last(self.params, x, idx)
             slot.generated.append(int(first_tok[0]))
             slot.length = prompt_len  # cache holds the prompt only
             self._maybe_finish(slot)
@@ -431,10 +477,16 @@ class ServingEngine:
             lengths[i] = slot.length
             page_rows.append(self._page_row(slot.request.request_id))
 
-        next_tokens, self.caches = self._decode(
+        decode_args = (
             self.params, self.caches, jnp.asarray(tokens),
             jnp.stack(page_rows), jnp.asarray(lengths),
         )
+        if self._stochastic:
+            next_tokens, self.caches = self._decode(
+                *decode_args, self._next_key()
+            )
+        else:
+            next_tokens, self.caches = self._decode(*decode_args)
         next_np = np.asarray(next_tokens)
         for i, slot in enumerate(self.slots):
             if slot.request is None:
@@ -464,8 +516,9 @@ class ServingEngine:
         self.allocator.release(req.request_id)
         # Requeue from scratch: the new prompt carries everything up to the
         # last emitted token, whose successor the requeued run re-derives
-        # (greedy decode is deterministic). The emitted tokens themselves
-        # are banked so the final result is complete.
+        # (greedy decode is deterministic; under stochastic sampling the
+        # re-derived successor is a fresh draw — normal serving semantics).
+        # The emitted tokens themselves are banked so the result is complete.
         done = list(slot.generated[:-1])
         self._evicted_prefix[req.request_id] = (
             self._evicted_prefix.get(req.request_id, []) + done

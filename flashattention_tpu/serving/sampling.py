@@ -1,0 +1,82 @@
+"""Token sampling for the serving engine: temperature / top-k / top-p.
+
+The reference has no generation loop at all (its application trains and
+saves, src/fa3/torch/flashattention_pytorch.py:824-960); the serving stack
+is new scope (BASELINE.json north star: continuous-batched decode). Greedy
+argmax remains the engine default — this module adds the standard stochastic
+decode controls as a pure, jit-compatible function.
+
+Design notes (TPU):
+- Everything is fixed-shape: top-k uses ``lax.top_k`` only to find the k-th
+  value (a threshold), then masks in place — no gather/scatter of the vocab.
+- top-p masks by *exclusive* cumulative probability of the descending sort,
+  so the token that crosses the threshold is kept (at least one token always
+  survives, any temperature).
+- Filters compose the conventional way: temperature -> top-k -> top-p ->
+  categorical over the renormalized remainder.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["SamplingConfig", "sample_logits"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Static sampling hyper-parameters (close over them at jit time).
+
+    temperature: 0.0 = greedy argmax (top_k/top_p ignored).
+    top_k: keep the k highest-probability tokens (0 = no top-k filter).
+    top_p: keep the smallest prefix of descending-probability tokens whose
+        cumulative mass reaches top_p (1.0 = no nucleus filter).
+    """
+
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+
+    def __post_init__(self):
+        if self.temperature < 0.0:
+            raise ValueError(f"temperature must be >= 0, got {self.temperature}")
+        if self.top_k < 0:
+            raise ValueError(f"top_k must be >= 0, got {self.top_k}")
+        if not 0.0 < self.top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {self.top_p}")
+
+    @property
+    def greedy(self) -> bool:
+        return self.temperature == 0.0
+
+
+_NEG = jnp.float32(-1e30)  # filtered-out logit (finite: NaN-safe under jit)
+
+
+def sample_logits(
+    logits: jax.Array, key: jax.Array | None, cfg: SamplingConfig
+) -> jax.Array:
+    """(B, V) logits -> (B,) int32 tokens. ``key`` may be None when greedy."""
+    if cfg.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if key is None:
+        raise ValueError("stochastic sampling needs a PRNG key")
+    x = logits.astype(jnp.float32) / jnp.float32(cfg.temperature)
+    v = x.shape[-1]
+    if 0 < cfg.top_k < v:
+        kth = jax.lax.top_k(x, cfg.top_k)[0][..., -1:]  # (B, 1) threshold
+        x = jnp.where(x < kth, _NEG, x)
+    if cfg.top_p < 1.0:
+        sorted_x = jnp.sort(x, axis=-1)[..., ::-1]  # descending
+        probs = jax.nn.softmax(sorted_x, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1) - probs  # exclusive prefix mass
+        # Smallest logit still inside the nucleus; everything below it is cut.
+        in_nucleus = cum < cfg.top_p  # position 0 always True
+        cutoff = jnp.min(
+            jnp.where(in_nucleus, sorted_x, jnp.inf), axis=-1, keepdims=True
+        )
+        x = jnp.where(x < cutoff, _NEG, x)
+    return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
