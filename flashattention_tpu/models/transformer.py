@@ -351,17 +351,8 @@ def init_kv_cache(
     ]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg",), donate_argnums=(1,)
-)
-def decode_step(
-    params: Params,
-    caches: list[Params],
-    tokens: jax.Array,       # (B, 1) current token
-    cache_index: jax.Array,  # scalar: write position
-    cfg: TransformerConfig,
-):
-    """One decode step: returns (logits (B, vocab), updated caches)."""
+def _decode_chunk_impl(params, caches, tokens, cache_index, cfg):
+    """Shared body of decode_step/decode_chunk (pure; callers jit)."""
     b, n = tokens.shape
     x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
     pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], cache_index, n, 0)
@@ -381,4 +372,39 @@ def decode_step(
     x = _layer_norm(x, params["final_ln"])
     logits = x.astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
     logits = logits + params["lm_head"]["b"].astype(jnp.float32)
+    return logits, new_caches
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(1,)
+)
+def decode_step(
+    params: Params,
+    caches: list[Params],
+    tokens: jax.Array,       # (B, 1) current token
+    cache_index: jax.Array,  # scalar: write position
+    cfg: TransformerConfig,
+):
+    """One decode step: returns (logits (B, vocab), updated caches)."""
+    logits, new_caches = _decode_chunk_impl(
+        params, caches, tokens, cache_index, cfg
+    )
     return logits[:, -1], new_caches
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(1,)
+)
+def decode_chunk(
+    params: Params,
+    caches: list[Params],
+    tokens: jax.Array,       # (B, n) chunk appended at cache_index
+    cache_index: jax.Array,  # scalar: write position of chunk row 0
+    cfg: TransformerConfig,
+):
+    """Chunk append + causal attention over cache prefix and chunk: returns
+    (logits (B, n, vocab) for EVERY chunk row, updated caches). Row j's
+    logits are the next-token distribution for absolute position
+    cache_index + j + 1 — the verification shape speculative decoding needs
+    (serving/speculative.py)."""
+    return _decode_chunk_impl(params, caches, tokens, cache_index, cfg)

@@ -20,6 +20,11 @@ from flashattention_tpu.serving.engine import (
 )
 from flashattention_tpu.serving.multihost import MultiHostScheduler
 from flashattention_tpu.serving.sampling import SamplingConfig, sample_logits
+from flashattention_tpu.serving.speculative import (
+    SpecStats,
+    generate,
+    speculative_generate,
+)
 
 __all__ = [
     "PagedKVCache",
@@ -31,4 +36,7 @@ __all__ = [
     "MultiHostScheduler",
     "SamplingConfig",
     "sample_logits",
+    "SpecStats",
+    "generate",
+    "speculative_generate",
 ]

@@ -23,7 +23,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SamplingConfig", "sample_logits"]
+__all__ = ["SamplingConfig", "filter_logits", "sample_logits"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,18 +56,17 @@ class SamplingConfig:
 _NEG = jnp.float32(-1e30)  # filtered-out logit (finite: NaN-safe under jit)
 
 
-def sample_logits(
-    logits: jax.Array, key: jax.Array | None, cfg: SamplingConfig
-) -> jax.Array:
-    """(B, V) logits -> (B,) int32 tokens. ``key`` may be None when greedy."""
+def filter_logits(logits: jax.Array, cfg: SamplingConfig) -> jax.Array:
+    """Apply temperature / top-k / top-p to (..., V) logits; filtered-out
+    entries go to a large negative. ``softmax`` of the result is the
+    effective sampling distribution (used directly by speculative decoding's
+    rejection test). Requires a stochastic cfg (temperature > 0)."""
     if cfg.greedy:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    if key is None:
-        raise ValueError("stochastic sampling needs a PRNG key")
+        raise ValueError("filter_logits needs temperature > 0")
     x = logits.astype(jnp.float32) / jnp.float32(cfg.temperature)
     v = x.shape[-1]
     if 0 < cfg.top_k < v:
-        kth = jax.lax.top_k(x, cfg.top_k)[0][..., -1:]  # (B, 1) threshold
+        kth = jax.lax.top_k(x, cfg.top_k)[0][..., -1:]  # (..., 1) threshold
         x = jnp.where(x < kth, _NEG, x)
     if cfg.top_p < 1.0:
         sorted_x = jnp.sort(x, axis=-1)[..., ::-1]  # descending
@@ -79,4 +78,17 @@ def sample_logits(
             jnp.where(in_nucleus, sorted_x, jnp.inf), axis=-1, keepdims=True
         )
         x = jnp.where(x < cutoff, _NEG, x)
-    return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+    return x
+
+
+def sample_logits(
+    logits: jax.Array, key: jax.Array | None, cfg: SamplingConfig
+) -> jax.Array:
+    """(B, V) logits -> (B,) int32 tokens. ``key`` may be None when greedy."""
+    if cfg.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if key is None:
+        raise ValueError("stochastic sampling needs a PRNG key")
+    return jax.random.categorical(
+        key, filter_logits(logits, cfg), axis=-1
+    ).astype(jnp.int32)
