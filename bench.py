@@ -47,61 +47,136 @@ figure; same-window ``matmul_sol_tflops`` shows what the chip could do.
 
 import glob
 import json
+import os
 import signal
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-from jax import lax
-
-# Persistent compilation cache: remote Mosaic compiles through the tunnel
-# cost 30 s-10+ min and intermittently wedge entirely (a 2026-08-17 window
-# completed ZERO compiles in 9 min). Any prior successful run — an earlier
-# round, a tuning cell, a verify drive — makes this run's compiles instant
-# and immune to wedged windows. See utils/profiling.enable_compile_cache.
-from flashattention_tpu.utils.profiling import enable_compile_cache
-
-enable_compile_cache()
 
 V5E_BF16_PEAK_TFLOPS = 197.0
 TARGET_FRACTION = 0.85
 BUDGET_S = 240.0  # measurement budget AFTER compilation; always emits
+SUPERVISOR_DEADLINE_S = 540.0  # child hard-killed after this; JSON still prints
+PROGRESS_PATH = "/tmp/fat_bench_progress.json"
 
 
-def make_loop(fn_one, n_args):
-    """One jitted loop with a traced trip count: every length shares one
-    executable (and one compile), so two-point overhead subtraction compares
-    like with like."""
+def emit_from_state(state):
+    """Print the ONE driver JSON line from a (possibly partial) state dict.
 
-    @jax.jit
-    def loop(n, a0, *rest):
-        def body(i, o):
-            return fn_one(o, *rest)
-        return lax.fori_loop(0, n, body, a0)
+    Shared by the measuring child (normal exit + SIGTERM) and the
+    supervisor's wedge fallback, so every exit path prints the same schema.
+    ``state`` carries t_iter seconds under "fwd"/"bwd"/"fp8" (inf/absent =
+    not measured), plus the flop constants recorded at setup.
+    """
+    t_fwd = state.get("fwd", float("inf"))
+    t_bwd = state.get("bwd", float("inf"))
+    t_fp8 = state.get("fp8", float("inf"))
+    fwd_flops = state.get("fwd_flops", 0)
+    total_flops = state.get("total_flops", 0)
+    target = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS
+    finite = lambda x: x is not None and x != float("inf") and x > 0
+    if not (finite(t_fwd) and finite(t_bwd)):
+        print(json.dumps({
+            "metric": "attn_fwd_bwd_tflops_per_chip_n8k_bf16",
+            "value": 0.0, "unit": "TFLOP/s", "vs_baseline": 0.0,
+            "detail": {"error": state.get(
+                "error", "no completed measurement"),
+                "rounds": state.get("rounds", [])},
+        }), flush=True)
+        return
+    # t_bwd is the reference's timed quantity: ONE call doing forward +
+    # backward (see module docstring). Credit the full 12 units over it.
+    tflops = total_flops / t_bwd / 1e12
+    # Ceiling of THIS metric (not the chip): the one call executes 7
+    # matmul passes (fwd 2, bwd 5) = 14 units of real MXU work for 12
+    # units of credit -> peak * 12/14 = 168.9 TFLOP/s at 100% MXU.
+    ceiling = V5E_BF16_PEAK_TFLOPS * 12.0 / 14.0
+    detail = {
+        "fwd_ms": round(t_fwd * 1e3, 3),
+        "fwd_tflops": round(fwd_flops / t_fwd / 1e12, 2),
+        "fwdbwd_call_ms": round(t_bwd * 1e3, 3),
+        # Reference-style backward record: 8 units over the same call
+        # (bench_utils.py:214 credits 2x-fwd for direction="backward").
+        "bwd_ref_accounting_tflops": round(2 * fwd_flops / t_bwd / 1e12, 2),
+        # Backward-only estimate (subtract the forward's own time).
+        "bwd_only_est_tflops": round(
+            2 * fwd_flops / max(t_bwd - t_fwd, 1e-9) / 1e12, 2
+        ),
+        # Round-2's first accounting (billed t_fwd twice); continuity.
+        "sum_accounting_tflops": round(
+            total_flops / (t_fwd + t_bwd) / 1e12, 2
+        ),
+        "combined_metric_ceiling_tflops": round(ceiling, 1),
+        "ceiling_fraction": round(tflops / ceiling, 4),
+        "matmul_sol_tflops": round(state.get("sol", 0.0), 1),
+        "shape": state.get("shape"),
+        "timing": "two-point overhead-corrected (see bench.py docstring)",
+        "rounds": state.get("rounds", []),
+        "backend": state.get("backend"),
+        "device": state.get("device"),
+    }
+    if finite(t_fp8):
+        detail["fp8_fwd_tflops"] = round(fwd_flops / t_fp8 / 1e12, 2)
+        detail["fp8_fwd_ms"] = round(t_fp8 * 1e3, 3)
+    decode_art = sorted(glob.glob("benchmarks/results/decode_*.json"))
+    if decode_art:
+        detail["decode_artifact"] = decode_art[-1]
+    print(json.dumps({
+        "metric": "attn_fwd_bwd_tflops_per_chip_n8k_bf16",
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(tflops / target, 4),
+        "detail": detail,
+    }), flush=True)
 
-    return loop
 
+def measure():
+    """The measuring child process: does every TPU dispatch, checkpoints
+    ``state`` to PROGRESS_PATH after each round so the supervisor can emit
+    partial results if a dispatch wedges forever (the tunnel's observed
+    failure mode — even cached executables never return)."""
+    # Persistent compilation cache: remote Mosaic compiles through the
+    # tunnel cost 30 s-10+ min and intermittently wedge entirely (a
+    # 2026-08-17 window completed ZERO compiles in 9 min). Any prior
+    # successful run makes this run's compiles instant and immune to
+    # wedged-compile windows. See utils/profiling.enable_compile_cache.
+    from flashattention_tpu.utils.profiling import enable_compile_cache
 
-def run_loop(loop, args, iters):
-    t0 = time.perf_counter()
-    out = loop(jnp.int32(iters), *args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:8]
-    return time.perf_counter() - t0
+    enable_compile_cache()
 
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
 
-def two_point(loop, args, i1, i2, trials=3):
-    """(t_iter, overhead) from interleaved min-of-trials at two lengths."""
-    best = {i1: float("inf"), i2: float("inf")}
-    for _ in range(trials):
-        for iters in (i1, i2):
-            best[iters] = min(best[iters], run_loop(loop, args, iters))
-    t_iter = (best[i2] - best[i1]) / (i2 - i1)
-    return max(t_iter, 1e-9), max(best[i1] - t_iter * i1, 0.0)
+    def make_loop(fn_one, n_args):
+        """One jitted loop with a traced trip count: every length shares
+        one executable (and one compile), so two-point overhead subtraction
+        compares like with like."""
 
+        @jax.jit
+        def loop(n, a0, *rest):
+            def body(i, o):
+                return fn_one(o, *rest)
+            return lax.fori_loop(0, n, body, a0)
 
-def main():
+        return loop
+
+    def run_loop(loop, args, iters):
+        t0 = time.perf_counter()
+        out = loop(jnp.int32(iters), *args)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:8]
+        return time.perf_counter() - t0
+
+    def two_point(loop, args, i1, i2, trials=3):
+        """(t_iter, overhead) from interleaved min-of-trials, two lengths."""
+        best = {i1: float("inf"), i2: float("inf")}
+        for _ in range(trials):
+            for iters in (i1, i2):
+                best[iters] = min(best[iters], run_loop(loop, args, iters))
+        t_iter = (best[i2] - best[i1]) / (i2 - i1)
+        return max(t_iter, 1e-9), max(best[i1] - t_iter * i1, 0.0)
+
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
         # Deltas sized so a +-0.5 s overhead swing between the two lengths
@@ -115,6 +190,25 @@ def main():
     from flashattention_tpu.ops.pallas_attn import pallas_attention
     from flashattention_tpu.ops.pallas_fp8 import pallas_fp8_attention
 
+    fwd_flops = 4 * b * h * n * n * d
+    total_flops = 3 * fwd_flops          # fwd + 2x-fwd bwd (reference model)
+    state = {"fwd": float("inf"), "bwd": float("inf"), "fp8": float("inf"),
+             "sol": 0.0, "rounds": [], "fwd_flops": fwd_flops,
+             "total_flops": total_flops, "shape": [b, h, n, d],
+             "backend": jax.default_backend(),
+             "device": str(jax.devices()[0])}
+
+    def checkpoint(note):
+        state["error"] = note  # shown only if the run never completes
+        safe = {k: (None if v == float("inf") else v)
+                for k, v in state.items()}
+        tmp = PROGRESS_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(safe, f)
+        os.replace(tmp, PROGRESS_PATH)
+
+    # First device dispatches happen here — checkpoint before them.
+    checkpoint("wedged during input-array creation (before first kernel)")
     q = jax.random.normal(jax.random.key(0), (b, h, n, d), dtype=jnp.bfloat16)
     k = jax.random.normal(jax.random.key(1), (b, h, n, d), dtype=jnp.bfloat16)
     v = jax.random.normal(jax.random.key(2), (b, h, n, d), dtype=jnp.bfloat16)
@@ -146,70 +240,11 @@ def main():
     def fp8_one(q_, k_, v_):
         return pallas_fp8_attention(q_, k_, v_)[0].astype(q_.dtype)
 
-    fwd_flops = 4 * b * h * n * n * d
-    total_flops = 3 * fwd_flops          # fwd + 2x-fwd bwd (reference model)
     target = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS
     mm_flops = 2 * m**3
 
-    state = {"fwd": float("inf"), "bwd": float("inf"), "fp8": float("inf"),
-             "sol": 0.0, "rounds": []}
-
     def emit():
-        t_fwd, t_bwd, t_fp8 = state["fwd"], state["bwd"], state["fp8"]
-        if not np.isfinite(t_fwd) or not np.isfinite(t_bwd):
-            print(json.dumps({
-                "metric": "attn_fwd_bwd_tflops_per_chip_n8k_bf16",
-                "value": 0.0, "unit": "TFLOP/s", "vs_baseline": 0.0,
-                "detail": {"error": "no completed measurement",
-                           "rounds": state["rounds"]},
-            }), flush=True)
-            return
-        # t_bwd is the reference's timed quantity: ONE call doing forward +
-        # backward (see module docstring). Credit the full 12 units over it.
-        tflops = total_flops / t_bwd / 1e12
-        # Ceiling of THIS metric (not the chip): the one call executes 7
-        # matmul passes (fwd 2, bwd 5) = 14 units of real MXU work for 12
-        # units of credit -> peak * 12/14 = 168.9 TFLOP/s at 100% MXU.
-        ceiling = V5E_BF16_PEAK_TFLOPS * 12.0 / 14.0
-        detail = {
-            "fwd_ms": round(t_fwd * 1e3, 3),
-            "fwd_tflops": round(fwd_flops / t_fwd / 1e12, 2),
-            "fwdbwd_call_ms": round(t_bwd * 1e3, 3),
-            # Reference-style backward record: 8 units over the same call
-            # (bench_utils.py:214 credits 2x-fwd for direction="backward").
-            "bwd_ref_accounting_tflops": round(
-                2 * fwd_flops / t_bwd / 1e12, 2
-            ),
-            # Backward-only estimate (subtract the forward's own time).
-            "bwd_only_est_tflops": round(
-                2 * fwd_flops / max(t_bwd - t_fwd, 1e-9) / 1e12, 2
-            ),
-            # Round-2's first accounting (billed t_fwd twice); continuity.
-            "sum_accounting_tflops": round(
-                total_flops / (t_fwd + t_bwd) / 1e12, 2
-            ),
-            "combined_metric_ceiling_tflops": round(ceiling, 1),
-            "ceiling_fraction": round(tflops / ceiling, 4),
-            "matmul_sol_tflops": round(state["sol"], 1),
-            "shape": [b, h, n, d],
-            "timing": "two-point overhead-corrected (see bench.py docstring)",
-            "rounds": state["rounds"],
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        }
-        if np.isfinite(t_fp8):
-            detail["fp8_fwd_tflops"] = round(fwd_flops / t_fp8 / 1e12, 2)
-            detail["fp8_fwd_ms"] = round(t_fp8 * 1e3, 3)
-        decode_art = sorted(glob.glob("benchmarks/results/decode_*.json"))
-        if decode_art:
-            detail["decode_artifact"] = decode_art[-1]
-        print(json.dumps({
-            "metric": "attn_fwd_bwd_tflops_per_chip_n8k_bf16",
-            "value": round(tflops, 2),
-            "unit": "TFLOP/s",
-            "vs_baseline": round(tflops / target, 4),
-            "detail": detail,
-        }), flush=True)
+        emit_from_state(state)
 
     def on_term(signum, frame):
         emit()
@@ -226,7 +261,9 @@ def main():
 
     # Compile everything (one executable per kernel; lengths are runtime).
     for key in ("fwd", "bwd", "fp8"):
+        checkpoint(f"wedged during compile/warmup of {key}")
         run_loop(loops[key][0], loops[key][1], 2)
+    checkpoint("wedged during compile/warmup of matmul SOL probe")
     run_loop(mm_loop, (a0, b0), 2)
 
     t_start = time.perf_counter()
@@ -259,6 +296,7 @@ def main():
         if not on_tpu or sol <= V5E_BF16_PEAK_TFLOPS * 1.05:
             state["sol"] = max(state["sol"], sol)
         state["rounds"].append(rnd)
+        checkpoint("wedged mid-round (partial rounds recorded)")
         if not on_tpu or remaining() < 60:
             break
         tflops_now = total_flops / state["bwd"] / 1e12
@@ -268,5 +306,72 @@ def main():
     emit()
 
 
+def supervise():
+    """Parent process: run measure() in a child with a hard deadline.
+
+    Rationale: a wedged tunnel window blocks dispatches inside C++ where
+    Python signal handlers never run — the child can neither time out nor
+    emit. The parent owns the deadline, kills the exact child it spawned
+    (never by pattern), and emits the child's last progress checkpoint so
+    the driver ALWAYS gets one JSON line.
+    """
+    try:
+        os.unlink(PROGRESS_PATH)
+    except FileNotFoundError:
+        pass
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--measure"],
+        stdout=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        start_new_session=True,
+    )
+
+    def on_term(signum, frame):
+        # Driver timeout shorter than ours: emit the checkpoint NOW.
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        try:
+            with open(PROGRESS_PATH) as f:
+                emit_from_state(json.load(f))
+        except (FileNotFoundError, json.JSONDecodeError):
+            emit_from_state({"error": "terminated before first checkpoint"})
+        sys.exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    deadline = time.time() + SUPERVISOR_DEADLINE_S
+    try:
+        out, _ = child.communicate(timeout=max(deadline - time.time(), 1.0))
+    except subprocess.TimeoutExpired:
+        child.terminate()  # SIGTERM: child emits if it is still responsive
+        try:
+            out, _ = child.communicate(timeout=20.0)
+        except subprocess.TimeoutExpired:
+            try:  # exact process group we started — never kill by pattern
+                os.killpg(child.pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            out, _ = child.communicate()
+    json_lines = [ln for ln in (out or "").splitlines()
+                  if ln.startswith('{"metric"')]
+    if json_lines:
+        print(json_lines[-1], flush=True)
+        return
+    # Child died without emitting (hard wedge / crash): fall back to its
+    # last checkpoint.
+    state = {}
+    try:
+        with open(PROGRESS_PATH) as f:
+            state = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        state = {"error": "child produced no output and no checkpoint "
+                          "(wedged before first dispatch?)"}
+    emit_from_state(state)
+
+
 if __name__ == "__main__":
-    main()
+    if "--measure" in sys.argv:
+        measure()
+    else:
+        supervise()
