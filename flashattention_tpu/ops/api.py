@@ -65,6 +65,8 @@ def flash_attention(
     q_offset: jax.Array | int | None = None,
     interpret: bool | None = None,
     stages: int = 2,
+    bwd_block_q: int | None = None,
+    bwd_block_k: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
 
@@ -128,6 +130,7 @@ def flash_attention(
             block_q=block_q, block_k=block_k, interpret=interpret,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
             q_offset=q_offset, stages=stages,
+            bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k,
         )
     if backend == "xla":
         return tiled_attention(
@@ -148,6 +151,7 @@ def fa1_attention(
     return flash_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale, backend=backend,
         block_q=spec.block_q, block_k=spec.block_k, stages=spec.stages,
+        bwd_block_q=spec.bwd_block_q, bwd_block_k=spec.bwd_block_k,
     )
 
 
@@ -160,6 +164,7 @@ def fa2_attention(
     return flash_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale, backend=backend,
         block_q=spec.block_q, block_k=spec.block_k, stages=spec.stages,
+        bwd_block_q=spec.bwd_block_q, bwd_block_k=spec.bwd_block_k,
     )
 
 
@@ -185,6 +190,7 @@ def fa3_attention(
             backend=backend, block_q=spec.block_q, block_k=spec.block_k,
             dropout_rate=dropout_rate, dropout_key=dropout_key,
             stages=spec.stages,
+            bwd_block_q=spec.bwd_block_q, bwd_block_k=spec.bwd_block_k,
         )
     if dropout_rate > 0.0 and dropout_key is None:
         raise ValueError("dropout_rate > 0 requires dropout_key")
@@ -197,9 +203,13 @@ def fa3_attention(
         dropout_seed = None
         if dropout_rate > 0.0:
             dropout_seed = jax.random.key_data(dropout_key).ravel()[-1]
+        # The fp8 kernel's measured block is (512, 1024); the d=64 spec's
+        # larger (1024, 1024) forward block is a bf16-kernel measurement —
+        # cap rather than apply it unmeasured.
         return pallas_fp8_attention(
             qr, kr, v, causal=causal, softmax_scale=softmax_scale,
-            block_q=spec.block_q, block_k=spec.block_k, stages=spec.stages,
+            block_q=min(spec.block_q, 512), block_k=spec.block_k,
+            stages=spec.stages,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
     blk_q = _fp8_block(q.shape[-2], spec.block_q)

@@ -924,22 +924,22 @@ def _prepare(q, k, v, block_q, block_k):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13)
 )
 def _flash_attention(
     q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
-    dropout_rate, stages,
+    dropout_rate, stages, bwd_block_q, bwd_block_k,
 ):
     o, lse = _flash_attention_fwd_rule(
         q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k,
-        interpret, dropout_rate, stages,
+        interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
     )[0]
     return o, lse
 
 
 def _flash_attention_fwd_rule(
     q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
-    dropout_rate, stages,
+    dropout_rate, stages, bwd_block_q, bwd_block_k,
 ):
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
     o, lse = _flash_fwd(
@@ -954,13 +954,19 @@ def _flash_attention_fwd_rule(
 
 def _flash_attention_bwd_rule(
     causal, softmax_scale, block_q, block_k, interpret, dropout_rate, stages,
-    residuals, cotangents,
+    bwd_block_q, bwd_block_k, residuals, cotangents,
 ):
     q, k, v, seed, qoff, o, lse = residuals
     do, dlse = cotangents
     n_q, d = q.shape[-2], q.shape[-1]
     n_k = k.shape[-2]
-    qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
+    # Backward may tile differently from the forward (residuals o/lse are
+    # block-shape independent): the measured optimum differs per direction —
+    # e.g. d=64 forward wants (1024, 1024) but that backward hangs Mosaic
+    # (RESULTS.md "Spec table").
+    qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(
+        q, k, v, bwd_block_q or block_q, bwd_block_k or block_k
+    )
     op = _pad_dim(o, 2, bq)
     dop = _pad_dim(do, 2, bq)
     if op.shape[-1] != qp.shape[-1]:
@@ -1001,6 +1007,8 @@ def pallas_attention(
     q_offset: jax.Array | int | None = None,
     interpret: bool | None = None,
     stages: int = 2,
+    bwd_block_q: int | None = None,
+    bwd_block_k: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
 
@@ -1008,6 +1016,12 @@ def pallas_attention(
     pipelining (single-buffered DMA, FA1-era schedule, halves KV VMEM),
     2 (default) double-buffers so DMA overlaps compute. The reference plumbs
     this knob but never uses it (quirk Q6, src/fa3/spec.py:3-13).
+
+    ``bwd_block_q``/``bwd_block_k`` tile the backward independently of the
+    forward (None = same as forward). The measured optimum differs per
+    direction: at d=64 the (1024, 1024) forward is ~10% faster but its
+    backward hangs the Mosaic compiler, so the spec table pairs it with a
+    (512, 1024) backward (RESULTS.md "Spec table").
 
     K/V may carry fewer heads than Q (GQA/MQA): H % H_kv == 0; each group of
     H/H_kv query heads attends to one shared KV head.
@@ -1057,4 +1071,6 @@ def pallas_attention(
     return _flash_attention(
         q, k, v, seed, qoff, causal, float(softmax_scale), int(block_q),
         int(block_k), bool(interpret), float(dropout_rate), int(stages),
+        int(bwd_block_q) if bwd_block_q else None,
+        int(bwd_block_k) if bwd_block_k else None,
     )

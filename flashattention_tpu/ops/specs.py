@@ -24,6 +24,8 @@ class FA1Spec:
     block_q: int
     block_k: int
     stages: int = 1  # FA1-era: no DMA/compute overlap.
+    bwd_block_q: int | None = None  # None = same tiling as forward
+    bwd_block_k: int | None = None
 
     def validate(self) -> None:
         if self.block_q % 8 or self.block_k % MIN_BLOCK:
@@ -38,6 +40,8 @@ class FA2Spec:
     block_q: int
     block_k: int
     stages: int = 2
+    bwd_block_q: int | None = None
+    bwd_block_k: int | None = None
 
     def validate(self) -> None:
         if self.block_q % 8 or self.block_k % MIN_BLOCK:
@@ -51,6 +55,8 @@ class FA3Spec:
     block_q: int
     block_k: int
     stages: int = 2  # KV-tile pipeline depth (double buffering by default).
+    bwd_block_q: int | None = None
+    bwd_block_k: int | None = None
 
     def validate(self) -> None:
         if self.block_q % 32 or self.block_k % MIN_BLOCK:
@@ -68,27 +74,37 @@ class FA3Spec:
 _SEQ_BUCKETS = (2048, 8192)     # else "16384+"
 _DIM_BUCKETS = (64, 128)        # else "256+"
 
-_MEASURED_BLOCKS: dict[tuple[int, int], tuple[int, int]] = {
-    # (seq_bucket, dim_bucket): (block_q, block_k)
+_MEASURED_BLOCKS: dict[
+    tuple[int, int], tuple[int, int, int | None, int | None]
+] = {
+    # (seq_bucket, dim_bucket):
+    #     (fwd block_q, fwd block_k, bwd block_q, bwd block_k)
+    # — bwd None means "same tiling as forward". Forward and backward tile
+    # independently since the bwd_block_* plumbing (pallas_attn.py), because
+    # the measured winners differ per direction.
+    #
     # r2 grid (scripts/tune_attention.py --grid, two-point timing, fwd+2*bwd
-    # weighted score; raw rows in RESULTS.md "Spec table"): (512,1024) wins
-    # EVERY cell measured — d=64 by 1.6x over (256,512) and ~par with
-    # (1024,1024) fwd-only (whose backward fails to compile at N=8K);
-    # d=128 by 1.07-1.5x; d=256 by default AND by score: (256,512)+d256
-    # backward is a pathological remote-Mosaic compile (>15 min hang,
-    # deterministic — the r1 table's d=256 row was an untested trap), while
-    # (512,1024)+d256 compiles and reads the best credited TFLOP/s of any
-    # cell. 16384 rows inherit the 8192 winners (resident-dQ backward
-    # verified to N=16K; grid cells at 16K not yet run — r3 item).
-    (2048, 64): (512, 1024),
-    (2048, 128): (512, 1024),
-    (2048, 256): (512, 1024),
-    (8192, 64): (512, 1024),
-    (8192, 128): (512, 1024),
-    (8192, 256): (512, 1024),
-    (16384, 64): (512, 1024),
-    (16384, 128): (512, 1024),
-    (16384, 256): (512, 1024),
+    # weighted score; raw rows in RESULTS.md "Spec table"):
+    # - d=64: (1024,1024) FORWARD is fastest in both measured seq cells
+    #   (66.3 vs 62.8 @2K, 75.1 vs 68.3 @8K) but its backward fails or
+    #   hangs Mosaic, so the pair is fwd (1024,1024) / bwd (512,1024).
+    # - d=128: (512,1024) by 1.07-1.5x over (256,512); (1024,1024)
+    #   unmeasured (glitch/no-compile rows).
+    # - d=256: (512,1024) by default AND by score — (256,512)+d256
+    #   backward is a pathological remote-Mosaic compile (>15 min hang,
+    #   deterministic; the r1 table's d=256 row was an untested trap),
+    #   while (512,1024)+d256 reads the best credited TFLOP/s of any cell.
+    # 16384 rows inherit the 8192 winners (resident-dQ backward verified
+    # to N=16K; grid cells at 16K not yet run — r3 item).
+    (2048, 64): (1024, 1024, 512, 1024),
+    (2048, 128): (512, 1024, None, None),
+    (2048, 256): (512, 1024, None, None),
+    (8192, 64): (1024, 1024, 512, 1024),
+    (8192, 128): (512, 1024, None, None),
+    (8192, 256): (512, 1024, None, None),
+    (16384, 64): (1024, 1024, 512, 1024),
+    (16384, 128): (512, 1024, None, None),
+    (16384, 256): (512, 1024, None, None),
 }
 
 
@@ -99,7 +115,9 @@ def _bucket(value: int, edges: tuple[int, ...], top: int) -> int:
     return top
 
 
-def _pick_blocks(head_dim: int, seqlen: int | None) -> tuple[int, int]:
+def _pick_blocks(
+    head_dim: int, seqlen: int | None
+) -> tuple[int, int, int | None, int | None]:
     n = seqlen if seqlen is not None else 8192
     key = (
         _bucket(n, _SEQ_BUCKETS, 16384),
@@ -112,15 +130,17 @@ def pick_fa1_spec(head_dim: int, seqlen: int | None = None) -> FA1Spec:
     """Reference picks br=128/bc=128 for d<=64 else br=64 (src/fa1/spec.py:9-12).
     On TPU the measured table above decides; N=8K d=128: 512x1024 beats
     256x512 by 1.5x."""
-    bq, bk = _pick_blocks(head_dim, seqlen)
-    return FA1Spec(block_q=bq, block_k=bk)
+    bq, bk, bbq, bbk = _pick_blocks(head_dim, seqlen)
+    return FA1Spec(block_q=bq, block_k=bk, bwd_block_q=bbq, bwd_block_k=bbk)
 
 
 def pick_fa2_spec(head_dim: int, seqlen: int | None = None) -> FA2Spec:
-    bq, bk = _pick_blocks(head_dim, seqlen)
-    return FA2Spec(block_q=bq, block_k=bk)
+    bq, bk, bbq, bbk = _pick_blocks(head_dim, seqlen)
+    return FA2Spec(block_q=bq, block_k=bk, bwd_block_q=bbq, bwd_block_k=bbk)
 
 
 def pick_fa3_spec(head_dim: int, seqlen: int | None = None) -> FA3Spec:
-    bq, bk = _pick_blocks(head_dim, seqlen)
-    return FA3Spec(block_q=bq, block_k=bk, stages=2)
+    bq, bk, bbq, bbk = _pick_blocks(head_dim, seqlen)
+    return FA3Spec(
+        block_q=bq, block_k=bk, stages=2, bwd_block_q=bbq, bwd_block_k=bbk
+    )

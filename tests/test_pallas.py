@@ -268,6 +268,32 @@ def test_pallas_backward_impls_match_oracle(impl, monkeypatch):
     assert_allclose(dv, dv_r, rtol=2e-3, atol=2e-3)
 
 
+def test_pallas_bwd_blocks_differ_from_fwd():
+    """Per-direction tiling (specs pair a large fwd block with a smaller
+    bwd block where the big backward hangs Mosaic) must not change the
+    math: grads with bwd_block_* != block_* match the oracle and the
+    same-blocks grads exactly at fp32."""
+    b, h, n, d = 1, 2, 384, 64
+    q, k, v = make_qkv(b, h, n, d)
+    do = jax.random.normal(jax.random.key(7), (b, h, n, d), dtype=jnp.float32)
+
+    def loss(bwd_bq, bwd_bk):
+        def f(q_, k_, v_):
+            o, _ = pallas_attention(
+                q_, k_, v_, causal=True, block_q=256, block_k=256,
+                bwd_block_q=bwd_bq, bwd_block_k=bwd_bk,
+            )
+            return jnp.sum(o * do)
+        return f
+
+    grads = jax.grad(loss(128, 128), argnums=(0, 1, 2))(q, k, v)
+    grads_same = jax.grad(loss(None, None), argnums=(0, 1, 2))(q, k, v)
+    grads_ref = reference_attention_grads(q, k, v, do, causal=True)
+    for g, gs, gr in zip(grads, grads_same, grads_ref):
+        assert_allclose(g, gr, rtol=2e-3, atol=2e-3)
+        assert_allclose(g, gs, rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("d", [40, 48])
 def test_pallas_odd_head_dims(d):
     """Non-power-of-2 head dims (reference exercises d=40/48,
