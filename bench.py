@@ -110,6 +110,7 @@ def emit_from_state(state):
         "ceiling_fraction": round(tflops / ceiling, 4),
         "matmul_sol_tflops": round(state.get("sol", 0.0), 1),
         "shape": state.get("shape"),
+        "blocks": state.get("blocks"),
         "timing": "two-point overhead-corrected (see bench.py docstring)",
         "rounds": state.get("rounds", []),
         "backend": state.get("backend"),
@@ -189,12 +190,20 @@ def measure():
 
     from flashattention_tpu.ops.pallas_attn import pallas_attention
     from flashattention_tpu.ops.pallas_fp8 import pallas_fp8_attention
+    from flashattention_tpu.ops.specs import pick_fa2_spec
+
+    # Headline uses the measured spec table (per-(N, d) blocks, fwd and bwd
+    # tiled independently) — spec improvements flow into the headline
+    # without editing this file.
+    spec = pick_fa2_spec(d, n)
 
     fwd_flops = 4 * b * h * n * n * d
     total_flops = 3 * fwd_flops          # fwd + 2x-fwd bwd (reference model)
     state = {"fwd": float("inf"), "bwd": float("inf"), "fp8": float("inf"),
              "sol": 0.0, "rounds": [], "fwd_flops": fwd_flops,
              "total_flops": total_flops, "shape": [b, h, n, d],
+             "blocks": [spec.block_q, spec.block_k,
+                        spec.bwd_block_q, spec.bwd_block_k],
              "backend": jax.default_backend(),
              "device": str(jax.devices()[0])}
 
@@ -225,11 +234,18 @@ def measure():
             jnp.bfloat16
         )
 
+    def _attn(q_, k_, v_):
+        return pallas_attention(
+            q_, k_, v_, block_q=spec.block_q, block_k=spec.block_k,
+            stages=spec.stages,
+            bwd_block_q=spec.bwd_block_q, bwd_block_k=spec.bwd_block_k,
+        )
+
     def fwd_one(q_, k_, v_):
-        return pallas_attention(q_, k_, v_)[0].astype(q_.dtype)
+        return _attn(q_, k_, v_)[0].astype(q_.dtype)
 
     def _loss(t):
-        o, _ = pallas_attention(t[0], t[1], t[2])
+        o, _ = _attn(t[0], t[1], t[2])
         return jnp.sum(o.astype(jnp.float32) ** 2)
 
     def grad_one(q_, k_, v_):
