@@ -52,6 +52,10 @@ class TransformerConfig:
     dropout_rate: float = 0.1
     block_size: int = 128          # attention tile size (reference ln 706)
     tau: float | None = None       # softmax temperature; default sqrt(d_head)
+    pos_encoding: str = "learned"  # "learned" (reference ln 620-647) |
+                                   # "rope" (rotary q/k, no pos table) |
+                                   # "none"
+    rope_theta: float = 10000.0
     use_block_sparse: bool = False
     dtype: Any = jnp.bfloat16      # activation/compute dtype
     param_dtype: Any = jnp.float32
@@ -87,12 +91,15 @@ def _dense_init(key, shape, dtype, scale=0.02):
 
 
 def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
+    if cfg.pos_encoding not in ("learned", "rope", "none"):
+        raise ValueError(f"unknown pos_encoding {cfg.pos_encoding!r}")
+    if cfg.pos_encoding == "rope" and cfg.d_head % 2:
+        raise ValueError("rope needs an even d_head")
     keys = jax.random.split(key, 4 + cfg.n_layers)
     pd = cfg.param_dtype
     d, dff = cfg.d_model, cfg.d_ff
     params: Params = {
         "tok_emb": _dense_init(keys[0], (cfg.vocab_size, d), pd),
-        "pos_emb": _dense_init(keys[1], (cfg.max_seq_len, d), pd),
         "lm_head": {
             "w": _dense_init(keys[2], (d, cfg.vocab_size), pd),
             "b": jnp.zeros((cfg.vocab_size,), pd),
@@ -100,6 +107,8 @@ def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
         "final_ln": {"g": jnp.ones((d,), pd), "b": jnp.zeros((d,), pd)},
         "blocks": [],
     }
+    if cfg.pos_encoding == "learned":
+        params["pos_emb"] = _dense_init(keys[1], (cfg.max_seq_len, d), pd)
     for i in range(cfg.n_layers):
         bk = jax.random.split(keys[4 + i], 6)
         # residual-branch projections scaled down by depth (GPT-2 init)
@@ -172,6 +181,28 @@ def block_sparse_mask(
     return m[:n_q, :n_k]
 
 
+def _rope(t: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
+    """Rotary position embedding (split-half / NeoX layout) on (B, H, N, dh).
+
+    ``pos``: (N,) absolute positions of the rows. fp32 rotation, cast back.
+    New scope beyond the reference (learned positions only, ln 620-647):
+    rotating K *before* it enters the KV cache makes decode position-correct
+    with no pos table and no max_seq_len coupling in the weights.
+    """
+    half = t.shape[-1] // 2
+    freqs = pos[..., :, None].astype(jnp.float32) * (
+        theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    )  # (N, half) — or (B, N, half) for per-row positions (serving decode)
+    if freqs.ndim == 3:
+        freqs = freqs[:, None]  # broadcast over heads
+    cos, sin = jnp.cos(freqs), jnp.sin(freqs)
+    t1 = t[..., :half].astype(jnp.float32)
+    t2 = t[..., half:].astype(jnp.float32)
+    return jnp.concatenate(
+        [t1 * cos - t2 * sin, t2 * cos + t1 * sin], axis=-1
+    ).astype(t.dtype)
+
+
 def _attention(
     x: jax.Array,
     p: Params,
@@ -197,6 +228,12 @@ def _attention(
         return t.reshape(b, -1, nh, dh).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q, h), heads(k, h_kv), heads(v, h_kv)
+
+    if cfg.pos_encoding == "rope":
+        start = cache_index if kv_cache is not None else 0
+        pos = start + jnp.arange(n)
+        q = _rope(q, pos, cfg.rope_theta)
+        k = _rope(k, pos, cfg.rope_theta)  # rotated BEFORE caching
 
     if kv_cache is not None:
         # Decode: append this step's K/V at cache_index, attend to the prefix.
@@ -299,7 +336,8 @@ def apply_transformer(
     """tokens (B, N) int32 -> logits (B, N, vocab) in fp32."""
     b, n = tokens.shape
     x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
-    x = x + params["pos_emb"][:n].astype(cfg.dtype)
+    if cfg.pos_encoding == "learned":
+        x = x + params["pos_emb"][:n].astype(cfg.dtype)
     if train and cfg.dropout_rate > 0:
         dropout_key, sub = jax.random.split(dropout_key)
         x = _dropout(x, sub, cfg.dropout_rate)
@@ -355,8 +393,11 @@ def _decode_chunk_impl(params, caches, tokens, cache_index, cfg):
     """Shared body of decode_step/decode_chunk (pure; callers jit)."""
     b, n = tokens.shape
     x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
-    pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], cache_index, n, 0)
-    x = x + pos.astype(cfg.dtype)
+    if cfg.pos_encoding == "learned":
+        pos = jax.lax.dynamic_slice_in_dim(
+            params["pos_emb"], cache_index, n, 0
+        )
+        x = x + pos.astype(cfg.dtype)
 
     new_caches = []
     for bp, cache in zip(params["blocks"], caches):

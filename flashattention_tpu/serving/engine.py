@@ -29,6 +29,7 @@ import numpy as np
 from flashattention_tpu.models.transformer import (
     TransformerConfig,
     _layer_norm,
+    _rope,
 )
 from flashattention_tpu.ops.tiled import tiled_attention
 from flashattention_tpu.serving.allocator import PageAllocator
@@ -102,9 +103,23 @@ def _mlp(x, mp):
 
 def _embed(params, tokens, cfg, position0):
     x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
-    n = tokens.shape[1]
-    pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], position0, n, 0)
-    return x + pos.astype(cfg.dtype)
+    if cfg.pos_encoding == "learned":
+        n = tokens.shape[1]
+        pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], position0, n, 0)
+        x = x + pos.astype(cfg.dtype)
+    return x
+
+
+def _maybe_rope(q, k, cfg, pos):
+    """Rotate q/k when cfg.pos_encoding == "rope" (no-op otherwise).
+
+    ``pos``: (N,) shared positions, or (B, N) per-row positions (batched
+    decode, where each slot sits at its own length). K is rotated before it
+    enters the paged cache — the same contract as models.transformer.
+    """
+    if cfg.pos_encoding != "rope":
+        return q, k
+    return _rope(q, pos, cfg.rope_theta), _rope(k, pos, cfg.rope_theta)
 
 
 def _lm_logits(params, x):
@@ -135,6 +150,7 @@ def make_prefill_fn(cfg: TransformerConfig):
         for bp, cache in zip(params["blocks"], caches):
             a = bp["attn"]
             q, k, v = _qkv(x, a, cfg)
+            q, k = _maybe_rope(q, k, cfg, jnp.arange(tp))
             cache = append_to_pages(
                 cache, k, v, page_indices, zero_len,
                 valid_len=jnp.full((b,), prompt_len, jnp.int32),
@@ -214,6 +230,7 @@ def make_chunk_prefill_fn(
         for bp, cache in zip(params["blocks"], caches):
             a = bp["attn"]
             q, k, v = _qkv(x, a, cfg)
+            q, k = _maybe_rope(q, k, cfg, base + jnp.arange(c))
             cache = append_to_pages(
                 cache, k, v, page_indices, base_b, valid_len=valid_b
             )
@@ -288,6 +305,7 @@ def make_decode_fn(
         for bp, cache in zip(params["blocks"], caches):
             a = bp["attn"]
             q, k, v = _qkv(x, a, cfg)  # (B, H, 1, dh)
+            q, k = _maybe_rope(q, k, cfg, lengths[:, None])  # per-row pos
             cache = append_to_pages(cache, k, v, page_indices, lengths)
             new_caches.append(cache)
             o = _paged_attn(
@@ -317,8 +335,10 @@ def make_decode_fn(
 
 def _embed_decode(params, tokens, cfg, lengths):
     x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
-    pos = params["pos_emb"][lengths]  # (B, D) — position = current length
-    return x + pos[:, None, :].astype(cfg.dtype)
+    if cfg.pos_encoding == "learned":
+        pos = params["pos_emb"][lengths]  # (B, D) — position = current length
+        x = x + pos[:, None, :].astype(cfg.dtype)
+    return x
 
 
 # ---------------------------------------------------------------------------

@@ -318,6 +318,32 @@ def test_engine_gqa_matches_naive_greedy():
     assert results[0] == expected
 
 
+def test_engine_rope_matches_naive_greedy():
+    """RoPE model through the engine (paged cache, chunked prefill, batched
+    decode): K must be rotated with its absolute position before entering
+    the pages, and decode q with per-row positions — exact greedy parity
+    with the full forward pins all three call sites."""
+    cfg = TransformerConfig(
+        vocab_size=89, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_ff=128, max_seq_len=128, block_size=32, dropout_rate=0.0,
+        dtype=jnp.float32, attention_backend="xla", pos_encoding="rope",
+    )
+    params = init_transformer(jax.random.key(5), cfg)
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=32, max_seq_len=64,
+        prefill_pad=16,
+    )
+    eng = ServingEngine(params, cfg, ecfg)
+    rng = np.random.default_rng(6)
+    prompts = [list(rng.integers(0, cfg.vocab_size, size=n)) for n in (7, 4)]
+    for i, p in enumerate(prompts):
+        eng.submit(GenerationRequest(request_id=i, prompt=p, max_new_tokens=5))
+    results = eng.run()
+    for i, p in enumerate(prompts):
+        expected = _naive_greedy(params, p, 5, cfg=cfg)
+        assert results[i] == expected, (i, results[i], expected)
+
+
 def test_multihost_scheduler_matches_naive_greedy(params):
     """Requests split across two engine replicas; merged results must match
     the single-model oracle, and the load balancer must use both."""
