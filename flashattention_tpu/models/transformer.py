@@ -56,6 +56,10 @@ class TransformerConfig:
                                    # "rope" (rotary q/k, no pos table) |
                                    # "none"
     rope_theta: float = 10000.0
+    attention_window: int | None = None  # sliding-window (local) attention:
+                                   # each position attends to the last
+                                   # `window` tokens only (Pallas skips
+                                   # out-of-band tiles; O(N*W) work)
     use_block_sparse: bool = False
     dtype: Any = jnp.bfloat16      # activation/compute dtype
     param_dtype: Any = jnp.float32
@@ -95,6 +99,8 @@ def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
         raise ValueError(f"unknown pos_encoding {cfg.pos_encoding!r}")
     if cfg.pos_encoding == "rope" and cfg.d_head % 2:
         raise ValueError("rope needs an even d_head")
+    if cfg.attention_window is not None and cfg.attention_window < 1:
+        raise ValueError("attention_window must be >= 1")
     keys = jax.random.split(key, 4 + cfg.n_layers)
     pd = cfg.param_dtype
     d, dff = cfg.d_model, cfg.d_ff
@@ -252,6 +258,8 @@ def _attention(
         cols = jax.lax.broadcasted_iota(jnp.int32, (n, n_cache), 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, n_cache), 0)
         mask = cols <= rows + cache_index
+        if cfg.attention_window is not None:
+            mask = mask & (cols > rows + cache_index - cfg.attention_window)
         kc, vc = k_cache.astype(q.dtype), v_cache.astype(q.dtype)
         if h_kv != h:  # GQA: the tiled executor wants matching head counts
             kc = jnp.repeat(kc, h // h_kv, axis=1)
@@ -265,6 +273,10 @@ def _attention(
     else:
         new_cache = None
         rate = cfg.dropout_rate if train else 0.0
+        if sparse_mask is not None and cfg.attention_window is not None:
+            raise ValueError(
+                "attention_window and a block-sparse pattern cannot combine"
+            )
         if sparse_mask is not None and rate == 0.0:
             # Block-sparse fast path: compacted-grid Pallas kernel — inactive
             # tiles cost neither DMA nor compute (reference L6 only *skips*
@@ -292,6 +304,7 @@ def _attention(
                 ),
                 dropout_rate=rate,
                 dropout_key=dropout_key if rate > 0 else None,
+                window=cfg.attention_window,
             )
 
     o = o.transpose(0, 2, 1, 3).reshape(b, n, d)

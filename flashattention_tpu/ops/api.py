@@ -67,8 +67,14 @@ def flash_attention(
     stages: int = 2,
     bwd_block_q: int | None = None,
     bwd_block_k: int | None = None,
+    window: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
+
+    ``window``: sliding-window (local) attention under ``causal=True`` —
+    row r attends only to the last ``window`` keys. On the Pallas backend
+    out-of-band tiles are skipped entirely (O(N*window) work); the xla and
+    reference backends apply the equivalent band mask densely.
 
     GQA/MQA: k/v may carry H_kv < H heads (H % H_kv == 0). The Pallas backend
     shares KV tiles across the head group natively; the xla/reference
@@ -91,6 +97,21 @@ def flash_attention(
     stays on the kernel fast path on every shard.
     """
     backend = _resolve_backend(backend)
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
+    will_tile = (
+        backend == "xla" or mask is not None
+        or (dropout_rate > 0.0 and backend != "pallas")
+    )
+    if window is not None and will_tile:
+        # Dense executors take the band's low edge as an elementwise mask;
+        # the causal upper edge stays on the executor's q_offset path.
+        n_q, n_k = q.shape[-2], k.shape[-2]
+        offset = (n_k - n_q) if q_offset is None else q_offset
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 1)
+        low = cols > rows + offset - window
+        mask = low if mask is None else (mask & low)
     h_q, h_kv = q.shape[1], k.shape[1]
     routes_tiled = mask is not None or (
         dropout_rate > 0.0 and backend != "pallas"
@@ -131,6 +152,7 @@ def flash_attention(
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
             q_offset=q_offset, stages=stages,
             bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k,
+            window=window,
         )
     if backend == "xla":
         return tiled_attention(
@@ -138,7 +160,8 @@ def flash_attention(
             block_k=min(block_k, 512), q_offset=q_offset,
         )
     return reference_attention(
-        q, k, v, causal=causal, softmax_scale=softmax_scale, q_offset=q_offset
+        q, k, v, causal=causal, softmax_scale=softmax_scale,
+        q_offset=q_offset, window=window,
     )
 
 

@@ -67,24 +67,42 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _causal_should_run(iq, ik, block_q, block_k, offset):
-    """True unless the whole (iq, ik) tile is above the causal diagonal.
+def _causal_should_run(iq, ik, block_q, block_k, offset, window=None):
+    """True unless the whole (iq, ik) tile is outside the attended band.
 
-    Query row r attends to cols <= r + offset (offset = n_k - n_q).
-    The tile's most permissive row is its last: iq*bq + bq - 1.
+    Query row r attends to cols <= r + offset (offset = n_k - n_q), and —
+    with a sliding ``window`` W — only to cols > r + offset - W (the last W
+    keys including self). Tiles entirely above the diagonal OR entirely
+    below the window band are skipped; with W << N the kernel runs
+    O(N*W) tiles instead of O(N^2/2).
     """
-    return (iq * block_q + block_q - 1 + offset) >= ik * block_k
+    run = (iq * block_q + block_q - 1 + offset) >= ik * block_k
+    if window is not None:
+        # Tile's most permissive row for the low bound is its FIRST:
+        # its lowest attended col is iq*bq + offset - W + 1.
+        run = run & (
+            (ik * block_k + block_k - 1) >= (iq * block_q + offset - window + 1)
+        )
+    return run
 
 
-def _causal_needs_mask(iq, ik, block_q, block_k, offset):
+def _causal_needs_mask(iq, ik, block_q, block_k, offset, window=None):
     """True when the (iq, ik) tile straddles the diagonal (its last column can
-    exceed what the tile's *first* row may attend to). Tiles fully below the
-    diagonal take the unmasked fast path — this is the main VPU saving for
-    causal attention (the per-element where/iota work is O(N^2))."""
-    return (ik * block_k + block_k - 1) > (iq * block_q + offset)
+    exceed what the tile's *first* row may attend to) or — with a sliding
+    window — the band's low edge. Tiles fully inside the band take the
+    unmasked fast path — this is the main VPU saving for causal attention
+    (the per-element where/iota work is O(N^2))."""
+    needs = (ik * block_k + block_k - 1) > (iq * block_q + offset)
+    if window is not None:
+        # First col <= last row's low bound -> some element below the band.
+        needs = needs | (
+            ik * block_k <= (iq * block_q + block_q - 1 + offset - window)
+        )
+    return needs
 
 
-def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset):
+def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset,
+               window=None):
     """Boolean (block_q, block_k) mask from absolute indices.
 
     Built from a (bq, 1) row iota and a (1, bk) col iota so the compare
@@ -94,6 +112,8 @@ def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset):
     cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     if causal:
         mask = cols <= rows + offset
+        if window is not None:
+            mask = mask & (cols > rows + offset - window)
         if n_k % block_k:
             mask = mask & (cols < n_k)
         return mask
@@ -137,6 +157,7 @@ def _keep_mask(seed, bh, iq, ik, block_q, block_k, rate):
 def _fwd_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
+    window=None,
 ):
     if dropout_rate > 0.0:
         (qoff_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
@@ -173,7 +194,8 @@ def _fwd_kernel(
         )
         s = s * jnp.float32(softmax_scale)
         if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+                              offset, window)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -203,8 +225,10 @@ def _fwd_kernel(
         )
 
     if causal:
-        run = _causal_should_run(iq, ik, block_q, block_k, offset)
-        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        run = _causal_should_run(iq, ik, block_q, block_k, offset, window)
+        needs_mask = _causal_needs_mask(
+            iq, ik, block_q, block_k, offset, window
+        )
         if kv_edge:
             needs_mask = needs_mask | (ik == n_kv_tiles - 1)
 
@@ -236,7 +260,7 @@ def _fwd_kernel(
 
 def _flash_fwd(
     q, k, v, seed, qoff, *, causal, softmax_scale, block_q, block_k,
-    interpret, n_q, n_k, dropout_rate, stages=2,
+    interpret, n_q, n_k, dropout_rate, stages=2, window=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -253,6 +277,7 @@ def _flash_fwd(
         block_q=block_q,
         block_k=block_k,
         dropout_rate=dropout_rate,
+        window=window,
     )
     # ``stages`` — the FAx pipeline-depth knob (the reference plumbs it but
     # never uses it, quirk Q6; src/fa3/spec.py:3-13). Here it sets the K/V
@@ -321,6 +346,7 @@ def _flash_fwd(
 def _bwd_dkv_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
+    window=None,
 ):
     """dK/dV: one grid cell per KV tile, sequential loop over Q tiles.
 
@@ -362,7 +388,8 @@ def _bwd_dkv_kernel(
         )
         s2 = s2 * jnp.float32(softmax_scale)
         if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+                              offset, window)
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         p = jnp.exp(s2 - lse2)  # (bq, bk) softmax probabilities
         if use_mask:
@@ -396,8 +423,10 @@ def _bwd_dkv_kernel(
         )
 
     if causal:
-        run = _causal_should_run(iq, ik, block_q, block_k, offset)
-        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        run = _causal_should_run(iq, ik, block_q, block_k, offset, window)
+        needs_mask = _causal_needs_mask(
+            iq, ik, block_q, block_k, offset, window
+        )
         if kv_edge:
             needs_mask = needs_mask | (ik == pl.num_programs(2) - 1)
 
@@ -433,6 +462,7 @@ def _bwd_dkv_kernel(
 def _bwd_fused_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
+    window=None,
     resident,
 ):
     """Fused backward: dK/dV accumulated in scratch per KV tile, plus dQ by
@@ -491,7 +521,8 @@ def _bwd_fused_kernel(
         )
         s2 = s2 * jnp.float32(softmax_scale)
         if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+                              offset, window)
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         p = jnp.exp(s2 - lse2)  # (bq, bk)
         if use_mask:
@@ -530,8 +561,10 @@ def _bwd_fused_kernel(
             dq_ref[0, 0, 0] = dq_tile * jnp.float32(softmax_scale)
 
     if causal:
-        run = _causal_should_run(iq, ik, block_q, block_k, offset)
-        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        run = _causal_should_run(iq, ik, block_q, block_k, offset, window)
+        needs_mask = _causal_needs_mask(
+            iq, ik, block_q, block_k, offset, window
+        )
         if kv_edge:
             needs_mask = needs_mask | (ik == n_k_tiles - 1)
 
@@ -582,6 +615,7 @@ def _bwd_fused_kernel(
 def _bwd_dq_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
+    window=None,
 ):
     if dropout_rate > 0.0:
         (qoff_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
@@ -617,7 +651,8 @@ def _bwd_dq_kernel(
         )
         s2 = s2 * jnp.float32(softmax_scale)
         if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+                              offset, window)
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         p = jnp.exp(s2 - lse2)
         if use_mask:
@@ -638,8 +673,10 @@ def _bwd_dq_kernel(
         )
 
     if causal:
-        run = _causal_should_run(iq, ik, block_q, block_k, offset)
-        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        run = _causal_should_run(iq, ik, block_q, block_k, offset, window)
+        needs_mask = _causal_needs_mask(
+            iq, ik, block_q, block_k, offset, window
+        )
         if kv_edge:
             needs_mask = needs_mask | (ik == n_kv_tiles - 1)
 
@@ -673,7 +710,7 @@ def _bwd_dq_kernel(
 
 def _flash_bwd(
     q, k, v, o, lse, do, seed, *, causal, softmax_scale, block_q, block_k,
-    interpret, n_q, n_k, dropout_rate, dlse=None, qoff=None,
+    interpret, n_q, n_k, dropout_rate, dlse=None, qoff=None, window=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -694,6 +731,7 @@ def _flash_bwd(
     common = dict(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
         block_q=block_q, block_k=block_k, dropout_rate=dropout_rate,
+        window=window,
     )
     # Pipeline depth for the inner-loop-streamed Q-side inputs (q, do): the
     # bwd analogue of the forward's ``stages`` knob. Buffered(1) halves
@@ -924,28 +962,28 @@ def _prepare(q, k, v, block_q, block_k):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
 )
 def _flash_attention(
     q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
-    dropout_rate, stages, bwd_block_q, bwd_block_k,
+    dropout_rate, stages, bwd_block_q, bwd_block_k, window,
 ):
     o, lse = _flash_attention_fwd_rule(
         q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k,
-        interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
+        interpret, dropout_rate, stages, bwd_block_q, bwd_block_k, window,
     )[0]
     return o, lse
 
 
 def _flash_attention_fwd_rule(
     q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
-    dropout_rate, stages, bwd_block_q, bwd_block_k,
+    dropout_rate, stages, bwd_block_q, bwd_block_k, window,
 ):
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
     o, lse = _flash_fwd(
         qp, kp, vp, seed, qoff, causal=causal, softmax_scale=softmax_scale,
         block_q=bq, block_k=bk, interpret=interpret, n_q=n_q, n_k=n_k,
-        dropout_rate=dropout_rate, stages=stages,
+        dropout_rate=dropout_rate, stages=stages, window=window,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
@@ -954,7 +992,7 @@ def _flash_attention_fwd_rule(
 
 def _flash_attention_bwd_rule(
     causal, softmax_scale, block_q, block_k, interpret, dropout_rate, stages,
-    bwd_block_q, bwd_block_k, residuals, cotangents,
+    bwd_block_q, bwd_block_k, window, residuals, cotangents,
 ):
     q, k, v, seed, qoff, o, lse = residuals
     do, dlse = cotangents
@@ -979,7 +1017,7 @@ def _flash_attention_bwd_rule(
         qp, kp, vp, op, lsep, dop, seed, causal=causal,
         softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
-        dlse=dlsep, qoff=qoff,
+        dlse=dlsep, qoff=qoff, window=window,
     )
     return (
         dq[:, :, :n_q, :d].astype(q.dtype),
@@ -1009,8 +1047,15 @@ def pallas_attention(
     stages: int = 2,
     bwd_block_q: int | None = None,
     bwd_block_k: int | None = None,
+    window: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
+
+    ``window``: sliding-window (local) attention — with ``causal=True``,
+    row r attends only to the last ``window`` keys (cols in
+    (r + q_offset - window, r + q_offset]). Tiles entirely outside the band
+    are skipped (no DMA, no compute): O(N*window) work instead of O(N^2/2).
+    Requires causal=True; window >= n_k degenerates to plain causal.
 
     ``stages``: forward K/V-stream pipeline depth — 1 disables software
     pipelining (single-buffered DMA, FA1-era schedule, halves KV VMEM),
@@ -1068,9 +1113,15 @@ def pallas_attention(
     qoff = jnp.asarray(q_offset, dtype=jnp.int32).reshape((1,))
     if stages not in (1, 2):
         raise ValueError(f"stages must be 1 or 2 (Mosaic limit), got {stages}")
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
     return _flash_attention(
         q, k, v, seed, qoff, causal, float(softmax_scale), int(block_q),
         int(block_k), bool(interpret), float(dropout_rate), int(stages),
         int(bwd_block_q) if bwd_block_q else None,
         int(bwd_block_k) if bwd_block_k else None,
+        int(window) if window is not None else None,
     )

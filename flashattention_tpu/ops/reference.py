@@ -49,8 +49,12 @@ def reference_attention(
     bias: jax.Array | None = None,
     mask: jax.Array | None = None,
     q_offset: jax.Array | int | None = None,
+    window: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dense fp32 attention oracle.
+
+    ``window``: sliding-window band under causal — row r attends cols in
+    (r + offset - window, r + offset].
 
     Args:
       q: (..., N_q, D) queries; leading dims are batch/head.
@@ -80,11 +84,15 @@ def reference_attention(
     s = jnp.einsum("...qd,...kd->...qk", qf, kf) * softmax_scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
     if causal:
         offset = (n_k - n_q) if q_offset is None else q_offset
         rows = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 1)
         cm = cols <= rows + offset
+        if window is not None:
+            cm = cm & (cols > rows + offset - window)
         s = jnp.where(cm, s, DEFAULT_MASK_VALUE)
     if mask is not None:
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -103,13 +111,15 @@ def reference_attention_grads(
     *,
     causal: bool = False,
     softmax_scale: float | None = None,
+    window: int | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Autograd-based oracle gradients (reference ``reference_backward``,
     src/common/correctness.py:24-33): dq, dk, dv of sum(o * do)."""
 
     def loss(q_, k_, v_):
         o, _ = reference_attention(
-            q_, k_, v_, causal=causal, softmax_scale=softmax_scale
+            q_, k_, v_, causal=causal, softmax_scale=softmax_scale,
+            window=window,
         )
         return jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32))
 

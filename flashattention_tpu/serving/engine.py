@@ -355,6 +355,12 @@ class ServingEngine:
         *,
         native_allocator: bool | None = None,
     ):
+        if cfg.attention_window is not None:
+            raise NotImplementedError(
+                "sliding-window attention is not yet on the paged serving "
+                "path (the paged kernel attends to the full cache prefix); "
+                "use the models KV-cache decode path for windowed models"
+            )
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg

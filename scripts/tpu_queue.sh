@@ -108,6 +108,49 @@ step ab_fwd_512_d128  900 python scripts/tune_attention.py --one 512 1024 --seq 
 step ab_bwd_stages1 900 env FAT_BWD_STAGES=1 python scripts/tune_attention.py --one 512 1024 --seq 8192 --dim 128 --bwd
 step ab_bwd_stages2 900 env FAT_BWD_STAGES=2 python scripts/tune_attention.py --one 512 1024 --seq 8192 --dim 128 --bwd
 
+# ---- 3b. sliding-window tile-skip on real TPU (correct + fast) ------------
+step verify_window 900 python - <<'EOF'
+# N=8K window=1024: must match the banded oracle AND run ~3-4x faster than
+# full causal (out-of-band tiles skipped, not just masked).
+from flashattention_tpu.utils.profiling import enable_compile_cache
+enable_compile_cache()
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax import lax
+from flashattention_tpu.ops.pallas_attn import pallas_attention
+from flashattention_tpu.ops.reference import reference_attention
+b, h, n, d = 1, 4, 8192, 128
+q, k, v = (jax.random.normal(jax.random.key(i), (b, h, n, d), jnp.bfloat16)
+           for i in range(3))
+o, lse = pallas_attention(q, k, v, causal=True, window=1024)
+o_r, _ = reference_attention(q, k, v, causal=True, window=1024)
+print("win fwd max|d|:", np.abs(np.asarray(o, np.float32)
+                                - np.asarray(o_r, np.float32)).max())
+def mkloop(fn):
+    @jax.jit
+    def loop(n_, a0, *rest):
+        return lax.fori_loop(0, n_, lambda i, o_: fn(o_, *rest), a0)
+    return loop
+def two_point(loop, args, i1, i2):
+    best = {i1: 1e9, i2: 1e9}
+    for _ in range(3):
+        for it in (i1, i2):
+            t0 = time.perf_counter()
+            out = loop(jnp.int32(it), *args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:8]
+            best[it] = min(best[it], time.perf_counter() - t0)
+    return (best[i2] - best[i1]) / (i2 - i1)
+win = mkloop(lambda q_, k_, v_: pallas_attention(
+    q_, k_, v_, causal=True, window=1024)[0].astype(q_.dtype))
+cau = mkloop(lambda q_, k_, v_: pallas_attention(
+    q_, k_, v_, causal=True)[0].astype(q_.dtype))
+win(jnp.int32(2), q, k, v); cau(jnp.int32(2), q, k, v)
+t_w = two_point(win, (q, k, v), 30, 630)
+t_c = two_point(cau, (q, k, v), 30, 630)
+print(f"window=1024 {t_w*1e3:.3f} ms vs causal {t_c*1e3:.3f} ms "
+      f"(speedup {t_c/t_w:.2f}x; band fraction {1024/n:.3f})")
+EOF
+
 # ---- 4. decode re-measure -------------------------------------------------
 step bench_decode 1200 python scripts/bench_decode.py
 

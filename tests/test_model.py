@@ -142,6 +142,40 @@ def test_rope_decode_matches_full_forward():
     )
 
 
+def test_sliding_window_model_decode_matches_full_forward():
+    """attention_window on the model: KV-cache decode must reproduce the
+    windowed full forward (the cache path applies the band via its length
+    mask; the full forward via the kernel's window fast path)."""
+    cfg = dataclasses.replace(
+        TINY, attention_window=6, dropout_rate=0.0
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    n = 16
+    tokens = jax.random.randint(jax.random.key(3), (1, n), 0, cfg.vocab_size)
+    full_logits = apply_transformer(params, tokens, cfg)
+    # Window actually restricts: full-causal logits must differ at rows
+    # beyond the window.
+    nowin = dataclasses.replace(cfg, attention_window=None)
+    causal_logits = apply_transformer(params, tokens, nowin)
+    assert not np.allclose(
+        np.asarray(full_logits[0, 10:]), np.asarray(causal_logits[0, 10:]),
+        atol=1e-5,
+    )
+
+    caches = init_kv_cache(cfg, batch=1, max_len=n, dtype=jnp.float32)
+    step_logits = []
+    for i in range(n):
+        logits_i, caches = decode_step(
+            params, caches, tokens[:, i: i + 1], jnp.int32(i), cfg
+        )
+        step_logits.append(logits_i)
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full_logits),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
 def test_block_sparse_mask_pattern():
     pattern = jnp.asarray([[1, 0], [1, 1]])
     m = block_sparse_mask(4, 4, 2, pattern)

@@ -268,6 +268,86 @@ def test_pallas_backward_impls_match_oracle(impl, monkeypatch):
     assert_allclose(dv, dv_r, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("window", [37, 128, 300])
+def test_sliding_window_matches_oracle(window):
+    """Sliding-window (local) attention: fwd o/lse and all grads must match
+    the banded dense oracle — exercises tiles skipped below the band, tiles
+    masked at both band edges, and full-band interior tiles."""
+    b, h, n, d = 1, 2, 384, 64
+    q, k, v = make_qkv(b, h, n, d)
+    o, lse = pallas_attention(
+        q, k, v, causal=True, window=window, block_q=128, block_k=128
+    )
+    o_ref, lse_ref = reference_attention(q, k, v, causal=True, window=window)
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=LSE_TOL, atol=LSE_TOL)
+
+    do = jax.random.normal(jax.random.key(7), (b, h, n, d), dtype=jnp.float32)
+
+    def loss(q_, k_, v_):
+        o2, _ = pallas_attention(
+            q_, k_, v_, causal=True, window=window, block_q=128, block_k=128
+        )
+        return jnp.sum(o2 * do)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    grads_ref = reference_attention_grads(
+        q, k, v, do, causal=True, window=window
+    )
+    for g, gr in zip(grads, grads_ref):
+        assert_allclose(g, gr, rtol=2e-3, atol=2e-3)
+
+
+def test_sliding_window_degenerates_to_causal():
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    o_w, lse_w = pallas_attention(
+        q, k, v, causal=True, window=n, block_q=BQ, block_k=BK
+    )
+    o_c, lse_c = pallas_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK
+    )
+    assert_allclose(o_w, o_c, rtol=1e-6, atol=1e-6)
+    assert_allclose(lse_w, lse_c, rtol=1e-6, atol=1e-6)
+
+
+def test_sliding_window_decode_offset():
+    """q_len < k_len (KV-cache decode shape): the band follows the absolute
+    offset, matching the oracle's bottom-aligned convention."""
+    b, h, n_q, n_k, d = 1, 2, 64, 320, 64
+    q, _, _ = make_qkv(b, h, n_q, d)
+    _, k, v = make_qkv(b, h, n_k, d)
+    o, lse = pallas_attention(
+        q, k, v, causal=True, window=100, block_q=64, block_k=128
+    )
+    o_ref, lse_ref = reference_attention(q, k, v, causal=True, window=100)
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+def test_sliding_window_api_backends_agree():
+    """flash_attention(window=...) gives identical math on the pallas and
+    xla backends (the xla route folds the band into an elementwise mask)."""
+    from flashattention_tpu.ops.api import flash_attention
+
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    o_p, lse_p = flash_attention(
+        q, k, v, causal=True, window=70, backend="pallas",
+        block_q=128, block_k=128,
+    )
+    o_x, lse_x = flash_attention(q, k, v, causal=True, window=70, backend="xla")
+    o_r, lse_r = flash_attention(
+        q, k, v, causal=True, window=70, backend="reference"
+    )
+    assert_allclose(o_p, o_x, rtol=1e-5, atol=1e-5)
+    assert_allclose(o_p, o_r, rtol=1e-5, atol=1e-5)
+    assert_allclose(lse_p, lse_x, rtol=1e-5, atol=1e-5)
+    assert_allclose(lse_p, lse_r, rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="causal"):
+        flash_attention(q, k, v, window=70)
+
+
 def test_pallas_bwd_blocks_differ_from_fwd():
     """Per-direction tiling (specs pair a large fwd block with a smaller
     bwd block where the big backward hangs Mosaic) must not change the
