@@ -44,6 +44,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE as _MASK_VALUE
+
 
 
 def _fp8_e4m3_to_bf16_bits(payload):
@@ -102,6 +104,7 @@ def _decode_kernel(
     q_len,
     quantized,
     compute_dtype,
+    window=None,
 ):
     s_count = pages_per_step
     k_refs = rest[:s_count]
@@ -121,6 +124,14 @@ def _decode_kernel(
 
     length = lengths_ref[b]
     n_pages = (length + page_size - 1) // page_size
+    # Sliding window: the page walk starts at the first page containing the
+    # oldest in-band slot (length - q_len - window + 1); the index maps
+    # apply the same shift, so grid step j covers logical page first + j*S+s
+    # and the whole walk is O(window) pages, not O(length).
+    if window is None:
+        first = 0
+    else:
+        first = jnp.maximum((length - q_len - window + 1) // page_size, 0)
 
     @pl.when(j == 0)
     def _init():
@@ -132,7 +143,7 @@ def _decode_kernel(
     # kv heads of one page in a single strided fetch — fetch count is
     # B * pages, not B * pages * H_kv.
     for s in range(s_count):
-        page_idx = j * s_count + s
+        page_idx = first + j * s_count + s
 
         @pl.when(page_idx < n_pages)
         def _update(s=s, page_idx=page_idx):
@@ -149,6 +160,8 @@ def _decode_kernel(
             ) % q_len
             positions = (length - q_len) + row_t          # (g_pad, 1)
             in_range = slots <= positions                  # (g_pad, page)
+            if window is not None:
+                in_range = in_range & (slots > positions - window)
             # HIGHEST costs nothing in fp32 debug mode and is ignored for
             # bf16 operands; accumulation is always fp32 (preferred type).
             prec = (
@@ -168,16 +181,27 @@ def _decode_kernel(
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )  # (G, page)
-                # -inf is exact here: page 0 always holds a valid slot for
-                # every row, so the running max is finite before any
-                # fully-masked page contributes exp(-inf) == 0.
-                scores = jnp.where(in_range, scores, -jnp.inf)
+                if window is None:
+                    # -inf is exact here: page 0 always holds a valid slot
+                    # for every row, so the running max is finite before any
+                    # fully-masked page contributes exp(-inf) == 0.
+                    scores = jnp.where(in_range, scores, -jnp.inf)
+                else:
+                    # With a window, a chunk row's first visited pages can
+                    # be ENTIRELY below its band (they belong to older
+                    # rows' bands): an all--inf page would make
+                    # m_prev == m_next == -inf and alpha = exp(nan). Use a
+                    # large finite mask value and zero p explicitly — the
+                    # dense kernel's pattern (pallas_attn.py _fwd_kernel).
+                    scores = jnp.where(in_range, scores, _MASK_VALUE)
 
                 m_prev = m_scr[r0:r1]
                 m_curr = jnp.max(scores, axis=1, keepdims=True)
                 m_next = jnp.maximum(m_prev, m_curr)
                 alpha = jnp.exp(m_prev - m_next)
                 p = jnp.exp(scores - m_next[:, :1])
+                if window is not None:
+                    p = jnp.where(in_range, p, 0.0)
                 l_scr[r0:r1] = alpha * l_scr[r0:r1] + jnp.sum(
                     p, axis=1, keepdims=True
                 )
@@ -210,6 +234,7 @@ def pallas_paged_attention(
     pages_per_step: int | None = None,
     compute_dtype=jnp.bfloat16,
     interpret: bool | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Paged attention on TPU: decode (q: (B, H, D), one token per sequence)
     or chunked prefill (q: (B, H, T, D) — the chunk's K/V must already be
@@ -220,6 +245,12 @@ def pallas_paged_attention(
     pass per-slot fp32 scales (both or neither of k_scales/v_scales).
     ``pages_per_step`` batches several pages per grid step to amortize
     pipeline overhead; default targets >= 512 tokens per step.
+
+    ``window``: sliding-window attention — each row attends only to its
+    last ``window`` slots. The page walk starts at the window's first page
+    (per-sequence, resolved from the scalar-prefetched length inside the
+    index maps) and the grid shrinks to the band size, so both DMA and
+    compute are O(window) per sequence instead of O(length).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -246,7 +277,14 @@ def pallas_paged_attention(
     # Pad the page table so every grid step has s_count entries; edge-pad so
     # the padded slots re-point at an already-resident page (no extra fetch).
     n_steps = -(-pages_per_seq // s_count)
-    pps_pad = n_steps * s_count
+    if window is not None:
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        # The band spans window + q_len - 1 slots -> at most that many
+        # pages + 1 for straddle; the walk starts at the band's first page.
+        band_pages = -(-(window + q_len - 1) // page_size) + 1
+        n_steps = min(n_steps, -(-band_pages // s_count))
+    pps_pad = max(n_steps * s_count, pages_per_seq)
     pi = page_indices
     if pps_pad != pages_per_seq:
         pi = jnp.pad(pi, [(0, 0), (0, pps_pad - pages_per_seq)], mode="edge")
@@ -271,6 +309,7 @@ def pallas_paged_attention(
         q_len=q_len,
         quantized=quantized,
         compute_dtype=compute_dtype,
+        window=window,
     )
 
     def idx_q(b_, j, pi_, ln):
@@ -279,7 +318,20 @@ def pallas_paged_attention(
     def idx_page(s):
         def f(b_, j, pi_, ln):
             # Block covers ALL kv heads of one page (dim 0 = full H_kv).
-            return (0, pi_[b_ * pps_pad + j * s_count + s], 0, 0)
+            logical = j * s_count + s
+            if window is not None:
+                # Start the walk at the band's first page (same arithmetic
+                # as the kernel's ``first``); steps past the sequence's
+                # last page clamp to it, so their block index repeats and
+                # Pallas skips the re-fetch.
+                first = jnp.maximum(
+                    (ln[b_] - q_len - window + 1) // page_size, 0
+                )
+                last = jnp.maximum(
+                    (ln[b_] + page_size - 1) // page_size - 1, 0
+                )
+                logical = jnp.minimum(first + logical, last)
+            return (0, pi_[b_ * pps_pad + logical], 0, 0)
         return f
 
     def page_spec(s):

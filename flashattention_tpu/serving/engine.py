@@ -145,6 +145,8 @@ def make_prefill_fn(cfg: TransformerConfig):
         rows = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
         mask = (cols <= rows) & (cols < prompt_len)
+        if cfg.attention_window is not None:
+            mask = mask & (cols > rows - cfg.attention_window)
         new_caches = []
         zero_len = jnp.zeros((b,), jnp.int32)
         for bp, cache in zip(params["blocks"], caches):
@@ -207,6 +209,7 @@ def make_chunk_prefill_fn(
                 q, cache.k_pages, cache.v_pages, page_indices, lengths,
                 k_scales=cache.k_scales, v_scales=cache.v_scales,
                 softmax_scale=cfg.softmax_scale,
+                window=cfg.attention_window,
             )
         from flashattention_tpu.serving.paged_kv import gather_pages
 
@@ -215,9 +218,18 @@ def make_chunk_prefill_fn(
             groups = cfg.n_heads // cfg.kv_heads
             k_full = jnp.repeat(k_full, groups, axis=1)
             v_full = jnp.repeat(v_full, groups, axis=1)
+        band = None
+        if cfg.attention_window is not None:
+            # Band's low edge as a mask; the causal upper edge stays on the
+            # executor's q_offset path (row t sits at position base + t).
+            c, l_cache = q.shape[-2], k_full.shape[-2]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (c, l_cache), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (c, l_cache), 1)
+            band = cols > rows + base - cfg.attention_window
         o, _ = tiled_attention(
             q, k_full.astype(q.dtype), v_full.astype(q.dtype),
             causal=True, softmax_scale=cfg.softmax_scale, q_offset=base,
+            mask=band,
         )
         return o
 
@@ -294,9 +306,11 @@ def make_decode_fn(
                 q, cache.k_pages, cache.v_pages, page_indices, lengths,
                 k_scales=cache.k_scales, v_scales=cache.v_scales,
                 softmax_scale=cfg.softmax_scale,
+                window=cfg.attention_window,
             )
         return paged_attention_decode(
-            q, cache, page_indices, lengths, softmax_scale=cfg.softmax_scale
+            q, cache, page_indices, lengths, softmax_scale=cfg.softmax_scale,
+            window=cfg.attention_window,
         )
 
     def _decode_logits(params, caches, tokens, page_indices, lengths):
@@ -355,12 +369,6 @@ class ServingEngine:
         *,
         native_allocator: bool | None = None,
     ):
-        if cfg.attention_window is not None:
-            raise NotImplementedError(
-                "sliding-window attention is not yet on the paged serving "
-                "path (the paged kernel attends to the full cache prefix); "
-                "use the models KV-cache decode path for windowed models"
-            )
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg

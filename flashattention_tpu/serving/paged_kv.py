@@ -176,11 +176,13 @@ def paged_attention_decode(
     lengths: jax.Array,       # (B,) valid tokens per sequence
     *,
     softmax_scale: float | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """Decode attention against the paged cache (XLA executor).
 
     GQA: H query heads attend to H_kv cache heads with H % H_kv == 0.
-    Returns (B, H, D) in q.dtype.
+    ``window`` restricts each query to its last ``window`` cache slots
+    (slots in (length - window, length)). Returns (B, H, D) in q.dtype.
     """
     b, h_q, d = q.shape
     if softmax_scale is None:
@@ -190,10 +192,12 @@ def paged_attention_decode(
     groups = h_q // h_kv
     qf = q.astype(jnp.float32).reshape(b, h_kv, groups, d)
     s = jnp.einsum("bhgd,bhld->bhgl", qf, k) * softmax_scale
-    length_mask = (
-        jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-        < lengths[:, None, None, None]
-    )
+    slot = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    length_mask = slot < lengths[:, None, None, None]
+    if window is not None:
+        length_mask = length_mask & (
+            slot >= lengths[:, None, None, None] - window
+        )
     s = jnp.where(length_mask, s, -0.7 * jnp.finfo(jnp.float32).max)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgl,bhld->bhgd", p, v)

@@ -318,6 +318,100 @@ def test_engine_gqa_matches_naive_greedy():
     assert results[0] == expected
 
 
+def test_pallas_paged_sliding_window_decode():
+    """window on the paged kernel (decode): must match the gather executor's
+    banded mask AND the dense windowed oracle; the shifted page walk starts
+    mid-table so pages below the band are never computed."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h, d, psize, window = 2, 2, 128, 8, 10
+    lengths = jnp.asarray([22, 7])  # one > window, one < window
+    cache = init_paged_cache(h, 16, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, 24, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h, 24, d))
+    pi = jnp.asarray([[0, 1, 2], [4, 5, 6]])
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32), valid_len=lengths
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h, d))
+    o = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32, window=window,
+    )
+    o_ref = paged_attention_decode(q, cache, pi, lengths, window=window)
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref), rtol=2e-5, atol=2e-5
+    )
+    # Dense oracle cross-check for the long row: last `window` keys only.
+    L = int(lengths[0])
+    o_dense, _ = reference_attention(
+        q[:1, :, None, :], kf[:1, :, L - window: L], vf[:1, :, L - window: L],
+        causal=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o[0]), np.asarray(o_dense[0, :, 0]), rtol=2e-5, atol=2e-5
+    )
+    # window >= length degenerates to full decode.
+    o_full = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32, window=64,
+    )
+    o_full_ref = paged_attention_decode(q, cache, pi, lengths)
+    np.testing.assert_allclose(
+        np.asarray(o_full), np.asarray(o_full_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pallas_paged_sliding_window_chunked_prefill():
+    """window + q_len > 1: early chunk rows' bands start below late rows'
+    (the all-masked-page nan hazard) — oracle is the banded dense attention
+    with the chunk as the query suffix."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h, d, psize, total, chunk, window = 1, 2, 128, 8, 24, 8, 9
+    cache = init_paged_cache(h, 16, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, total, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h, total, d))
+    pi = jnp.asarray([[0, 1, 2]])
+    lengths = jnp.full((b,), total, jnp.int32)
+    cache = append_to_pages(cache, kf, vf, pi, jnp.zeros((b,), jnp.int32))
+    q = jax.random.normal(jax.random.key(2), (b, h, chunk, d))
+    o = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32, window=window,
+    )
+    o_ref, _ = reference_attention(q, kf, vf, causal=True, window=window)
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_ref), rtol=2e-5, atol=2e-5
+    )
+    assert np.isfinite(np.asarray(o)).all()
+
+
+def test_engine_sliding_window_matches_naive_greedy():
+    """Windowed model end-to-end through the engine (banded whole-prompt
+    prefill, banded chunked prefill, shifted-page-walk decode) vs the
+    windowed full-forward oracle."""
+    cfg = TransformerConfig(
+        vocab_size=89, d_model=64, n_layers=2, n_heads=4,
+        d_ff=128, max_seq_len=128, block_size=32, dropout_rate=0.0,
+        dtype=jnp.float32, attention_backend="xla", attention_window=5,
+    )
+    params = init_transformer(jax.random.key(8), cfg)
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=32, max_seq_len=64,
+        prefill_pad=16,
+    )
+    eng = ServingEngine(params, cfg, ecfg)
+    rng = np.random.default_rng(9)
+    prompts = [list(rng.integers(0, cfg.vocab_size, size=n)) for n in (9, 3)]
+    for i, p in enumerate(prompts):
+        eng.submit(GenerationRequest(request_id=i, prompt=p, max_new_tokens=6))
+    results = eng.run()
+    for i, p in enumerate(prompts):
+        expected = _naive_greedy(params, p, 6, cfg=cfg)
+        assert results[i] == expected, (i, results[i], expected)
+
+
 def test_engine_rope_matches_naive_greedy():
     """RoPE model through the engine (paged cache, chunked prefill, batched
     decode): K must be rotated with its absolute position before entering
