@@ -23,6 +23,7 @@ The reference has no serving layer; this is BASELINE.json scope
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 from dataclasses import asdict
 from typing import Any
 
@@ -101,7 +102,27 @@ class ProcessEngine:
             args=(child, asdict(cfg), asdict(ecfg), param_seed, platform),
             daemon=True,
         )
-        self._proc.start()
+        # Spawned interpreters re-run sitecustomize, which registers the
+        # axon TPU plugin whenever PALLAS_AXON_POOL_IPS is in the env —
+        # BEFORE _worker_main's CPU pin can run. A wedged tunnel then hangs
+        # the child inside plugin init (observed 2026-08-17: pytest blocked
+        # 24 min on the pipe; each worker had an axon retry thread). For a
+        # CPU worker, scrub the plugin trigger + pin the platform in the
+        # env snapshot the child inherits, restoring the parent's env after
+        # start().
+        saved: dict[str, str | None] = {}
+        if platform == "cpu":
+            for var in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS"):
+                saved[var] = os.environ.pop(var, None)
+            os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            self._proc.start()
+        finally:
+            for var, val in saved.items():
+                if val is None:
+                    os.environ.pop(var, None)
+                else:
+                    os.environ[var] = val
         child.close()
         self._pending = False
 
