@@ -68,8 +68,17 @@ def flash_attention(
     bwd_block_q: int | None = None,
     bwd_block_k: int | None = None,
     window: int | None = None,
+    segment_ids=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
+
+    ``segment_ids``: packed variable-length (varlen) attention — an int32
+    (B, N) array (or ``(q_ids, kv_ids)`` pair) marking each position's
+    sequence; attention only flows within equal ids (composes with
+    causal/window). The Pallas backend evaluates the id compare in-kernel
+    per tile (O(N) memory); other backends fold it into a dense mask and
+    route through the tiled executor. The reference has no varlen API —
+    this is the flash-attn cu_seqlens capability, done the TPU way.
 
     ``window``: sliding-window (local) attention under ``causal=True`` —
     row r attends only to the last ``window`` keys. On the Pallas backend
@@ -99,6 +108,19 @@ def flash_attention(
     backend = _resolve_backend(backend)
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
+    if segment_ids is not None and (backend != "pallas" or mask is not None):
+        # Non-kernel paths take segments as a dense mask (tile-level id
+        # compares are a kernel concept); the Pallas backend keeps them
+        # O(N) in-kernel below.
+        if isinstance(segment_ids, (tuple, list)):
+            q_ids, kv_ids = segment_ids
+        else:
+            q_ids = kv_ids = segment_ids
+        q_ids = jnp.asarray(q_ids, jnp.int32)
+        kv_ids = jnp.asarray(kv_ids, jnp.int32)
+        seg_mask = q_ids[:, None, :, None] == kv_ids[:, None, None, :]
+        mask = seg_mask if mask is None else (mask & seg_mask)
+        segment_ids = None
     will_tile = (
         backend == "xla" or mask is not None
         or (dropout_rate > 0.0 and backend != "pallas")
@@ -125,7 +147,12 @@ def flash_attention(
         v = jnp.repeat(v, h_q // h_kv, axis=1)
     if routes_tiled:
         if backend == "reference":
-            raise ValueError("reference backend has no dropout path")
+            if dropout_rate > 0.0:
+                raise ValueError("reference backend has no dropout path")
+            return reference_attention(
+                q, k, v, causal=causal, softmax_scale=softmax_scale,
+                q_offset=q_offset, mask=mask,
+            )
         if backend == "pallas" and mask is not None:
             warnings.warn(
                 "flash_attention(backend='pallas', mask=...) runs the tiled "
@@ -152,7 +179,7 @@ def flash_attention(
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
             q_offset=q_offset, stages=stages,
             bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k,
-            window=window,
+            window=window, segment_ids=segment_ids,
         )
     if backend == "xla":
         return tiled_attention(

@@ -61,6 +61,10 @@ _BWD_IMPL = os.environ.get("FAT_BWD_IMPL", "fused")  # "split" | "fused"
 # it). 2 = Mosaic's default double buffering; 1 = single-buffer the
 # Q-streamed inputs (q/do), halving their VMEM so larger blocks fit.
 _BWD_STAGES = int(os.environ.get("FAT_BWD_STAGES", "2"))
+# Forward softmax-scale placement: 1 folds the scale into the q tile
+# (saves one VPU plane per tile; costs ~4e-3 bf16 LSE drift vs the
+# reference's 1e-3 LSE contract). See _fwd_kernel note.
+_FWD_SCALE_FOLD = os.environ.get("FAT_FWD_SCALE_FOLD", "0") == "1"
 
 
 def _interpret_default() -> bool:
@@ -120,6 +124,63 @@ def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset,
     return jnp.broadcast_to(cols < n_k, (block_q, block_k))
 
 
+# Segment-id padding sentinels. Distinct values on the q and kv side so a
+# padded q row can never match a padded kv col (and neither matches real
+# ids, which must be >= 0).
+_SEG_PAD_Q = -2147483647
+_SEG_PAD_K = -2147483646
+
+
+def _unpack_refs(refs, dropout_rate, segmented, n_extra=0):
+    """Shared kernel-ref unpacking: [qoff, (seed), (qseg, kseg), *rest].
+
+    The optional groups mirror the args/in_specs assembly in _flash_fwd /
+    _flash_bwd; n_extra is unused but documents intent for future groups.
+    """
+    refs = list(refs)
+    qoff_ref = refs.pop(0)
+    seed_ref = refs.pop(0) if dropout_rate > 0.0 else None
+    if segmented:
+        qseg_ref = refs.pop(0)
+        kseg_ref = refs.pop(0)
+    else:
+        qseg_ref = kseg_ref = None
+    return qoff_ref, seed_ref, qseg_ref, kseg_ref, refs
+
+
+def _seg_tile_mask(qseg_ref, kseg_ref, block_k):
+    """Boolean (block_q, block_k) segment mask: attend iff ids are equal.
+
+    Layouts follow the Mosaic-legal pattern of JAX's stock TPU flash
+    attention: q ids ride lane-replicated as (1, block_q, LANES) blocks
+    (tiled up to block_k — every lane holds the same id, so the tile IS
+    the row broadcast), kv ids as (1, 1, block_k) blocks usable directly
+    as the column vector. No size-1 lane dims anywhere (Mosaic cannot
+    DMA/slice those — see CLAUDE.md).
+    """
+    qs = qseg_ref[0]          # (block_q, LANES), all lanes identical
+    ks = kseg_ref[0]          # (1, block_k)
+    return jnp.tile(qs, (1, block_k // LANES)) == ks
+
+
+def _combined_mask(use_mask, segmented, qseg_ref, kseg_ref, iq, ik,
+                   block_q, block_k, n_q, n_k, causal, offset, window):
+    """The tile's attend-mask, or None when the tile needs none (fast path).
+
+    ``use_mask`` is the *static* causal/edge predicate from the dispatch;
+    the segment mask (dynamic ids) applies on top on every tile when
+    segments are present.
+    """
+    mask = None
+    if use_mask:
+        mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+                          offset, window)
+    if segmented:
+        seg = _seg_tile_mask(qseg_ref, kseg_ref, block_k)
+        mask = seg if mask is None else mask & seg
+    return mask
+
+
 def _keep_mask(seed, bh, iq, ik, block_q, block_k, rate):
     """Counter-based dropout keep mask for tile (iq, ik) of batch·head ``bh``.
 
@@ -157,15 +218,12 @@ def _keep_mask(seed, bh, iq, ik, block_q, block_k, rate):
 def _fwd_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None,
+    window=None, segmented=False,
 ):
-    if dropout_rate > 0.0:
-        (qoff_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-         m_scr, l_scr, acc_scr) = refs
-    else:
-        (qoff_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-         m_scr, l_scr, acc_scr) = refs
-        seed_ref = None
+    qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
+        refs, dropout_rate, segmented
+    )
+    (q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
     ib = pl.program_id(0)
     ih = pl.program_id(1)
     iq = pl.program_id(2)
@@ -187,15 +245,30 @@ def _fwd_kernel(
         # NOTE: exp2-domain softmax was tried and reverted — Mosaic lowers
         # jnp.exp2 through a slow path on v5e (5-8x whole-kernel regression,
         # measured 2026-08-16). Natural exp it is.
-        q = q_ref[0, 0]
+        # FAT_FWD_SCALE_FOLD=1 folds softmax_scale into the q TILE (bq x d
+        # multiplies) instead of the s plane (bq x bk) — saves ~1 VPU plane
+        # per tile but rounds q*scale in bf16, drifting the LSE ~4e-3 past
+        # the reference's 1e-3 LSE contract; off by default pending a
+        # healthy-window A/B (the backward folds unconditionally — its
+        # tolerances are grad-class).
+        scale_fold = (
+            os.environ.get("FAT_FWD_SCALE_FOLD", "1" if _FWD_SCALE_FOLD
+                           else "0") == "1"
+        )
+        if scale_fold:
+            q = q_ref[0, 0] * softmax_scale
+        else:
+            q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * jnp.float32(softmax_scale)
-        if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+        if not scale_fold:
+            s = s * jnp.float32(softmax_scale)
+        mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
+                              iq, ik, block_q, block_k, n_q, n_k, causal,
                               offset, window)
+        if mask is not None:
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -204,7 +277,7 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)        # (bq, LANES)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[:, :1])
-        if use_mask:
+        if mask is not None:
             # Zero masked entries exactly: a row with NO valid keys has
             # m == DEFAULT_MASK_VALUE and p == 1 everywhere otherwise,
             # yielding a bogus uniform average instead of 0.
@@ -261,12 +334,14 @@ def _fwd_kernel(
 def _flash_fwd(
     q, k, v, seed, qoff, *, causal, softmax_scale, block_q, block_k,
     interpret, n_q, n_k, dropout_rate, stages=2, window=None,
+    q_seg=None, kv_seg=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
     groups = h // h_kv
     n_k_pad = k.shape[2]
     grid = (b, h, n_q_pad // block_q, n_k_pad // block_k)
+    segmented = q_seg is not None
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -278,6 +353,7 @@ def _flash_fwd(
         block_k=block_k,
         dropout_rate=dropout_rate,
         window=window,
+        segmented=segmented,
     )
     # ``stages`` — the FAx pipeline-depth knob (the reference plumbs it but
     # never uses it, quirk Q6; src/fa3/spec.py:3-13). Here it sets the K/V
@@ -300,6 +376,16 @@ def _flash_fwd(
         ),
     ]
     args = [qoff, q, k, v]
+    if segmented:
+        # Segment-id blocks ride ahead of q/k/v (after the SMEM scalars):
+        # q ids lane-replicated (B, N_q_pad, LANES), kv ids (B, 1, N_k_pad).
+        in_specs[1:1] = [
+            pl.BlockSpec((1, block_q, LANES),
+                         lambda b_, h_, iq, ik: (b_, iq, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b_, h_, iq, ik: (b_, 0, ik)),
+        ]
+        args[1:1] = [q_seg, kv_seg]
     if dropout_rate > 0.0:
         in_specs.insert(
             1, pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -346,21 +432,20 @@ def _flash_fwd(
 def _bwd_dkv_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None,
+    window=None, segmented=False,
 ):
     """dK/dV: one grid cell per KV tile, sequential loop over Q tiles.
 
-    Recomputes p = exp(s*scale - lse) from the saved LSE; softmax_scale is
-    folded into the dk store (once per KV tile) so ds needs no per-element
-    scale multiply.
+    Recomputes p = exp(s*scale - lse) from the saved LSE. softmax_scale is
+    folded into the q TILE on load: s2 comes out pre-scaled, and because
+    dK = scale * sum(ds^T q) = sum(ds^T (scale*q)), the dk store needs no
+    scale either — the only per-tile scale cost is bq x d multiplies.
     """
-    if dropout_rate > 0.0:
-        (qoff_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
-    else:
-        (qoff_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
-        seed_ref = None
+    qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
+        refs, dropout_rate, segmented
+    )
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+     dk_ref, dv_ref, dk_scr, dv_scr) = rest
     ib = pl.program_id(0)
     ih = pl.program_id(1)
     ik = pl.program_id(2)
@@ -375,7 +460,7 @@ def _bwd_dkv_kernel(
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
     def _update(use_mask):
-        q = q_ref[0, 0]
+        q = q_ref[0, 0] * softmax_scale  # scale folded into the q tile
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
@@ -386,21 +471,23 @@ def _bwd_dkv_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s2 = s2 * jnp.float32(softmax_scale)
-        if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+        mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
+                              iq, ik, block_q, block_k, n_q, n_k, causal,
                               offset, window)
+        if mask is not None:
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
-        p = jnp.exp(s2 - lse2)  # (bq, bk) softmax probabilities
-        if use_mask:
-            # Rows with no valid keys carry a garbage finite LSE; exact
-            # zeroing keeps them out of dK/dV (matches the forward).
-            p = jnp.where(mask, p, 0.0)
-
+        # dp is issued BEFORE the exp: it does not depend on p, so the
+        # scheduler may overlap the VPU softmax recompute with this MXU
+        # pass instead of serializing MXU -> VPU -> MXU.
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        p = jnp.exp(s2 - lse2)  # (bq, bk) softmax probabilities
+        if mask is not None:
+            # Rows with no valid keys carry a garbage finite LSE; exact
+            # zeroing keeps them out of dK/dV (matches the forward).
+            p = jnp.where(mask, p, 0.0)
         if dropout_rate > 0.0:
             bh = ib * pl.num_programs(1) + ih
             keep = _keep_mask(
@@ -452,17 +539,16 @@ def _bwd_dkv_kernel(
 
     @pl.when(iq == n_q_tiles - 1)
     def _store():
-        # softmax_scale folded in once per KV tile instead of per ds element.
-        dk_ref[0, 0] = (
-            dk_scr[...] * jnp.float32(softmax_scale)
-        ).astype(dk_ref.dtype)
+        # No scale here: the q tiles were pre-scaled, so dk_scr already
+        # holds sum(ds^T (scale*q)) == scale * sum(ds^T q) == dK.
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _bwd_fused_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None,
+    window=None, segmented=False,
     resident,
 ):
     """Fused backward: dK/dV accumulated in scratch per KV tile, plus dQ by
@@ -472,19 +558,18 @@ def _bwd_fused_kernel(
     - ``resident`` (default when it fits): the WHOLE dQ lives in a
       (N_q_pad, D) fp32 VMEM scratch, accumulated across the outer KV-tile
       sweep and written to HBM exactly once during the final sweep (the dq
-      output's index map points every earlier sweep at a dummy block).
+      output's index map parks every earlier sweep at block 0, whose only
+      write-back carries the final sweep's real values).
       Zero extra HBM traffic; 5 matmul passes vs the split pair's 7.
     - partial (large N fallback): a dQ partial per (KV tile, Q tile) grid
       cell, reduced over the KV axis outside the kernel (XLA sum) — costs
       an O(n_k_tiles · N_q · D) fp32 buffer's write+read.
     """
-    if dropout_rate > 0.0:
-        (qoff_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, *dq_scr) = refs
-    else:
-        (qoff_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, *dq_scr) = refs
-        seed_ref = None
+    qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
+        refs, dropout_rate, segmented
+    )
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+     dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, *dq_scr) = rest
     dq_scr = dq_scr[0] if resident else None
     ib = pl.program_id(0)
     ih = pl.program_id(1)
@@ -508,7 +593,7 @@ def _bwd_fused_kernel(
             )
 
     def _update(use_mask):
-        q = q_ref[0, 0]
+        q = q_ref[0, 0] * softmax_scale  # scale folded into the q tile
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
@@ -519,19 +604,20 @@ def _bwd_fused_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s2 = s2 * jnp.float32(softmax_scale)
-        if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+        mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
+                              iq, ik, block_q, block_k, n_q, n_k, causal,
                               offset, window)
+        if mask is not None:
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
-        p = jnp.exp(s2 - lse2)  # (bq, bk)
-        if use_mask:
-            p = jnp.where(mask, p, 0.0)  # see dkv kernel note
-
+        # dp before exp: overlap the VPU recompute with this MXU pass
+        # (see dkv kernel note).
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        p = jnp.exp(s2 - lse2)  # (bq, bk)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)  # see dkv kernel note
         if dropout_rate > 0.0:
             bh = ib * pl.num_programs(1) + ih
             keep = _keep_mask(
@@ -553,6 +639,8 @@ def _bwd_fused_kernel(
             ds_cast, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        # dQ DOES still need the scale (dQ = scale * sum(ds k); k is
+        # unscaled) — applied once at flush, not per tile.
         dq_tile = jax.lax.dot(ds_cast, k, preferred_element_type=jnp.float32)
         if resident:
             sl = pl.ds(iq * block_q, block_q)
@@ -595,15 +683,14 @@ def _bwd_fused_kernel(
 
     @pl.when(iq == n_q_tiles - 1)
     def _store():
-        dk_ref[0, 0] = (
-            dk_scr[...] * jnp.float32(softmax_scale)
-        ).astype(dk_ref.dtype)
+        # dk_scr holds sum(ds^T (scale*q)) == dK exactly (see dkv kernel).
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
     if resident:
         # Final KV sweep: flush this Q tile's finished dQ row block. (On
-        # earlier sweeps the dq output's index map points at the dummy
-        # block, so nothing real is written.)
+        # earlier sweeps the dq output's index map parks at block 0 and
+        # never changes, so Mosaic never writes the parked block back.)
         @pl.when(ik == n_k_tiles - 1)
         def _store_dq():
             dq_ref[0, 0] = (
@@ -615,15 +702,12 @@ def _bwd_fused_kernel(
 def _bwd_dq_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None,
+    window=None, segmented=False,
 ):
-    if dropout_rate > 0.0:
-        (qoff_ref, seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dq_ref, dq_scr) = refs
-    else:
-        (qoff_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-         dq_ref, dq_scr) = refs
-        seed_ref = None
+    qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
+        refs, dropout_rate, segmented
+    )
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr) = rest
     ib = pl.program_id(0)
     ih = pl.program_id(1)
     iq = pl.program_id(2)
@@ -638,7 +722,7 @@ def _bwd_dq_kernel(
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
     def _update(use_mask):
-        q = q_ref[0, 0]
+        q = q_ref[0, 0] * softmax_scale  # scale folded into the q tile
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
@@ -649,18 +733,20 @@ def _bwd_dq_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s2 = s2 * jnp.float32(softmax_scale)
-        if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+        mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
+                              iq, ik, block_q, block_k, n_q, n_k, causal,
                               offset, window)
+        if mask is not None:
             s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
-        p = jnp.exp(s2 - lse2)
-        if use_mask:
-            p = jnp.where(mask, p, 0.0)  # see dkv kernel note
+        # dp before exp: overlap the VPU recompute with this MXU pass
+        # (see dkv kernel note).
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        p = jnp.exp(s2 - lse2)
+        if mask is not None:
+            p = jnp.where(mask, p, 0.0)  # see dkv kernel note
         if dropout_rate > 0.0:
             bh = ib * pl.num_programs(1) + ih
             keep = _keep_mask(
@@ -711,6 +797,7 @@ def _bwd_dq_kernel(
 def _flash_bwd(
     q, k, v, o, lse, do, seed, *, causal, softmax_scale, block_q, block_k,
     interpret, n_q, n_k, dropout_rate, dlse=None, qoff=None, window=None,
+    q_seg=None, kv_seg=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -728,17 +815,19 @@ def _flash_bwd(
     if qoff is None:
         qoff = jnp.asarray([n_k - n_q], jnp.int32)
 
+    segmented = q_seg is not None
     common = dict(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
         block_q=block_q, block_k=block_k, dropout_rate=dropout_rate,
-        window=window,
+        window=window, segmented=segmented,
     )
     # Pipeline depth for the inner-loop-streamed Q-side inputs (q, do): the
     # bwd analogue of the forward's ``stages`` knob. Buffered(1) halves
     # their double-buffer VMEM at the cost of DMA/compute overlap.
     q_pipeline = (
         pl.Buffered(buffer_count=1)
-        if (_BWD_STAGES == 1 and not interpret) else None
+        if (int(os.environ.get("FAT_BWD_STAGES", _BWD_STAGES)) == 1
+            and not interpret) else None
     )
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, j, 0),
@@ -758,6 +847,15 @@ def _flash_bwd(
         q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
     ]
     args = [qoff, q, k, v, do, lse, di]
+    if segmented:
+        # dkv/fused grids iterate (b, h, i=KV tile, j=Q tile).
+        in_specs[1:1] = [
+            pl.BlockSpec((1, block_q, LANES),
+                         lambda b_, h_, i, j: (b_, j, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b_, h_, i, j: (b_, 0, i)),
+        ]
+        args[1:1] = [q_seg, kv_seg]
     if dropout_rate > 0.0:
         in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
         args.insert(1, seed)
@@ -770,8 +868,18 @@ def _flash_bwd(
     # path's dKV kernel, which invalidated the round-1 comparison) puts
     # fused 1.19x AHEAD at N=8K d=128 (6.21 vs 7.40 ms, 2026-08-17).
     # FAT_BWD_IMPL=split selects the pair (less HBM partial traffic — may
-    # win at longer N where the partial buffer grows).
-    fused = _BWD_IMPL == "fused"
+    # win at longer N where the partial buffer grows). Read at TRACE time,
+    # not import time, so tests/A-B harnesses can flip it per call
+    # (a module-level read made monkeypatch.setenv a silent no-op).
+    fused = os.environ.get("FAT_BWD_IMPL", _BWD_IMPL) == "fused"
+
+    # dK/dV leave the kernel in the INPUT dtype when no group reduction
+    # follows (groups == 1, the common case): the scratch accumulates in
+    # fp32 either way, and storing bf16 directly halves the grad write
+    # traffic and deletes a whole XLA astype pass over each (B,H,N,D)
+    # buffer. With GQA groups the fp32 output is kept so the group sum
+    # stays exact.
+    dkv_dtype = k.dtype if groups == 1 else jnp.float32
 
     if fused:
         # dQ residency: keep the whole (N_q_pad, D) fp32 dQ in VMEM scratch
@@ -781,38 +889,41 @@ def _flash_bwd(
         # blocks. (At N=8K d=256 the old "dQ <= 8 MB" gate passed exactly at
         # the boundary and Mosaic OOM'd scoped vmem by 512 KB: 16.5 MB vs
         # the 16 MB limit, measured 2026-08-17.)
+        isz = q.dtype.itemsize
+        osz = jnp.dtype(dkv_dtype).itemsize
         vmem_est = (
-            n_q_pad * d * 4                # resident dQ scratch
-            + 2 * block_k * d * 4          # dk/dv fp32 scratch
-            + 2 * 2 * (block_q * d * 2)    # q, do in-blocks (x2 buffers)
-            + 2 * 2 * (block_k * d * 2)    # k, v in-blocks
-            + 2 * 2 * (block_k * d * 4)    # dk, dv out-blocks
-            + 2 * (block_q * d * 4)        # dq out-block
+            n_q_pad * d * 4                  # resident dQ scratch (fp32)
+            + 2 * block_k * d * 4            # dk/dv fp32 scratch
+            + 2 * 2 * (block_q * d * isz)    # q, do in-blocks (x2 buffers)
+            + 2 * 2 * (block_k * d * isz)    # k, v in-blocks
+            + 2 * 2 * (block_k * d * osz)    # dk, dv out-blocks
+            + 2 * (block_q * d * isz)        # dq out-block (input dtype)
         )
         resident = vmem_est <= 14 * 1024 * 1024
 
         if resident:
-            # Earlier KV sweeps park the dq output block on a dummy index
-            # (n_q_tiles — one padding block past the real rows); only the
-            # final sweep maps real blocks, so each is written exactly once.
+            # Earlier KV sweeps park the dq output block on index 0; the
+            # index only CHANGES at the final sweep, so Mosaic never flushes
+            # the (unwritten) parked block — block 0's only write-back
+            # carries the real values the final sweep's first step stores.
+            # This keeps the output at exactly (N_q_pad, D) in the input
+            # dtype: no padding block, no XLA slice, no astype pass.
             dq_spec = pl.BlockSpec(
                 (1, 1, block_q, d),
                 lambda b_, h_, i, j: (
                     b_, h_,
-                    jnp.where(i == n_k_tiles - 1, j, n_q_tiles), 0,
+                    jnp.where(i == n_k_tiles - 1, j, 0), 0,
                 ),
             )
-            dk, dv, dq_full = pl.pallas_call(
+            dk, dv, dq = pl.pallas_call(
                 functools.partial(_bwd_fused_kernel, resident=True, **common),
                 grid=(b, h, n_k_tiles, n_q_tiles),
                 in_specs=in_specs,
                 out_specs=[dkv_spec, dkv_spec, dq_spec],
                 out_shape=[
-                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
-                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
-                    jax.ShapeDtypeStruct(
-                        (b, h, n_q_pad + block_q, d), jnp.float32
-                    ),
+                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), dkv_dtype),
+                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), dkv_dtype),
+                    jax.ShapeDtypeStruct((b, h, n_q_pad, d), q.dtype),
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((block_k, d), jnp.float32),
@@ -828,7 +939,6 @@ def _flash_bwd(
                 ),
                 interpret=interpret,
             )(*args)
-            dq = dq_full[:, :, :n_q_pad, :].astype(q.dtype)
         else:
             dq_part_spec = pl.BlockSpec(
                 (1, 1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, j, 0)
@@ -841,8 +951,10 @@ def _flash_bwd(
                 in_specs=in_specs,
                 out_specs=[dkv_spec, dkv_spec, dq_part_spec],
                 out_shape=[
-                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
-                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), dkv_dtype),
+                    jax.ShapeDtypeStruct((b, h, n_k_pad, d), dkv_dtype),
+                    # dQ partials stay fp32: the XLA reduce over the KV
+                    # axis must accumulate exactly.
                     jax.ShapeDtypeStruct(
                         (b, h, n_k_tiles, n_q_pad, d), jnp.float32
                     ),
@@ -870,8 +982,8 @@ def _flash_bwd(
         in_specs=in_specs,
         out_specs=[dkv_spec, dkv_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, n_k_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_k_pad, d), dkv_dtype),
+            jax.ShapeDtypeStruct((b, h, n_k_pad, d), dkv_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -899,6 +1011,15 @@ def _flash_bwd(
         q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2,
     ]
     args2 = [qoff, q, k, v, do, lse, di]
+    if segmented:
+        # dq grid iterates (b, h, i=Q tile, j=KV tile).
+        in_specs2[1:1] = [
+            pl.BlockSpec((1, block_q, LANES),
+                         lambda b_, h_, i, j: (b_, i, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b_, h_, i, j: (b_, 0, j)),
+        ]
+        args2[1:1] = [q_seg, kv_seg]
     if dropout_rate > 0.0:
         in_specs2.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
         args2.insert(1, seed)
@@ -961,40 +1082,63 @@ def _prepare(q, k, v, block_q, block_k):
     return q, k, v, bq, bk, n_q, n_k, d
 
 
+def _seg_layouts(q_ids, kv_ids, bq, bk):
+    """Kernel-ready segment-id layouts from raw (B, N) ids.
+
+    Pads each side to its tile multiple with side-specific sentinels (a
+    padded q row can never match a padded kv col), then lays q ids out
+    lane-replicated (B, N_q_pad, LANES) and kv ids (B, 1, N_k_pad) — the
+    Mosaic-legal block layouts _seg_tile_mask expects.
+    """
+    qp = _pad_dim(q_ids, 1, bq, value=_SEG_PAD_Q)
+    kp = _pad_dim(kv_ids, 1, bk, value=_SEG_PAD_K)
+    b, n_q_pad = qp.shape
+    q_seg = jax.lax.broadcast_in_dim(qp, (b, n_q_pad, LANES), (0, 1))
+    return q_seg, kp[:, None, :]
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 )
 def _flash_attention(
-    q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
-    dropout_rate, stages, bwd_block_q, bwd_block_k, window,
+    q, k, v, seed, qoff, q_ids, kv_ids, causal, softmax_scale, block_q,
+    block_k, interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
+    window,
 ):
     o, lse = _flash_attention_fwd_rule(
-        q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k,
-        interpret, dropout_rate, stages, bwd_block_q, bwd_block_k, window,
+        q, k, v, seed, qoff, q_ids, kv_ids, causal, softmax_scale, block_q,
+        block_k, interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
+        window,
     )[0]
     return o, lse
 
 
 def _flash_attention_fwd_rule(
-    q, k, v, seed, qoff, causal, softmax_scale, block_q, block_k, interpret,
-    dropout_rate, stages, bwd_block_q, bwd_block_k, window,
+    q, k, v, seed, qoff, q_ids, kv_ids, causal, softmax_scale, block_q,
+    block_k, interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
+    window,
 ):
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
+    q_seg = kv_seg = None
+    if q_ids is not None:
+        q_seg, kv_seg = _seg_layouts(q_ids, kv_ids, bq, bk)
     o, lse = _flash_fwd(
         qp, kp, vp, seed, qoff, causal=causal, softmax_scale=softmax_scale,
         block_q=bq, block_k=bk, interpret=interpret, n_q=n_q, n_k=n_k,
         dropout_rate=dropout_rate, stages=stages, window=window,
+        q_seg=q_seg, kv_seg=kv_seg,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
-    return (o_out, lse_out), (q, k, v, seed, qoff, o_out, lse_out)
+    return (o_out, lse_out), (q, k, v, seed, qoff, q_ids, kv_ids, o_out,
+                              lse_out)
 
 
 def _flash_attention_bwd_rule(
     causal, softmax_scale, block_q, block_k, interpret, dropout_rate, stages,
     bwd_block_q, bwd_block_k, window, residuals, cotangents,
 ):
-    q, k, v, seed, qoff, o, lse = residuals
+    q, k, v, seed, qoff, q_ids, kv_ids, o, lse = residuals
     do, dlse = cotangents
     n_q, d = q.shape[-2], q.shape[-1]
     n_k = k.shape[-2]
@@ -1013,16 +1157,23 @@ def _flash_attention_bwd_rule(
     # Padded query rows: force p = exp(s - lse) = 0 via a huge lse.
     lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
     dlsep = _pad_dim(dlse, 2, bq)[..., None]
+    q_seg = kv_seg = None
+    if q_ids is not None:
+        # Rebuilt at the BACKWARD's tile sizes (they may differ from the
+        # forward's — see spec-table note above).
+        q_seg, kv_seg = _seg_layouts(q_ids, kv_ids, bq, bk)
     dq, dk, dv = _flash_bwd(
         qp, kp, vp, op, lsep, dop, seed, causal=causal,
         softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
-        dlse=dlsep, qoff=qoff, window=window,
+        dlse=dlsep, qoff=qoff, window=window, q_seg=q_seg, kv_seg=kv_seg,
     )
     return (
         dq[:, :, :n_q, :d].astype(q.dtype),
         dk[:, :, :n_k, :d].astype(k.dtype),
         dv[:, :, :n_k, :d].astype(v.dtype),
+        None,
+        None,
         None,
         None,
     )
@@ -1048,8 +1199,20 @@ def pallas_attention(
     bwd_block_q: int | None = None,
     bwd_block_k: int | None = None,
     window: int | None = None,
+    segment_ids=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
+
+    ``segment_ids``: packed variable-length attention (the TPU analogue of
+    flash-attn's varlen/cu_seqlens API, which the reference lacks): an
+    int32 (B, N) array — or a ``(q_ids, kv_ids)`` pair for q_len != k_len —
+    marking each position's sequence; position i attends position j only
+    when their ids are equal (AND the causal/window mask, if set). Ids must
+    be >= 0 (negative values are reserved for padding sentinels). Packing
+    many short sequences into one row this way keeps the MXU on one big
+    batched matmul instead of ragged small ones; whole-tile skipping is
+    not segment-aware (every in-band tile computes its segment compare),
+    so prefer length-sorted packing for long rows of tiny segments.
 
     ``window``: sliding-window (local) attention — with ``causal=True``,
     row r attends only to the last ``window`` keys (cols in
@@ -1118,9 +1281,39 @@ def pallas_attention(
             raise ValueError("window requires causal=True")
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
+    q_ids = kv_ids = None
+    if segment_ids is not None:
+        if isinstance(segment_ids, (tuple, list)):
+            if len(segment_ids) != 2:
+                raise ValueError(
+                    "segment_ids pair must be (q_ids, kv_ids), got "
+                    f"{len(segment_ids)} elements"
+                )
+            q_ids, kv_ids = segment_ids
+        else:
+            if q.shape[-2] != k.shape[-2]:
+                raise ValueError(
+                    "one segment_ids array requires q_len == k_len "
+                    f"({q.shape[-2]} != {k.shape[-2]}); pass a "
+                    "(q_ids, kv_ids) pair"
+                )
+            q_ids = kv_ids = segment_ids
+        q_ids = jnp.asarray(q_ids, jnp.int32)
+        kv_ids = jnp.asarray(kv_ids, jnp.int32)
+        if q_ids.shape != (q.shape[0], q.shape[-2]):
+            raise ValueError(
+                f"q segment_ids must be (B, N_q)={q.shape[0], q.shape[-2]}, "
+                f"got {q_ids.shape}"
+            )
+        if kv_ids.shape != (k.shape[0], k.shape[-2]):
+            raise ValueError(
+                f"kv segment_ids must be (B, N_k)={k.shape[0], k.shape[-2]},"
+                f" got {kv_ids.shape}"
+            )
     return _flash_attention(
-        q, k, v, seed, qoff, causal, float(softmax_scale), int(block_q),
-        int(block_k), bool(interpret), float(dropout_rate), int(stages),
+        q, k, v, seed, qoff, q_ids, kv_ids, causal, float(softmax_scale),
+        int(block_q), int(block_k), bool(interpret), float(dropout_rate),
+        int(stages),
         int(bwd_block_q) if bwd_block_q else None,
         int(bwd_block_k) if bwd_block_k else None,
         int(window) if window is not None else None,

@@ -303,11 +303,18 @@ def tiled_attention(
         n_pad = (-k.shape[-2]) % block_k
         if mask.shape[-1] != k.shape[-2] or mask.shape[-2] != q.shape[-2]:
             raise ValueError(
-                f"mask must be (N_q, N_k)=({q.shape[-2]}, {k.shape[-2]}), "
+                f"mask must end in (N_q, N_k)=({q.shape[-2]}, {k.shape[-2]}), "
                 f"got {mask.shape}"
             )
+        if mask.ndim not in (2, 4):
+            # 2-D (N_q, N_k) shared, or 4-D (B|1, H|1, N_q, N_k) per
+            # batch/head (e.g. the segment-id fold, ops/api.py) — the scan
+            # body broadcasts either against (B, H, N_q, block_k) scores.
+            raise ValueError(f"mask must be 2-D or 4-D, got {mask.shape}")
         if n_pad:
-            mask = jnp.pad(mask, ((0, 0), (0, n_pad)))
+            mask = jnp.pad(
+                mask, [(0, 0)] * (mask.ndim - 1) + [(0, n_pad)]
+            )
     if dropout_key is None:
         dropout_key = jax.random.key(0)
     if q_offset is None:

@@ -173,3 +173,34 @@ def test_pallas_mask_fallback_warns():
     with _w.catch_warnings():
         _w.simplefilter("error")  # auto backend: no warning
         flash_attention(q, k, v, mask=mask)
+
+
+def test_flash_attention_segment_ids_backends_agree():
+    """segment_ids on the public API: the Pallas kernel path (in-kernel id
+    compare) and the xla/tiled path (dense mask fold) must agree; the
+    reference backend takes the dense mask directly."""
+    from flashattention_tpu.ops.api import flash_attention
+
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    ids = np.zeros((b, n), np.int32)
+    ids[0, 100:] = 1
+    ids = jnp.asarray(ids)
+    o_p, lse_p = flash_attention(
+        q, k, v, causal=True, backend="pallas", block_q=128, block_k=128,
+        segment_ids=ids,
+    )
+    o_x, lse_x = flash_attention(
+        q, k, v, causal=True, backend="xla", segment_ids=ids
+    )
+    o_r, lse_r = flash_attention(
+        q, k, v, causal=True, backend="reference", segment_ids=ids
+    )
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_x),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_r),
+                               rtol=1e-4, atol=1e-4)

@@ -520,3 +520,135 @@ def test_q_offset_traced():
         o = run(jnp.int32(off))
         o_ref, _ = reference_attention(q, k, v, causal=True, q_offset=off)
         assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Segment-ids (packed varlen) attention
+# ---------------------------------------------------------------------------
+
+
+def _rand_segments(rng, b, n, max_segs=4):
+    """Random contiguous segment ids (B, N), ids >= 0, uneven lengths."""
+    ids = np.zeros((b, n), np.int32)
+    for i in range(b):
+        cuts = np.sort(rng.choice(np.arange(1, n), size=max_segs - 1,
+                                  replace=False))
+        for s, start in enumerate(np.concatenate([[0], cuts])):
+            ids[i, start:] = s
+    return ids
+
+
+def _seg_mask(q_ids, kv_ids):
+    return q_ids[:, None, :, None] == kv_ids[:, None, None, :]
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_segment_ids_match_masked_oracle(causal):
+    """Packed varlen via segment ids (flash-attn's cu_seqlens capability —
+    new scope, the reference has no varlen API): o/lse must equal the dense
+    oracle under the equivalent block-diagonal mask, including padding of
+    an unaligned sequence length."""
+    b, h, n, d = 2, 2, 200, 64  # n % BQ != 0: exercises seg-id padding
+    q, k, v = make_qkv(b, h, n, d)
+    ids = jnp.asarray(_rand_segments(np.random.default_rng(3), b, n))
+    o, lse = pallas_attention(
+        q, k, v, causal=causal, block_q=BQ, block_k=BK, segment_ids=ids
+    )
+    o_r, lse_r = reference_attention(
+        q, k, v, causal=causal, mask=_seg_mask(ids, ids)
+    )
+    assert_allclose(o, o_r, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_r, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+def test_segment_ids_packing_equivalence():
+    """THE varlen semantic: two sequences packed into one row with segment
+    ids compute exactly what two separate attention calls compute."""
+    h, d = 2, 64
+    n1, n2 = 160, 96
+    q, k, v = make_qkv(1, h, n1 + n2, d, seed=11)
+    ids = jnp.asarray(
+        np.concatenate([np.zeros(n1, np.int32), np.ones(n2, np.int32)])
+    )[None, :]
+    o_packed, _ = pallas_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK, segment_ids=ids
+    )
+    o_1, _ = pallas_attention(
+        q[:, :, :n1], k[:, :, :n1], v[:, :, :n1], causal=True,
+        block_q=BQ, block_k=BK,
+    )
+    o_2, _ = pallas_attention(
+        q[:, :, n1:], k[:, :, n1:], v[:, :, n1:], causal=True,
+        block_q=BQ, block_k=BK,
+    )
+    assert_allclose(o_packed[:, :, :n1], o_1, rtol=1e-5, atol=1e-5)
+    assert_allclose(o_packed[:, :, n1:], o_2, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["split", "fused"])
+def test_segment_ids_grads(impl, monkeypatch):
+    """Segment-masked gradients through BOTH backward strategies must match
+    the dense oracle with the equivalent mask."""
+    monkeypatch.setenv("FAT_BWD_IMPL", impl)
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    ids = jnp.asarray(_rand_segments(np.random.default_rng(5), b, n))
+    do = jax.random.normal(jax.random.key(9), q.shape, dtype=jnp.float32)
+
+    def loss(fn):
+        def f(q_, k_, v_):
+            o, _ = fn(q_, k_, v_)
+            return jnp.sum(o * do)
+        return f
+
+    g = jax.grad(
+        loss(lambda *a: pallas_attention(
+            *a, causal=True, block_q=BQ, block_k=BK, segment_ids=ids
+        )),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(
+        loss(lambda *a: reference_attention(
+            *a, causal=True, mask=_seg_mask(ids, ids)
+        )),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for got, want in zip(g, gr):
+        assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_segment_ids_gqa_and_pair():
+    """Segments compose with GQA (per-batch ids shared across the head
+    group) and with a (q_ids, kv_ids) pair for q_len != k_len."""
+    b, h_q, h_kv, n, d = 1, 4, 2, 256, 64
+    q, _, _ = make_qkv(b, h_q, n, d)
+    _, k, v = make_qkv(b, h_kv, n, d, seed=2)
+    ids = jnp.asarray(_rand_segments(np.random.default_rng(1), b, n))
+    o, _ = pallas_attention(
+        q, k, v, block_q=BQ, block_k=BK, segment_ids=ids
+    )
+    kr = jnp.repeat(k, h_q // h_kv, axis=1)
+    vr = jnp.repeat(v, h_q // h_kv, axis=1)
+    o_r, _ = reference_attention(q, kr, vr, mask=_seg_mask(ids, ids))
+    assert_allclose(o, o_r, rtol=1e-4, atol=1e-4)
+
+    # (q_ids, kv_ids) pair: the last 64 queries against the full kv row.
+    o_pair, _ = pallas_attention(
+        q[:, :, -64:], k, v, block_q=BQ, block_k=BK,
+        segment_ids=(ids[:, -64:], ids),
+    )
+    o_pr, _ = reference_attention(
+        q[:, :, -64:], kr, vr, mask=_seg_mask(ids[:, -64:], ids)
+    )
+    assert_allclose(o_pair, o_pr, rtol=1e-4, atol=1e-4)
+
+
+def test_segment_ids_validation():
+    q, k, v = make_qkv(1, 2, 128, 64)
+    with pytest.raises(ValueError, match="B, N"):
+        pallas_attention(q, k, v, segment_ids=jnp.zeros((1, 64), jnp.int32))
+    with pytest.raises(ValueError, match="pair"):
+        pallas_attention(
+            q, k[:, :, :64], v[:, :, :64],
+            segment_ids=jnp.zeros((1, 128), jnp.int32),
+        )
