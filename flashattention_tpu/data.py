@@ -105,6 +105,64 @@ class TokenStreamDataset:
             epoch += 1
 
 
+def pack_documents(
+    docs: list[np.ndarray],
+    seq_len: int,
+    *,
+    min_tokens: int = 2,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy sequence packing: variable-length documents -> fixed
+    (rows, seq_len + 1) token rows + matching segment-id rows.
+
+    The TPU-shaped answer to ragged batches (the reference pads or slices a
+    flat stream; flash-attn's cu_seqlens API is the CUDA analogue): every
+    row is a static shape, each document is one contiguous segment, and the
+    kernels' segment-id compare keeps attention within documents. Documents
+    longer than a row are split across rows (each chunk its own segment —
+    next-token supervision never crosses a row edge anyway). Row tails too
+    short for ``min_tokens`` of a new document are padded with id -1, which
+    ``loss_fn`` drops.
+
+    Returns (tokens, segment_ids), both (rows, seq_len + 1) int32. Feed as
+    ``{"tokens": t[i:j], "segment_ids": s[i:j]}`` batches.
+    """
+    width = seq_len + 1
+    rows_t: list[np.ndarray] = []
+    rows_s: list[np.ndarray] = []
+    cur_t = np.zeros((width,), np.int32)
+    cur_s = np.full((width,), -1, np.int32)
+    fill = 0
+    next_id = 0
+
+    def flush():
+        nonlocal fill, cur_t, cur_s
+        if fill > 0:
+            rows_t.append(cur_t)
+            rows_s.append(cur_s)
+            cur_t = np.zeros((width,), np.int32)
+            cur_s = np.full((width,), -1, np.int32)
+            fill = 0
+
+    for doc in docs:
+        doc = np.asarray(doc, np.int32).ravel()
+        off = 0
+        while off < len(doc):
+            if width - fill < min_tokens:
+                flush()
+            take = min(len(doc) - off, width - fill)
+            cur_t[fill: fill + take] = doc[off: off + take]
+            cur_s[fill: fill + take] = next_id
+            fill += take
+            off += take
+            next_id += 1  # each chunk is its own segment
+            if fill == width:
+                flush()
+    flush()
+    if not rows_t:
+        raise ValueError("no documents with tokens to pack")
+    return np.stack(rows_t), np.stack(rows_s)
+
+
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Host-side prefetch: builds the next batch while the device computes
     (the reference DataLoader-worker analogue, ln 808-816). Exceptions from

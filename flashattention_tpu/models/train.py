@@ -77,15 +77,28 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
 
 
 def loss_fn(params, batch, cfg: TransformerConfig, dropout_key):
-    """Next-token cross entropy (reference CE loss, ln 896-899)."""
+    """Next-token cross entropy (reference CE loss, ln 896-899).
+
+    ``batch["segment_ids"]`` (optional, (B, N+1) int32): packed-varlen rows.
+    Attention and positions stay within each segment (apply_transformer),
+    and targets that cross a segment boundary — or live in a padding
+    segment (id < 0) — are dropped from the mean.
+    """
     tokens = batch["tokens"]  # (B, N+1)
     inputs, targets = tokens[:, :-1], tokens[:, 1:]
+    seg = batch.get("segment_ids")
     logits = apply_transformer(
-        params, inputs, cfg, train=True, dropout_key=dropout_key
+        params, inputs, cfg, train=True, dropout_key=dropout_key,
+        segment_ids=None if seg is None else seg[:, :-1],
     )
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    if seg is None:
+        return jnp.mean(nll)
+    valid = (seg[:, :-1] == seg[:, 1:]) & (seg[:, :-1] >= 0)
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))

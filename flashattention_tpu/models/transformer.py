@@ -187,6 +187,21 @@ def block_sparse_mask(
     return m[:n_q, :n_k]
 
 
+def segment_positions(segment_ids: jax.Array) -> jax.Array:
+    """Within-segment positions for packed rows: (B, N) int32 ids (contiguous
+    runs) -> (B, N) position-in-segment. Each packed document restarts at 0,
+    so RoPE / learned positions see the same indices it would get unpacked.
+    """
+    b, n = segment_ids.shape
+    ar = jnp.arange(n, dtype=jnp.int32)
+    changed = jnp.concatenate(
+        [jnp.ones((b, 1), bool), segment_ids[:, 1:] != segment_ids[:, :-1]],
+        axis=1,
+    )
+    seg_start = jax.lax.cummax(jnp.where(changed, ar[None, :], 0), axis=1)
+    return ar[None, :] - seg_start
+
+
 def _rope(t: jax.Array, pos: jax.Array, theta: float) -> jax.Array:
     """Rotary position embedding (split-half / NeoX layout) on (B, H, N, dh).
 
@@ -219,6 +234,8 @@ def _attention(
     sparse_mask: jax.Array | None,
     kv_cache: Params | None = None,
     cache_index: jax.Array | None = None,
+    segment_ids: jax.Array | None = None,
+    positions: jax.Array | None = None,
 ):
     b, n, d = x.shape
     h, h_kv, dh = cfg.n_heads, cfg.kv_heads, cfg.d_head
@@ -236,8 +253,11 @@ def _attention(
     q, k, v = heads(q, h), heads(k, h_kv), heads(v, h_kv)
 
     if cfg.pos_encoding == "rope":
-        start = cache_index if kv_cache is not None else 0
-        pos = start + jnp.arange(n)
+        if positions is not None:
+            pos = positions  # (B, N): packed rows restart per segment
+        else:
+            start = cache_index if kv_cache is not None else 0
+            pos = start + jnp.arange(n)
         q = _rope(q, pos, cfg.rope_theta)
         k = _rope(k, pos, cfg.rope_theta)  # rotated BEFORE caching
 
@@ -277,6 +297,11 @@ def _attention(
             raise ValueError(
                 "attention_window and a block-sparse pattern cannot combine"
             )
+        if sparse_mask is not None and segment_ids is not None:
+            raise ValueError(
+                "segment_ids (packed varlen) and a block-sparse pattern "
+                "cannot combine"
+            )
         if sparse_mask is not None and rate == 0.0:
             # Block-sparse fast path: compacted-grid Pallas kernel — inactive
             # tiles cost neither DMA nor compute (reference L6 only *skips*
@@ -305,6 +330,7 @@ def _attention(
                 dropout_rate=rate,
                 dropout_key=dropout_key if rate > 0 else None,
                 window=cfg.attention_window,
+                segment_ids=segment_ids,
             )
 
     o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
@@ -322,11 +348,13 @@ def _dropout(x, key, rate):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-def _block(x, bp, cfg, *, keys, train, sparse_mask):
+def _block(x, bp, cfg, *, keys, train, sparse_mask, segment_ids=None,
+           positions=None):
     # Post-LN (reference Decoder, ln 192-226): sublayer -> residual -> LN.
     attn_out, _ = _attention(
         x, bp["attn"], cfg,
         dropout_key=keys[0], train=train, sparse_mask=sparse_mask,
+        segment_ids=segment_ids, positions=positions,
     )
     if train and cfg.dropout_rate > 0:
         attn_out = _dropout(attn_out, keys[1], cfg.dropout_rate)
@@ -345,12 +373,28 @@ def apply_transformer(
     train: bool = False,
     dropout_key: jax.Array | None = None,
     sparse_pattern: jax.Array | None = None,
+    segment_ids: jax.Array | None = None,
 ) -> jax.Array:
-    """tokens (B, N) int32 -> logits (B, N, vocab) in fp32."""
+    """tokens (B, N) int32 -> logits (B, N, vocab) in fp32.
+
+    ``segment_ids``: (B, N) int32 — packed-varlen rows (several documents
+    per row, contiguous runs of one id each). Attention stays within each
+    segment (kernel-level id compare, ops/api.flash_attention) and both
+    position encodings restart at 0 per segment, so a packed forward equals
+    the per-document forwards. The reference has no packing; this is the
+    flash-attn cu_seqlens training capability, done the TPU way (static
+    shapes, no ragged tensors).
+    """
     b, n = tokens.shape
+    positions = None
+    if segment_ids is not None:
+        positions = segment_positions(segment_ids)
     x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
     if cfg.pos_encoding == "learned":
-        x = x + params["pos_emb"][:n].astype(cfg.dtype)
+        if positions is not None:
+            x = x + params["pos_emb"][positions].astype(cfg.dtype)
+        else:
+            x = x + params["pos_emb"][:n].astype(cfg.dtype)
     if train and cfg.dropout_rate > 0:
         dropout_key, sub = jax.random.split(dropout_key)
         x = _dropout(x, sub, cfg.dropout_rate)
@@ -368,7 +412,9 @@ def apply_transformer(
         )[:n_tiles, :n_tiles]
 
     def one_block(x, bp, keys):
-        return _block(x, bp, cfg, keys=keys, train=train, sparse_mask=sparse_mask)
+        return _block(x, bp, cfg, keys=keys, train=train,
+                      sparse_mask=sparse_mask, segment_ids=segment_ids,
+                      positions=positions)
 
     block_fn = jax.checkpoint(one_block) if cfg.remat else one_block
 

@@ -335,3 +335,107 @@ def test_separate_qkv_projections():
     tokens = jax.random.randint(jax.random.key(1), (1, 12), 0, cfg.vocab_size)
     logits = apply_transformer(params, tokens, cfg)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+# ---------------------------------------------------------------------------
+# Packed varlen training (segment ids)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("pos_encoding", ["learned", "rope"])
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_packed_forward_equals_unpacked(pos_encoding, backend):
+    """THE packing semantic: documents packed into one row with segment ids
+    produce exactly the logits each document gets in its own forward —
+    attention isolation AND per-segment position restart (both encodings)."""
+    cfg = dataclasses.replace(
+        TINY, dropout_rate=0.0, pos_encoding=pos_encoding,
+        attention_backend=backend, block_size=32,
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    n1, n2 = 24, 18  # packed: 42 tokens, not a tile multiple
+    t1 = jax.random.randint(jax.random.key(1), (1, n1), 0, cfg.vocab_size)
+    t2 = jax.random.randint(jax.random.key(2), (1, n2), 0, cfg.vocab_size)
+    packed = jnp.concatenate([t1, t2], axis=1)
+    ids = jnp.concatenate(
+        [jnp.zeros((1, n1), jnp.int32), jnp.ones((1, n2), jnp.int32)], axis=1
+    )
+    lp = apply_transformer(params, packed, cfg, segment_ids=ids)
+    l1 = apply_transformer(params, t1, cfg)
+    l2 = apply_transformer(params, t2, cfg)
+    np.testing.assert_allclose(
+        np.asarray(lp[:, :n1]), np.asarray(l1), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(lp[:, n1:]), np.asarray(l2), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_pack_documents_layout_and_loss_mask():
+    from flashattention_tpu.data import pack_documents
+
+    docs = [np.arange(1, 40), np.arange(1, 10), np.arange(1, 30),
+            np.arange(1, 5)]
+    seq_len = 32
+    tokens, ids = pack_documents(docs, seq_len)
+    assert tokens.shape == ids.shape and tokens.shape[1] == seq_len + 1
+    # every non-pad position carries a doc token; pads are id -1 & token 0
+    assert ((ids >= 0) == (tokens > 0)).all()
+    # segments are contiguous runs with strictly increasing ids per row
+    for row in ids:
+        real = row[row >= 0]
+        changes = np.flatnonzero(np.diff(real) != 0)
+        assert (np.diff(real)[changes] > 0).all()
+    # total real tokens conserved
+    assert (ids >= 0).sum() == sum(len(d) for d in docs)
+
+    # loss_fn drops boundary/pad targets and averages the rest
+    cfg = dataclasses.replace(TINY, dropout_rate=0.0, vocab_size=64)
+    params = init_transformer(jax.random.key(0), cfg)
+    batch = {
+        "tokens": jnp.asarray(tokens[:2] % cfg.vocab_size),
+        "segment_ids": jnp.asarray(ids[:2]),
+    }
+    loss = float(loss_fn(params, batch, cfg, None))
+    assert np.isfinite(loss)
+    # against a hand-rolled masked CE on the same logits
+    logits = apply_transformer(
+        params, batch["tokens"][:, :-1], cfg,
+        segment_ids=batch["segment_ids"][:, :-1],
+    )
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tgt = batch["tokens"][:, 1:]
+    nll = -np.take_along_axis(
+        np.asarray(logp), np.asarray(tgt)[..., None], axis=-1
+    )[..., 0]
+    seg = np.asarray(batch["segment_ids"])
+    valid = (seg[:, :-1] == seg[:, 1:]) & (seg[:, :-1] >= 0)
+    want = nll[valid].mean()
+    np.testing.assert_allclose(loss, want, rtol=1e-5)
+
+
+def test_packed_train_step_runs_and_reduces_loss():
+    cfg = dataclasses.replace(TINY, dropout_rate=0.0, n_layers=1,
+                              vocab_size=64)
+    from flashattention_tpu.data import pack_documents
+
+    rng = np.random.default_rng(0)
+    docs = [rng.integers(1, 64, size=rng.integers(5, 40))
+            for _ in range(12)]
+    tokens, ids = pack_documents(docs, 32)
+    tc = TrainConfig(learning_rate=1e-2, warmup_steps=1, total_steps=8,
+                     batch_size=2, grad_accum=1)
+    tx = make_optimizer(tc)
+    params = init_transformer(jax.random.key(0), cfg)
+    opt_state = tx.init(params)
+    batch = {
+        "tokens": jnp.asarray(tokens[:2]),
+        "segment_ids": jnp.asarray(ids[:2]),
+    }
+    losses = []
+    for i in range(8):
+        params, opt_state, loss = train_step(
+            params, opt_state, batch, jax.random.key(i), cfg, tx
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
