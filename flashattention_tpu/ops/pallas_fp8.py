@@ -36,6 +36,7 @@ from flashattention_tpu.ops.pallas_attn import (
     _causal_needs_mask,
     _causal_should_run,
     _flash_bwd,
+    _flash_fwd,
     _interpret_default,
     _keep_mask,
     _pad_dim,
@@ -232,14 +233,48 @@ def _dequant(payload, scales, block):
     return (xb * scales[..., None, None]).reshape(b, h, n, d)
 
 
+def _fp8_to_f32_xla(payload):
+    """float8_e4m3fn -> float32 by integer bit surgery, XLA edition.
+
+    The in-kernel decode (pallas_paged._fp8_e4m3_to_bf16_bits) exists
+    because v5e's native fp8 cast lowers through a slow path; the same
+    hazard applies to an XLA pre-pass, so the predecode mode uses the same
+    re-biasing math with lax.bitcast_convert_type instead of pltpu.bitcast.
+    Exact for all e4m3fn values incl. denormals; NaN (0x7f) maps to a large
+    finite value (matches the kernel decode).
+    """
+    bits = jax.lax.bitcast_convert_type(payload, jnp.uint8).astype(jnp.int32)
+    mag = bits & 0x7F
+    sign = (bits & 0x80) << 24
+    out = sign | ((mag << 20) + (120 << 23))
+    out = jnp.where(mag == 0, sign, out)
+    f = jax.lax.bitcast_convert_type(out, jnp.float32)
+    denorm = mag < 8
+    return jnp.where(
+        denorm,
+        mag.astype(jnp.float32)
+        * jnp.where(sign != 0, -(2.0 ** -9), 2.0 ** -9),
+        f,
+    )
+
+
+def _dequant_bf16(payload, scales, block):
+    """Dequantize to bf16 in one fused XLA pass (decode * scale -> bf16)."""
+    b, h, n, d = payload.shape
+    xb = _fp8_to_f32_xla(payload).reshape(b, h, n // block, block, d)
+    return (
+        (xb * scales[..., None, None]).astype(jnp.bfloat16)
+    ).reshape(b, h, n, d)
+
+
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
 )
 def _fp8_attention(q, k, v, seed, causal, softmax_scale, block_q, block_k,
-                   interpret, out_dtype, stages, dropout_rate):
+                   interpret, out_dtype, stages, dropout_rate, mode):
     return _fp8_attention_fwd_rule(
         q, k, v, seed, causal, softmax_scale, block_q, block_k, interpret,
-        out_dtype, stages, dropout_rate,
+        out_dtype, stages, dropout_rate, mode,
     )[0]
 
 
@@ -265,15 +300,37 @@ def _prepare_fp8(q, k, v, block_q, block_k):
 
 def _fp8_attention_fwd_rule(q, k, v, seed, causal, softmax_scale, block_q,
                             block_k, interpret, out_dtype, stages,
-                            dropout_rate):
+                            dropout_rate, mode):
     q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d = _prepare_fp8(
         q, k, v, block_q, block_k
     )
-    o, lse = _fp8_fwd(
-        q8, k8, v8, sq, sk, sv, causal=causal, softmax_scale=softmax_scale,
-        block_q=bq, block_k=bk, out_dtype=out_dtype, interpret=interpret,
-        n_q=n_q, n_k=n_k, stages=stages, seed=seed, dropout_rate=dropout_rate,
-    )
+    if mode == "predecode":
+        # Compute-bound shapes (several q tiles): the fused kernel would
+        # bit-decode every K/V tile once PER Q TILE — O(N_q/bq) redundant
+        # VPU work that costs ~20% of the kernel at N=8K (RESULTS.md). Here
+        # the payloads are dequantized ONCE in an O(N*D) XLA pass and the
+        # plain bf16 kernel runs at full speed. Numerics stay fp8-faithful:
+        # the MXU sees exactly quantize->dequantize(bf16) values, the same
+        # tensors the STE backward reconstructs.
+        qd = _dequant_bf16(q8, sq, bq)
+        kd = _dequant_bf16(k8, sk, bk)
+        vd = _dequant_bf16(v8, sv, bk)
+        qoff = jnp.asarray([n_k - n_q], jnp.int32)
+        o, lse = _flash_fwd(
+            qd, kd, vd, seed, qoff, causal=causal,
+            softmax_scale=softmax_scale, block_q=bq, block_k=bk,
+            interpret=interpret, n_q=n_q, n_k=n_k,
+            dropout_rate=dropout_rate, stages=stages,
+        )
+        o = o.astype(out_dtype)
+    else:
+        o, lse = _fp8_fwd(
+            q8, k8, v8, sq, sk, sv, causal=causal,
+            softmax_scale=softmax_scale,
+            block_q=bq, block_k=bk, out_dtype=out_dtype, interpret=interpret,
+            n_q=n_q, n_k=n_k, stages=stages, seed=seed,
+            dropout_rate=dropout_rate,
+        )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
     # 0-size dtype carriers: the backward must return dk/dv in k/v's dtype
@@ -288,7 +345,7 @@ def _fp8_attention_fwd_rule(q, k, v, seed, causal, softmax_scale, block_q,
 
 def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
                             interpret, out_dtype, stages, dropout_rate,
-                            residuals, cotangents):
+                            mode, residuals, cotangents):
     """STE backward: run the bf16 backward kernels on the dequantized
     payloads (reference fa3_bwd.cu:134-146 semantics). With dropout, the
     same counter-based mask regenerates from (seed, bh, tile) — the bf16
@@ -366,10 +423,23 @@ def pallas_fp8_attention(
     interpret: bool | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int | None = None,
+    mode: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """FA3 fused-FP8 flash attention: quantizes q/k/v to float8_e4m3fn with
     per-tile scales, streams 1-byte payloads through the kernel, descales in
     the score/output scaling. ``stages`` = K/V pipeline buffer depth.
+
+    ``mode`` picks the execution strategy for the quantized math:
+      - "fused": in-kernel bit decode of the fp8 payloads — halves the K/V
+        HBM stream; the win at bandwidth-bound shapes (decode, long KV,
+        single q tile).
+      - "predecode": one O(N*D) XLA dequant pass, then the bf16 kernel —
+        the win at compute-bound shapes, where the fused kernel re-decodes
+        every K/V tile once per q tile (~20% VPU tax at N=8K, RESULTS.md).
+      - "auto" (default): "predecode" when the q length spans multiple
+        q tiles (n_q > block_q), "fused" otherwise.
+    Both modes feed the MXU the same quantize->dequantize values; outputs
+    agree to bf16 rounding class.
 
     GQA: k/v may carry H_kv < H heads (H % H_kv == 0) — KV payload tiles and
     their descales are shared across each query-head group, same index maps
@@ -391,8 +461,14 @@ def pallas_fp8_attention(
     seed = jnp.asarray(
         [0 if dropout_seed is None else dropout_seed], jnp.int32
     ).ravel()[:1]
+    if mode not in ("auto", "fused", "predecode"):
+        raise ValueError(
+            f"mode must be auto|fused|predecode, got {mode!r}"
+        )
+    if mode == "auto":
+        mode = "predecode" if q.shape[2] > block_q else "fused"
     return _fp8_attention(
         q, k, v, seed, causal, float(softmax_scale), int(block_q),
         int(block_k), bool(interpret), q.dtype, int(stages),
-        float(dropout_rate),
+        float(dropout_rate), mode,
     )
