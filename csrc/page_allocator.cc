@@ -85,6 +85,27 @@ int64_t fat_allocator_get_pages(void* handle, int64_t seq_id, int32_t* out,
   return n;
 }
 
+// Release the FIRST `n` pages of `seq_id`'s chain (sliding-window serving:
+// pages wholly below the attention band are dead — the kernel's page walk
+// starts at the band's first page and never revisits them). The caller owns
+// the logical-offset bookkeeping: after this, chain position i holds the
+// sequence's logical page (freed_total + i). Returns pages freed (may be
+// < n if the chain is shorter), or 0 for unknown sequences.
+int64_t fat_allocator_release_prefix(void* handle, int64_t seq_id,
+                                     int64_t n) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  auto it = a->seq_pages.find(seq_id);
+  if (it == a->seq_pages.end() || n <= 0) return 0;
+  auto& chain = it->second;
+  int64_t m = n < static_cast<int64_t>(chain.size())
+                  ? n
+                  : static_cast<int64_t>(chain.size());
+  for (int64_t i = 0; i < m; ++i) a->free_stack.push_back(chain[i]);
+  chain.erase(chain.begin(), chain.begin() + m);
+  return m;
+}
+
 // Release all pages owned by `seq_id`. Returns number of pages freed.
 int64_t fat_allocator_release(void* handle, int64_t seq_id) {
   auto* a = static_cast<Allocator*>(handle);

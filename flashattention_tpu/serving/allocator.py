@@ -46,6 +46,21 @@ def _load_native(build_if_missing: bool = True):
     ]
     lib.fat_allocator_release.restype = ctypes.c_int64
     lib.fat_allocator_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    try:
+        lib.fat_allocator_release_prefix.restype = ctypes.c_int64
+        lib.fat_allocator_release_prefix.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64
+        ]
+    except AttributeError:
+        # Stale .so from before release_prefix existed: rebuild once.
+        try:
+            subprocess.run(
+                ["make", "-C", str(_CSRC), "clean", "all"],
+                check=True, capture_output=True, timeout=120,
+            )
+            return _load_native(build_if_missing=False)
+        except (subprocess.SubprocessError, OSError):
+            return None
     return lib
 
 
@@ -122,6 +137,23 @@ class PageAllocator:
         chain = self._seq_pages.pop(seq_id, [])
         self._free.extend(chain)
         return len(chain)
+
+    def release_prefix(self, seq_id: int, n: int) -> int:
+        """Free the first ``n`` pages of the sequence's chain (sliding-window
+        serving: pages wholly below the attention band are dead). The caller
+        tracks the logical offset — after this, chain position i holds
+        logical page (total_freed + i)."""
+        if self._lib:
+            return self._lib.fat_allocator_release_prefix(
+                self._handle, seq_id, n
+            )
+        chain = self._seq_pages.get(seq_id)
+        if not chain or n <= 0:
+            return 0
+        m = min(n, len(chain))
+        self._free.extend(chain[:m])
+        del chain[:m]
+        return m
 
     def __del__(self):
         if getattr(self, "_lib", None) is not None:

@@ -73,6 +73,7 @@ class _Slot:
     request: GenerationRequest | None = None
     length: int = 0
     generated: list[int] = dataclasses.field(default_factory=list)
+    freed_pages: int = 0  # logical pages reclaimed below the sliding window
 
 
 # ---------------------------------------------------------------------------
@@ -480,13 +481,20 @@ class ServingEngine:
                 first_tok = self._sample_last(self.params, x, idx)
             slot.generated.append(int(first_tok[0]))
             slot.length = prompt_len  # cache holds the prompt only
+            self._reclaim_window(slot)
             self._maybe_finish(slot)
 
-    def _page_row(self, seq_id: int | None) -> jnp.ndarray:
+    def _page_row(
+        self, seq_id: int | None, freed: int = 0
+    ) -> jnp.ndarray:
+        """Logical page p lives at row position p: a reclaimed prefix
+        (sliding window) shifts the physical chain up by ``freed``; the
+        dead positions keep the dump page and are never visited (the
+        kernel's page walk starts at the band's first page)."""
         row = np.full((self.ecfg.pages_per_seq,), self.dump_page, np.int32)
         if seq_id is not None:
             pages = self.allocator.pages(seq_id)
-            row[: len(pages)] = pages
+            row[freed: freed + len(pages)] = pages
         return jnp.asarray(row)
 
     def _decode_once(self) -> None:
@@ -498,9 +506,11 @@ class ServingEngine:
             if slot.request is None:
                 page_rows.append(self._page_row(None))
                 continue
-            # grow pages to hold position `length` (the token being written)
+            # grow pages to hold position `length` (the token being written);
+            # the physical chain is shorter by the reclaimed window prefix
             if not self.allocator.grow(
-                slot.request.request_id, self._pages_needed(slot.length + 1)
+                slot.request.request_id,
+                self._pages_needed(slot.length + 1) - slot.freed_pages,
             ):
                 # OOM mid-flight: evict (release + requeue) — the bench
                 # harness's catch-and-continue analogue (SURVEY.md §5.3).
@@ -509,7 +519,9 @@ class ServingEngine:
                 continue
             tokens[i, 0] = slot.generated[-1]
             lengths[i] = slot.length
-            page_rows.append(self._page_row(slot.request.request_id))
+            page_rows.append(
+                self._page_row(slot.request.request_id, slot.freed_pages)
+            )
 
         decode_args = (
             self.params, self.caches, jnp.asarray(tokens),
@@ -527,7 +539,27 @@ class ServingEngine:
                 continue
             slot.length += 1  # the fed token is now in cache
             slot.generated.append(int(next_np[i]))
+            self._reclaim_window(slot)
             self._maybe_finish(slot)
+
+    def _reclaim_window(self, slot: _Slot) -> None:
+        """Free pages wholly below the sliding-window band.
+
+        Every future read of this sequence starts at slot
+        ``length - window + 1`` or higher (lengths only grow), so pages
+        entirely below that are dead. Freeing them bounds a windowed
+        sequence's KV memory at O(window) regardless of generated length.
+        """
+        w = self.cfg.attention_window
+        if w is None or slot.request is None:
+            return
+        first_needed = max(0, (slot.length - w + 1)) // self.ecfg.page_size
+        freeable = first_needed - slot.freed_pages
+        if freeable > 0:
+            freed = self.allocator.release_prefix(
+                slot.request.request_id, freeable
+            )
+            slot.freed_pages += freed
 
     def _maybe_finish(self, slot: _Slot) -> None:
         req = slot.request
@@ -544,6 +576,7 @@ class ServingEngine:
             slot.request = None
             slot.generated = []
             slot.length = 0
+            slot.freed_pages = 0
 
     def _evict(self, slot: _Slot) -> None:
         req = slot.request
@@ -567,3 +600,4 @@ class ServingEngine:
         slot.request = None
         slot.generated = []
         slot.length = 0
+        slot.freed_pages = 0

@@ -57,6 +57,21 @@ def test_allocator_grow_release(native):
         a.pages(99)
 
 
+@pytest.mark.parametrize("native", [False, None])
+def test_allocator_release_prefix(native):
+    a = PageAllocator(8, native=native)
+    assert a.grow(1, 5)
+    chain = a.pages(1)
+    assert a.release_prefix(1, 2) == 2
+    assert a.pages(1) == chain[2:]  # order preserved, prefix gone
+    assert a.free_pages() == 5
+    assert a.release_prefix(1, 99) == 3  # clamps to chain length
+    assert a.pages(1) == []
+    assert a.release_prefix(42, 1) == 0  # unknown seq
+    # freed pages are reusable
+    assert a.grow(2, 8)
+
+
 def test_native_allocator_builds_and_matches_python():
     a = PageAllocator(16, native=None)
     if not a.is_native:
@@ -410,6 +425,40 @@ def test_engine_sliding_window_matches_naive_greedy():
     for i, p in enumerate(prompts):
         expected = _naive_greedy(params, p, 6, cfg=cfg)
         assert results[i] == expected, (i, results[i], expected)
+
+
+def test_engine_window_reclaims_pages():
+    """Windowed generation must hold only O(window) pages per sequence:
+    pages wholly below the band are released back to the pool mid-flight,
+    and the shifted page walk still produces the exact greedy outputs."""
+    cfg = TransformerConfig(
+        vocab_size=89, d_model=64, n_layers=2, n_heads=4,
+        d_ff=128, max_seq_len=128, block_size=32, dropout_rate=0.0,
+        dtype=jnp.float32, attention_backend="xla", attention_window=6,
+    )
+    params = init_transformer(jax.random.key(8), cfg)
+    ecfg = EngineConfig(
+        max_batch_size=1, page_size=4, num_pages=40, max_seq_len=80,
+        prefill_pad=8,
+    )
+    eng = ServingEngine(params, cfg, ecfg)
+    prompt = list(np.random.default_rng(10).integers(0, cfg.vocab_size,
+                                                     size=6))
+    n_new = 40  # final length 46 -> 12 pages of 4 without reclamation
+    eng.submit(GenerationRequest(request_id=0, prompt=prompt,
+                                 max_new_tokens=n_new))
+    min_free = eng.allocator.free_pages()
+    out = []
+    while eng.waiting or eng._num_active():
+        eng.step()
+        min_free = min(min_free, eng.allocator.free_pages())
+    out = eng.finished[0]
+    # Band (6) + write position straddle needs <= 3 live pages of 4; without
+    # reclamation the low-water mark would be 39 - 12 = 27.
+    assert min_free >= 39 - 4, min_free
+    assert eng.allocator.free_pages() == 39  # all returned at finish
+    expected = _naive_greedy(params, prompt, n_new, cfg=cfg)
+    assert out == expected
 
 
 def test_engine_rope_matches_naive_greedy():
