@@ -41,120 +41,139 @@ step() {  # step <name> <timeout_s> <cmd...>
   if live; then
     timeout "$to" "$@" >"$LOGDIR/$name.log" 2>&1
     echo "   exit=$? (log $LOGDIR/$name.log)"
-    tail -3 "$LOGDIR/$name.log" | sed 's/^/   /'
+    tail -4 "$LOGDIR/$name.log" | sed 's/^/   /'
   else
     echo "   SKIPPED: window wedged again"
   fi
 }
 
-# ---- 1. verify drives (cheap) --------------------------------------------
-step verify_specpair 600 python - <<'EOF'
-# Per-direction spec pair on real TPU: d=64 fwd (1024,1024) + bwd (512,1024)
-# through the public fa2 dispatcher, fwd + grads vs oracle.
+# ---- 1. verify drives (cheap, correctness first) ---------------------------
+step verify_bwd_opt 1200 python - <<'EOF'
+# Round-2 backward optimizations on REAL TPU (interpret mode cannot
+# validate Mosaic's block-revisit/flush semantics or compile legality):
+#  - resident-dQ parks earlier sweeps at block 0 (was: dummy padding block)
+#  - dK/dV/dQ leave the kernel in the INPUT dtype when groups==1
+#  - softmax_scale folded into the q tile in all bwd kernels
+# Checks: grads vs oracle at the headline shape (resident), at d=256
+# (HBM-partials fallback), and under GQA (fp32 outs + group reduce).
 from flashattention_tpu.utils.profiling import enable_compile_cache
 enable_compile_cache()
 import jax, jax.numpy as jnp, numpy as np
-import flashattention_tpu as fat
-ks = [jax.random.normal(jax.random.key(i), (1, 4, 2048, 64), jnp.bfloat16)
-      for i in range(3)]
-q, k, v = ks
-o, lse = fat.fa2_attention(q, k, v, causal=True)
-o_r, _ = fat.reference_attention(q, k, v, causal=True)
-print("fwd max|d|:", np.abs(np.asarray(o, np.float32)
-                            - np.asarray(o_r, np.float32)).max())
-def loss(t):
-    o, _ = fat.fa2_attention(t[0], t[1], t[2], causal=True)
-    return jnp.sum(o.astype(jnp.float32) ** 2)
-g = jax.grad(loss)((q, k, v))
-gr = fat.reference_attention_grads(q, k, v, 2 * o_r.astype(jnp.float32),
-                                   causal=True)
-for name, a, b in zip("dq dk dv".split(), g, gr):
-    print(name, "max|d|:", np.abs(np.asarray(a, np.float32)
-                                  - np.asarray(b, np.float32)).max())
+from flashattention_tpu.ops.pallas_attn import pallas_attention
+from flashattention_tpu.ops.reference import reference_attention
+
+def check(tag, b, h, n, d, h_kv=None, causal=True, tol=2.5e-2):
+    h_kv = h_kv or h
+    q = jax.random.normal(jax.random.key(0), (b, h, n, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(1), (b, h_kv, n, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (b, h_kv, n, d), jnp.bfloat16)
+    def loss_p(t):
+        o, _ = pallas_attention(t[0], t[1], t[2], causal=causal)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+    def loss_r(t):
+        kk = jnp.repeat(t[1], h // h_kv, axis=1)
+        vv = jnp.repeat(t[2], h // h_kv, axis=1)
+        o, _ = reference_attention(t[0], kk, vv, causal=causal)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+    gp = jax.grad(loss_p)((q, k, v))
+    gr = jax.grad(loss_r)((q, k, v))
+    worst = 0.0
+    for name, a, bb in zip("dq dk dv".split(), gp, gr):
+        m = float(np.abs(np.asarray(a, np.float32)
+                         - np.asarray(bb, np.float32)).max())
+        scale = max(1.0, float(np.abs(np.asarray(bb, np.float32)).max()))
+        worst = max(worst, m / scale)
+        print(f"{tag} {name}: max|d|={m:.3e} rel={m/scale:.3e}", flush=True)
+    assert worst < tol, (tag, worst)
+
+check("resident d128", 1, 4, 8192, 128)
+check("fallback d256", 1, 2, 8192, 256)
+check("gqa groups=4", 1, 8, 2048, 128, h_kv=2)
+print("BWD-OPT PASS", flush=True)
 EOF
 
-step verify_speculative 600 python - <<'EOF'
-from flashattention_tpu.utils.profiling import enable_compile_cache
-enable_compile_cache()
-import jax, jax.numpy as jnp
-from flashattention_tpu.models.transformer import TransformerConfig, init_transformer
-from flashattention_tpu.serving import SamplingConfig, generate, speculative_generate
-T = TransformerConfig(vocab_size=61, d_model=64, n_layers=2, n_heads=4,
-                      d_ff=128, max_seq_len=64, block_size=32,
-                      dropout_rate=0.0, dtype=jnp.float32,
-                      attention_backend="xla")
-D = TransformerConfig(vocab_size=61, d_model=32, n_layers=1, n_heads=2,
-                      d_ff=64, max_seq_len=64, block_size=32,
-                      dropout_rate=0.0, dtype=jnp.float32,
-                      attention_backend="xla")
-tp, dp = init_transformer(jax.random.key(0), T), init_transformer(jax.random.key(7), D)
-want = generate(tp, T, [3, 17, 42], max_new_tokens=8)
-got, st = speculative_generate(tp, dp, T, D, [3, 17, 42],
-                               max_new_tokens=8, gamma=3)
-assert got == want, (got, want)
-print("greedy exact on TPU; accept", st.accepted, "/", st.proposed)
-out, st2 = speculative_generate(
-    tp, dp, T, D, [3, 17, 42], max_new_tokens=8, gamma=3,
-    sampling=SamplingConfig(temperature=1.0), key=jax.random.key(5))
-print("stochastic ok:", len(out) == 8, "accept", st2.accepted, "/", st2.proposed)
-EOF
-
-# ---- 2. headline ----------------------------------------------------------
-step bench_headline 900 python bench.py
-
-# ---- 3. fwd-block A/B at the headline shape (d=128) ----------------------
-step ab_fwd_1024_d128 900 python scripts/tune_attention.py --one 1024 1024 --seq 8192 --dim 128
-step ab_fwd_512_d128  900 python scripts/tune_attention.py --one 512 1024 --seq 8192 --dim 128
-step ab_bwd_stages1 900 env FAT_BWD_STAGES=1 python scripts/tune_attention.py --one 512 1024 --seq 8192 --dim 128 --bwd
-step ab_bwd_stages2 900 env FAT_BWD_STAGES=2 python scripts/tune_attention.py --one 512 1024 --seq 8192 --dim 128 --bwd
-
-# ---- 3b. sliding-window tile-skip on real TPU (correct + fast) ------------
-step verify_window 900 python - <<'EOF'
-# N=8K window=1024: must match the banded oracle AND run ~3-4x faster than
-# full causal (out-of-band tiles skipped, not just masked).
+step verify_paged_window_reclaim 1200 python - <<'EOF'
+# Sliding-window paged decode with a FREED-PREFIX page row (the engine's
+# O(window) page reclamation layout): pages below the band hold the dump
+# page and must never be read; parity vs the full table and the gather
+# oracle, plus windowed-vs-full decode speedup. TPU-compile-only path.
 from flashattention_tpu.utils.profiling import enable_compile_cache
 enable_compile_cache()
 import time
 import jax, jax.numpy as jnp, numpy as np
 from jax import lax
-from flashattention_tpu.ops.pallas_attn import pallas_attention
-from flashattention_tpu.ops.reference import reference_attention
-b, h, n, d = 1, 4, 8192, 128
-q, k, v = (jax.random.normal(jax.random.key(i), (b, h, n, d), jnp.bfloat16)
-           for i in range(3))
-o, lse = pallas_attention(q, k, v, causal=True, window=1024)
-o_r, _ = reference_attention(q, k, v, causal=True, window=1024)
-print("win fwd max|d|:", np.abs(np.asarray(o, np.float32)
-                                - np.asarray(o_r, np.float32)).max())
-def mkloop(fn):
+from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+from flashattention_tpu.serving.paged_kv import (
+    init_paged_cache, append_to_pages, paged_attention_decode,
+)
+b, h, d, psize, total, window = 4, 8, 128, 256, 4096, 512
+npg = total // psize
+cache = init_paged_cache(h, b * npg + 1, psize, d, dtype=jnp.bfloat16)
+dump = b * npg
+kf = jax.random.normal(jax.random.key(0), (b, h, total, d), jnp.bfloat16)
+vf = jax.random.normal(jax.random.key(1), (b, h, total, d), jnp.bfloat16)
+pi = jnp.arange(b * npg).reshape(b, -1).astype(jnp.int32)
+lengths = jnp.full((b,), total, jnp.int32)
+cache = append_to_pages(cache, kf, vf, pi, jnp.zeros((b,), jnp.int32))
+q = jax.random.normal(jax.random.key(2), (b, h, d), jnp.bfloat16)
+first_needed = (total - window + 1) // psize
+pif = np.asarray(pi).copy(); pif[:, :first_needed] = dump
+pif = jnp.asarray(pif)
+o_full = pallas_paged_attention(q, cache.k_pages, cache.v_pages, pi,
+                                lengths, window=window,
+                                compute_dtype=jnp.float32)
+o_free = pallas_paged_attention(q, cache.k_pages, cache.v_pages, pif,
+                                lengths, window=window,
+                                compute_dtype=jnp.float32)
+o_ref = paged_attention_decode(q, cache, pi, lengths, window=window)
+d1 = np.abs(np.asarray(o_free, np.float32) - np.asarray(o_full, np.float32)).max()
+d2 = np.abs(np.asarray(o_free, np.float32) - np.asarray(o_ref, np.float32)).max()
+print(f"freed-prefix vs full: {d1:.3e}  vs oracle: {d2:.3e}", flush=True)
+assert d1 == 0.0, "kernel read a reclaimed (dump) page!"
+assert d2 < 5e-2, d2
+def mkloop(window_):
     @jax.jit
-    def loop(n_, a0, *rest):
-        return lax.fori_loop(0, n_, lambda i, o_: fn(o_, *rest), a0)
+    def loop(n_, q0):
+        def body(i, acc):
+            o = pallas_paged_attention(acc, cache.k_pages, cache.v_pages,
+                                       pif if window_ else pi, lengths,
+                                       window=window_)
+            return o.astype(acc.dtype)
+        return lax.fori_loop(0, n_, body, q0)
     return loop
-def two_point(loop, args, i1, i2):
+def tp(loop, i1, i2):
     best = {i1: 1e9, i2: 1e9}
     for _ in range(3):
         for it in (i1, i2):
             t0 = time.perf_counter()
-            out = loop(jnp.int32(it), *args)
-            np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:8]
+            np.asarray(loop(jnp.int32(it), q)).ravel()[:8]
             best[it] = min(best[it], time.perf_counter() - t0)
     return (best[i2] - best[i1]) / (i2 - i1)
-win = mkloop(lambda q_, k_, v_: pallas_attention(
-    q_, k_, v_, causal=True, window=1024)[0].astype(q_.dtype))
-cau = mkloop(lambda q_, k_, v_: pallas_attention(
-    q_, k_, v_, causal=True)[0].astype(q_.dtype))
-win(jnp.int32(2), q, k, v); cau(jnp.int32(2), q, k, v)
-t_w = two_point(win, (q, k, v), 30, 630)
-t_c = two_point(cau, (q, k, v), 30, 630)
-print(f"window=1024 {t_w*1e3:.3f} ms vs causal {t_c*1e3:.3f} ms "
-      f"(speedup {t_c/t_w:.2f}x; band fraction {1024/n:.3f})")
+lw, lf = mkloop(window), mkloop(None)
+lw(jnp.int32(2), q); lf(jnp.int32(2), q)
+t_w, t_f = tp(lw, 50, 1050), tp(lf, 50, 1050)
+print(f"decode window={window} {t_w*1e6:.0f} us vs full-4K {t_f*1e6:.0f} us "
+      f"(speedup {t_f/t_w:.2f}x, ideal ~{total/window:.1f}x at line rate)",
+      flush=True)
+print("PAGED-WINDOW PASS", flush=True)
 EOF
 
-# ---- 4. decode re-measure -------------------------------------------------
+# ---- 2. headline (new kernels) ---------------------------------------------
+step bench_headline 900 python bench.py
+
+# ---- 3. same-window A/Bs (paired subprocesses) ------------------------------
+# 3a. new bwd vs pre-optimization bwd. REV must be the last commit BEFORE
+#     the kernel-opt commit — update after committing.
+step ab_bwd_oldnew 3600 python scripts/ab_compare.py --rev "${AB_OLD_REV:-5cc841f}" --what bwd,sol --pairs 3
+# 3b. forward scale-fold (FAT_FWD_SCALE_FOLD=1): VPU plane saving vs LSE drift.
+step ab_fwd_scale_fold 2400 python scripts/ab_compare.py --env-b FAT_FWD_SCALE_FOLD=1 --what fwd,sol --pairs 3
+# 3c. backward stages knob.
+step ab_bwd_stages 2400 python scripts/ab_compare.py --env-b FAT_BWD_STAGES=1 --what bwd,sol --pairs 2
+
+# ---- 4. decode re-measure ---------------------------------------------------
 step bench_decode 1200 python scripts/bench_decode.py
 
-# ---- 5. missing grid cells (expensive tail) -------------------------------
+# ---- 5. missing grid cells (expensive tail) ---------------------------------
 step grid_16k 7200 python scripts/tune_attention.py --grid --seqs 8192,16384 \
   --resume benchmarks/results/grid_r02.jsonl --timeout 700 --attempts 2
 
