@@ -38,6 +38,7 @@ KV-cache-shaped causal mask (src/fa3/torch/flashattention_pytorch.py:176-190).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -221,6 +222,145 @@ def _decode_kernel(
             o_ref[0, h] = (acc_scr[r0:r1] / l_safe).astype(o_ref.dtype)
 
 
+def _dequant_block(ref, scale_ref, compute_dtype):
+    """Dequantize a WHOLE page block — all KV heads at once: (H_kv, page, D).
+
+    One 3-D VPU pass per page instead of the per-head loads of _dequant;
+    feeds the merged kernel's contiguous K/V scratch.
+    """
+    payload = ref[:, 0]
+    if scale_ref is None:
+        return payload.astype(compute_dtype)
+    if payload.dtype == jnp.float8_e4m3fn and compute_dtype == jnp.bfloat16:
+        x = _fp8_e4m3_to_bf16_bits(payload)
+    else:
+        x = payload.astype(compute_dtype)
+    return x * scale_ref[:, 0].astype(compute_dtype)
+
+
+def _decode_kernel_merged(
+    # scalar prefetch
+    page_indices_ref,  # (B * pps_padded,) int32 in SMEM
+    lengths_ref,       # (B,) int32 in SMEM
+    # pipelined inputs
+    q_ref,             # (1, H_kv, G, D) VMEM
+    *rest,             # k_0..k_{S-1}, v_0.., [ks_0.., vs_0..,] o, scratches
+    softmax_scale,
+    page_size,
+    pages_per_step,
+    h_kv,
+    g_pad,
+    q_len,
+    quantized,
+    compute_dtype,
+    window=None,
+):
+    """Step-merged decode: one online-softmax update per (head, STEP).
+
+    The flat kernel issues pages_per_step * h_kv tiny score matmuls and as
+    many m/l/acc rescales per grid step — at decode shapes each op touches
+    a sub-native-tile (g_pad x page) plane and per-op dispatch dominates
+    (measured: bf16 decode at 27% of HBM line rate, decode_r02.json). Here
+    each step first lands its S pages in a CONTIGUOUS (h_kv, S*page, D)
+    VMEM scratch (one all-heads dequant store per page — sublane offsets
+    are page-multiples, Mosaic-legal), then runs ONE (g_pad, D)x(D, S*page)
+    score matmul and ONE masked online update per head. VPU element count
+    is unchanged; dispatch count per step drops ~8x. Validity needs no
+    per-page predicate: a slot is masked iff slot > its row's position
+    (positions < length bound every in-range slot), so steps fully past a
+    short sequence contribute exp-of-masked == 0 via the same mask.
+    """
+    s_count = pages_per_step
+    k_refs = rest[:s_count]
+    v_refs = rest[s_count: 2 * s_count]
+    off = 2 * s_count
+    if quantized:
+        ks_refs = rest[off: off + s_count]
+        vs_refs = rest[off + s_count: off + 2 * s_count]
+        off += 2 * s_count
+    else:
+        ks_refs = vs_refs = [None] * s_count
+    (o_ref, m_scr, l_scr, acc_scr, kc_scr, vc_scr) = rest[off: off + 6]
+
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+
+    length = lengths_ref[b]
+    if window is None:
+        first = 0
+    else:
+        first = jnp.maximum((length - q_len - window + 1) // page_size, 0)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # Land the step's pages contiguously: kc/vc hold S*page slots per head.
+    for s in range(s_count):
+        kc_scr[:, s * page_size: (s + 1) * page_size, :] = _dequant_block(
+            k_refs[s], ks_refs[s], compute_dtype
+        )
+        vc_scr[:, s * page_size: (s + 1) * page_size, :] = _dequant_block(
+            v_refs[s], vs_refs[s], compute_dtype
+        )
+
+    width = s_count * page_size
+    # Consecutive logical pages -> consecutive slots: col c of the scratch
+    # is absolute slot (first + j*S)*page + c.
+    slots = (first + j * s_count) * page_size + jax.lax.broadcasted_iota(
+        jnp.int32, (1, width), 1
+    )
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (g_pad, 1), 0) % q_len
+    positions = (length - q_len) + row_t              # (g_pad, 1)
+    in_range = slots <= positions                     # (g_pad, width)
+    if window is not None:
+        in_range = in_range & (slots > positions - window)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32 else None
+    )
+    for h in range(h_kv):
+        r0, r1 = h * g_pad, (h + 1) * g_pad
+        q = q_ref[0, h].astype(compute_dtype) * compute_dtype(softmax_scale)
+        scores = jax.lax.dot_general(
+            q, kc_scr[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # (g_pad, width)
+        # Unlike the flat kernel, a whole step CAN be past a short
+        # sequence (no per-page predicate), making every column masked:
+        # use the finite mask value + explicit p zeroing unconditionally
+        # so alpha never sees exp(-inf - -inf).
+        scores = jnp.where(in_range, scores, _MASK_VALUE)
+
+        m_prev = m_scr[r0:r1]
+        m_curr = jnp.max(scores, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(scores - m_next[:, :1])
+        p = jnp.where(in_range, p, 0.0)
+        l_scr[r0:r1] = alpha * l_scr[r0:r1] + jnp.sum(
+            p, axis=1, keepdims=True
+        )
+        m_scr[r0:r1] = m_next
+        acc_scr[r0:r1] = acc_scr[r0:r1] * alpha[:, :1] + jax.lax.dot(
+            p.astype(compute_dtype), vc_scr[h],
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    @pl.when(j == n_steps - 1)
+    def _store():
+        for h in range(h_kv):
+            r0, r1 = h * g_pad, (h + 1) * g_pad
+            l = l_scr[r0:r1, :1]
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, h] = (acc_scr[r0:r1] / l_safe).astype(o_ref.dtype)
+
+
 def pallas_paged_attention(
     q: jax.Array,              # (B, H, D) one query token per sequence
     k_pages: jax.Array,        # (H_kv, P, page, D) payload
@@ -235,6 +375,7 @@ def pallas_paged_attention(
     compute_dtype=jnp.bfloat16,
     interpret: bool | None = None,
     window: int | None = None,
+    merged: bool | None = None,
 ) -> jax.Array:
     """Paged attention on TPU: decode (q: (B, H, D), one token per sequence)
     or chunked prefill (q: (B, H, T, D) — the chunk's K/V must already be
@@ -251,6 +392,13 @@ def pallas_paged_attention(
     (per-sequence, resolved from the scalar-prefetched length inside the
     index maps) and the grid shrinks to the band size, so both DMA and
     compute are O(window) per sequence instead of O(length).
+
+    ``merged``: step-merged schedule (_decode_kernel_merged) — contiguous
+    per-step K/V scratch, one score matmul + one online update per (head,
+    step) instead of per (head, page); targets the small-op dispatch
+    overhead that holds decode under HBM line rate. None reads
+    FAT_PAGED_MERGED (default flat until TPU-A/B'd); requires
+    page_size % 16 == 0 (scratch-store sublane alignment).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -299,8 +447,13 @@ def pallas_paged_attention(
     if g_pad != rows:
         q4 = jnp.pad(q4, [(0, 0), (0, 0), (0, g_pad - rows), (0, 0)])
 
+    if merged is None:
+        merged = os.environ.get("FAT_PAGED_MERGED", "0") == "1"
+    if merged and page_size % 16 != 0:
+        merged = False  # scratch stores need sublane-aligned page offsets
+
     kernel = functools.partial(
-        _decode_kernel,
+        _decode_kernel_merged if merged else _decode_kernel,
         softmax_scale=float(softmax_scale),
         page_size=page_size,
         pages_per_step=s_count,
@@ -352,16 +505,22 @@ def pallas_paged_attention(
         args += [k_scales] * s_count
         args += [v_scales] * s_count
 
+    scratch_shapes = [
+        pltpu.VMEM((h_kv * g_pad, 128), jnp.float32),
+        pltpu.VMEM((h_kv * g_pad, 128), jnp.float32),
+        pltpu.VMEM((h_kv * g_pad, d), jnp.float32),
+    ]
+    if merged:
+        scratch_shapes += [
+            pltpu.VMEM((h_kv, s_count * page_size, d), compute_dtype),
+            pltpu.VMEM((h_kv, s_count * page_size, d), compute_dtype),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, n_steps),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, h_kv, g_pad, d), idx_q),
-        scratch_shapes=[
-            pltpu.VMEM((h_kv * g_pad, 128), jnp.float32),
-            pltpu.VMEM((h_kv * g_pad, 128), jnp.float32),
-            pltpu.VMEM((h_kv * g_pad, d), jnp.float32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     o = pl.pallas_call(

@@ -121,6 +121,37 @@ def main():
         out["fp8_ms"] = round(t * 1e3, 4)
         out["fp8_tflops"] = round(fwd_flops / t / 1e12, 2)
 
+    if "decode" in what:
+        # Paged decode at the decode_r02.json shape (B=64, H=H_kv=8,
+        # len 2048, d=128, page 64, bf16 cache). Chained: the step's output
+        # token feeds back as the next query. Kernel variant (flat vs
+        # merged schedule) comes from FAT_PAGED_MERGED via the parent.
+        from flashattention_tpu.ops.pallas_paged import (
+            pallas_paged_attention,
+        )
+
+        db, dh, dlen, dd, dpage = 64, 8, 2048, 128, 64
+        npg = dlen // dpage
+        kp = jax.random.normal(
+            jax.random.key(10), (dh, db * npg + 1, dpage, dd), jnp.bfloat16
+        )
+        vp = jax.random.normal(
+            jax.random.key(11), (dh, db * npg + 1, dpage, dd), jnp.bfloat16
+        )
+        dpi = jnp.arange(db * npg, dtype=jnp.int32).reshape(db, npg)
+        dlens = jnp.full((db,), dlen, jnp.int32)
+        dq = jax.random.normal(jax.random.key(12), (db, dh, dd), jnp.bfloat16)
+
+        def dec_one(q_, kp_, vp_, pi_, ln_):
+            return pallas_paged_attention(q_, kp_, vp_, pi_, ln_).astype(
+                q_.dtype
+            )
+        t = two_point(dec_one, dq, (kp, vp, dpi, dlens), 30, 330)
+        out["decode_ms"] = round(t * 1e3, 4)
+        out["decode_tokens_per_s"] = round(db / t, 1)
+        kv_bytes = 2 * db * dh * dlen * dd * 2
+        out["decode_kv_gbps"] = round(kv_bytes / t / 1e9, 1)
+
     if "sol" in what:
         m = 6144
         a0 = jax.random.normal(jax.random.key(7), (m, m), jnp.bfloat16)

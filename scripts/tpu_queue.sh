@@ -178,3 +178,45 @@ step grid_16k 7200 python scripts/tune_attention.py --grid --seqs 8192,16384 \
   --resume benchmarks/results/grid_r02.jsonl --timeout 700 --attempts 2
 
 echo "QUEUE DONE $(date +%H:%M:%S) — logs in $LOGDIR"
+
+# ---- 6. merged paged-decode schedule A/B (appended mid-queue-run) -----------
+step ab_decode_merged 2400 python scripts/ab_compare.py --env-b FAT_PAGED_MERGED=1 --what decode,sol --pairs 3
+echo "QUEUE DONE (incl. appended steps) $(date +%H:%M:%S)"
+
+step verify_decode_merged 1200 python - <<'PYEOF'
+# Merged decode schedule on REAL TPU: compile legality + parity vs the flat
+# kernel and the gather oracle at the decode_r02 shape (bf16 + fp8 cache).
+from flashattention_tpu.utils.profiling import enable_compile_cache
+enable_compile_cache()
+import jax, jax.numpy as jnp, numpy as np
+from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+from flashattention_tpu.serving.paged_kv import (
+    init_paged_cache, append_to_pages, paged_attention_decode,
+)
+for quant in (None, "fp8"):
+    b, h, d, psize, total = 8, 8, 128, 64, 1024
+    npg = total // psize
+    cache = init_paged_cache(h, b * npg + 1, psize, d, quant=quant,
+                             dtype=jnp.bfloat16)
+    kf = jax.random.normal(jax.random.key(0), (b, h, total, d), jnp.bfloat16)
+    vf = jax.random.normal(jax.random.key(1), (b, h, total, d), jnp.bfloat16)
+    pi = jnp.arange(b * npg).reshape(b, -1).astype(jnp.int32)
+    lengths = jnp.asarray([total] * (b - 1) + [37], jnp.int32)
+    cache = append_to_pages(cache, kf, vf, pi, jnp.zeros((b,), jnp.int32),
+                            valid_len=lengths)
+    q = jax.random.normal(jax.random.key(2), (b, h, d), jnp.bfloat16)
+    kw = dict(k_scales=cache.k_scales, v_scales=cache.v_scales,
+              compute_dtype=jnp.float32)
+    o_f = pallas_paged_attention(q, cache.k_pages, cache.v_pages, pi,
+                                 lengths, merged=False, **kw)
+    o_m = pallas_paged_attention(q, cache.k_pages, cache.v_pages, pi,
+                                 lengths, merged=True, **kw)
+    o_r = paged_attention_decode(q, cache, pi, jnp.maximum(lengths, 1))
+    d1 = np.abs(np.asarray(o_m, np.float32) - np.asarray(o_f, np.float32)).max()
+    d2 = np.abs(np.asarray(o_m, np.float32) - np.asarray(o_r, np.float32)).max()
+    print(f"quant={quant}: merged-vs-flat {d1:.3e}  vs-oracle {d2:.3e}",
+          flush=True)
+    assert d1 < 5e-5, d1
+    assert d2 < 5e-2, d2
+print("DECODE-MERGED PASS", flush=True)
+PYEOF

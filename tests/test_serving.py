@@ -567,3 +567,80 @@ def test_pallas_paged_chunked_prefill_gqa_short_seq():
     np.testing.assert_allclose(
         np.asarray(o), np.asarray(o_ref), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("quant", [None, "fp8"])
+def test_pallas_paged_merged_matches_flat(quant):
+    """Step-merged decode schedule (one online update per head per STEP,
+    contiguous K/V scratch) vs the flat per-page kernel: same math, fewer
+    dispatches. Covers GQA, ragged lengths incl. a sequence short enough
+    that whole merged steps are fully masked, and an empty sequence."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h_q, h_kv, d, psize = 3, 8, 2, 128, 16
+    lengths = jnp.asarray([60, 9, 0])
+    cache = init_paged_cache(h_kv, 16, psize, d, quant=quant,
+                             dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h_kv, 64, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h_kv, 64, d))
+    pi = jnp.asarray([[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]])
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32), valid_len=lengths
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h_q, d))
+    kw = dict(k_scales=cache.k_scales, v_scales=cache.v_scales,
+              compute_dtype=jnp.float32, pages_per_step=2)
+    o_flat = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths, merged=False, **kw
+    )
+    o_merged = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths, merged=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_merged), np.asarray(o_flat), rtol=2e-5, atol=2e-5
+    )
+    assert np.asarray(o_merged[2]).sum() == 0.0
+
+
+def test_pallas_paged_merged_window_and_prefill():
+    """Merged schedule under sliding window (band-start page walk) and
+    chunked prefill (q_len > 1) vs the flat kernel."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h, d, psize, total, window = 2, 4, 64, 16, 96, 24
+    cache = init_paged_cache(h, 16, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, total, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h, total, d))
+    pi = jnp.arange(2 * (total // psize)).reshape(b, -1).astype(jnp.int32)
+    lengths = jnp.asarray([total, 71])
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32), valid_len=lengths
+    )
+    # windowed decode
+    q = jax.random.normal(jax.random.key(2), (b, h, d))
+    for kwargs in (dict(window=window), dict()):
+        o_f = pallas_paged_attention(
+            q, cache.k_pages, cache.v_pages, pi, lengths,
+            compute_dtype=jnp.float32, merged=False, **kwargs
+        )
+        o_m = pallas_paged_attention(
+            q, cache.k_pages, cache.v_pages, pi, lengths,
+            compute_dtype=jnp.float32, merged=True, **kwargs
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_m), np.asarray(o_f), rtol=2e-5, atol=2e-5
+        )
+    # chunked prefill: last 8 tokens of each sequence as the chunk
+    t = 8
+    qc = jax.random.normal(jax.random.key(3), (b, h, t, d))
+    o_f = pallas_paged_attention(
+        qc, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32, merged=False,
+    )
+    o_m = pallas_paged_attention(
+        qc, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32, merged=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_m), np.asarray(o_f), rtol=2e-5, atol=2e-5
+    )
