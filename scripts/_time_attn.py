@@ -142,10 +142,13 @@ def main():
         dlens = jnp.full((db,), dlen, jnp.int32)
         dq = jax.random.normal(jax.random.key(12), (db, dh, dd), jnp.bfloat16)
 
+        pps = os.environ.get("FAT_PAGED_PPS")
+        pps = int(pps) if pps else None
+
         def dec_one(q_, kp_, vp_, pi_, ln_):
-            return pallas_paged_attention(q_, kp_, vp_, pi_, ln_).astype(
-                q_.dtype
-            )
+            return pallas_paged_attention(
+                q_, kp_, vp_, pi_, ln_, pages_per_step=pps
+            ).astype(q_.dtype)
         t = two_point(dec_one, dq, (kp, vp, dpi, dlens), 30, 330)
         out["decode_ms"] = round(t * 1e3, 4)
         out["decode_tokens_per_s"] = round(db / t, 1)

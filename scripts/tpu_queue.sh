@@ -220,3 +220,6 @@ for quant in (None, "fp8"):
     assert d2 < 5e-2, d2
 print("DECODE-MERGED PASS", flush=True)
 PYEOF
+
+# merged decode: does a fatter step (S=16 = 1024 tokens) amortize further?
+step ab_decode_merged_pps 2400 python scripts/ab_compare.py --env-a FAT_PAGED_MERGED=1 --env-b FAT_PAGED_MERGED=1,FAT_PAGED_PPS=16 --what decode,sol --pairs 2
