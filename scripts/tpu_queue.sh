@@ -223,3 +223,7 @@ PYEOF
 
 # merged decode: does a fatter step (S=16 = 1024 tokens) amortize further?
 step ab_decode_merged_pps 2400 python scripts/ab_compare.py --env-a FAT_PAGED_MERGED=1 --env-b FAT_PAGED_MERGED=1,FAT_PAGED_PPS=16 --what decode,sol --pairs 2
+
+# Train-step MFU at the flagship config (reference's intended training
+# shape; it never published a number). First compile may take minutes.
+step bench_train 1800 python scripts/bench_train.py
