@@ -41,6 +41,7 @@ def ring_attention(
     causal: bool = False,
     softmax_scale: float | None = None,
     backend: str = "auto",
+    segment_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Ring attention over a sequence-sharded mesh axis.
 
@@ -53,6 +54,12 @@ def ring_attention(
     inside the kernel): KV shards strictly in the past -> full attention;
     the diagonal shard -> causal attention; future shards -> skipped.
 
+    ``segment_ids``: this chip's (B, n_local) slice of the packed-varlen
+    ids (long-context training packs documents across shard boundaries).
+    The KV-side ids rotate around the ring WITH their K/V shard; each
+    partial passes the ``(q_ids, kv_ids)`` pair down to the kernels'
+    in-tile id compare.
+
     Returns local (o, lse) for this chip's query shard.
     """
     n_dev = jax.lax.axis_size(axis_name)
@@ -63,14 +70,17 @@ def ring_attention(
 
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
-    def partial_full(qkv):
+    def seg_pair(kv_ids):
+        return None if segment_ids is None else (segment_ids, kv_ids)
+
+    def partial_full(qkv, kv_ids):
         q_, k_, v_ = qkv
         return flash_attention(
             q_, k_, v_, causal=False, softmax_scale=softmax_scale,
-            backend=backend,
+            backend=backend, segment_ids=seg_pair(kv_ids),
         )
 
-    def partial_causal(qkv, src):
+    def partial_causal(qkv, src, kv_ids):
         # Shard-granular causal dispatch folded into ONE scalar q_offset
         # (row r attends cols <= r + q_offset): past shards attend fully
         # (offset = +n_local), the diagonal shard uses its true diagonal
@@ -86,7 +96,7 @@ def ring_attention(
         )
         return flash_attention(
             q_, k_, v_, causal=True, softmax_scale=softmax_scale,
-            backend=backend, q_offset=offset,
+            backend=backend, q_offset=offset, segment_ids=seg_pair(kv_ids),
         )
 
     m = jnp.full((b, h, n_local), -jnp.inf, jnp.float32)
@@ -99,19 +109,22 @@ def ring_attention(
     # the compiled HLO by scripts/ring_overlap_trace.py), so the scheduler
     # is free to hide every hop behind the concurrent partial's compute.
     k_blk, v_blk = k, v
+    ids_blk = segment_ids
     for step in range(n_dev):  # static: n_dev known at trace time
         src = (my_idx - step) % n_dev  # which shard we hold right now
-        k_next = v_next = None
+        k_next = v_next = ids_next = None
         if step < n_dev - 1:
             k_next = jax.lax.ppermute(k_blk, axis_name, perm)
             v_next = jax.lax.ppermute(v_blk, axis_name, perm)
+            if ids_blk is not None:
+                ids_next = jax.lax.ppermute(ids_blk, axis_name, perm)
         if causal:
-            o_p, lse_p = partial_causal((q, k_blk, v_blk), src)
+            o_p, lse_p = partial_causal((q, k_blk, v_blk), src, ids_blk)
         else:
-            o_p, lse_p = partial_full((q, k_blk, v_blk))
+            o_p, lse_p = partial_full((q, k_blk, v_blk), ids_blk)
         m, l, acc = _merge_partials(m, l, acc, o_p, lse_p)
         if k_next is not None:
-            k_blk, v_blk = k_next, v_next
+            k_blk, v_blk, ids_blk = k_next, v_next, ids_next
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = (acc / l_safe[..., None]).astype(q.dtype)
@@ -128,6 +141,7 @@ def ring_attention_bidir(
     causal: bool = False,
     softmax_scale: float | None = None,
     backend: str = "auto",
+    segment_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Bidirectional ring attention: each chip's KV shard is split in half
     and the halves rotate in opposite directions, so every step moves half
@@ -153,7 +167,7 @@ def ring_attention_bidir(
     fwd_perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     rev_perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
-    def partial_against(k_blk, v_blk, src, kv_offset_in_shard):
+    def partial_against(k_blk, v_blk, src, kv_offset_in_shard, kv_ids=None):
         """Partial attention of the local q against one resident half-shard.
 
         Shard-granular causal dispatch folds into ONE scalar q_offset (row r
@@ -165,10 +179,11 @@ def ring_attention_bidir(
         single traced call, unlike a lax.switch over kernel branches, is
         differentiable (cond partial-eval can't merge the branches'
         custom_vjp residuals)."""
+        pair = None if segment_ids is None else (segment_ids, kv_ids)
         if not causal:
             return flash_attention(
                 q, k_blk, v_blk, causal=False, softmax_scale=softmax_scale,
-                backend=backend,
+                backend=backend, segment_ids=pair,
             )
         offset = jnp.where(
             src < my_idx, half,
@@ -176,11 +191,14 @@ def ring_attention_bidir(
         )
         return flash_attention(
             q, k_blk, v_blk, causal=True, softmax_scale=softmax_scale,
-            backend=backend, q_offset=offset,
+            backend=backend, q_offset=offset, segment_ids=pair,
         )
 
     k1, k2 = k[:, :, :half], k[:, :, half:]
     v1, v2 = v[:, :, :half], v[:, :, half:]
+    ids1 = ids2 = None
+    if segment_ids is not None:
+        ids1, ids2 = segment_ids[:, :half], segment_ids[:, half:]
 
     m = jnp.full((b, h, n_local), -jnp.inf, jnp.float32)
     l = jnp.zeros((b, h, n_local), jnp.float32)
@@ -199,12 +217,20 @@ def ring_attention_bidir(
                 jax.lax.ppermute(k2, axis_name, rev_perm),
                 jax.lax.ppermute(v2, axis_name, rev_perm),
             )
-        o1, lse1 = partial_against(k1, v1, src1, 0)
-        o2, lse2 = partial_against(k2, v2, src2, half)
+            if segment_ids is not None:
+                nxt += (
+                    jax.lax.ppermute(ids1, axis_name, fwd_perm),
+                    jax.lax.ppermute(ids2, axis_name, rev_perm),
+                )
+        o1, lse1 = partial_against(k1, v1, src1, 0, ids1)
+        o2, lse2 = partial_against(k2, v2, src2, half, ids2)
         m, l, acc = _merge_partials(m, l, acc, o1, lse1)
         m, l, acc = _merge_partials(m, l, acc, o2, lse2)
         if nxt is not None:
-            k1, v1, k2, v2 = nxt
+            if segment_ids is not None:
+                k1, v1, k2, v2, ids1, ids2 = nxt
+            else:
+                k1, v1, k2, v2 = nxt
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = (acc / l_safe[..., None]).astype(q.dtype)
@@ -221,19 +247,28 @@ def all_gather_attention(
     causal: bool = False,
     softmax_scale: float | None = None,
     backend: str = "auto",
+    segment_ids: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Context parallelism, all-gather variant: gather the full K/V on every
     chip, run local flash attention on the local Q shard. Simpler than the
     ring and optimal when seq_kv is small enough to replicate; causal masking
-    uses the global offset of this chip's query shard."""
+    uses the global offset of this chip's query shard. ``segment_ids`` (the
+    local (B, n_local) slice) is all-gathered alongside K/V for the
+    packed-varlen id compare."""
     my_idx = jax.lax.axis_index(axis_name)
     n_local = q.shape[2]
     k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
     v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+    pair = None
+    if segment_ids is not None:
+        ids_full = jax.lax.all_gather(
+            segment_ids, axis_name, axis=1, tiled=True
+        )
+        pair = (segment_ids, ids_full)
     if not causal:
         return flash_attention(
             q, k_full, v_full, causal=False, softmax_scale=softmax_scale,
-            backend=backend,
+            backend=backend, segment_ids=pair,
         )
     # Causal with a per-chip offset: query row r sits at global position
     # my_idx * n_local + r. The offset is a *traced* scalar (axis_index),
@@ -242,7 +277,7 @@ def all_gather_attention(
     # worth of KV tiles, the last chip all of them).
     return flash_attention(
         q, k_full, v_full, causal=True, softmax_scale=softmax_scale,
-        backend=backend, q_offset=my_idx * n_local,
+        backend=backend, q_offset=my_idx * n_local, segment_ids=pair,
     )
 
 

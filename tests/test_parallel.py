@@ -2,6 +2,8 @@
 single-device reference (the cross-host parity suite SURVEY.md §4.4 calls
 for) — sharded vs unsharded is a tolerance check, not a trust-me."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -186,3 +188,74 @@ def test_ring_bidir_causal_grads_match_oracle():
     gr = reference_attention_grads(q, k, v, do, causal=True)
     for a, b in zip(g, gr):
         assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_segment_ids_matches_oracle(causal):
+    """Packed varlen THROUGH context parallelism: documents packed across
+    shard boundaries; KV-side ids rotate around the ring with their shard.
+    Must equal the dense oracle under the block-diagonal segment mask."""
+    from flashattention_tpu.parallel.ring import ring_attention
+
+    mesh = make_mesh(data=1, model=1, context=8)
+    b, h, n, d = 2, 2, 256, 32  # 32 per context shard
+    q, k, v = make_qkv(b, h, n, d)
+    ids = np.zeros((b, n), np.int32)
+    ids[0, 70:] = 1          # boundary inside shard 2
+    ids[1, 40:] = 1
+    ids[1, 200:] = 2         # several docs, crossing shards
+    ids = jnp.asarray(ids)
+    spec = P(None, None, "context", None)
+    ispec = P(None, "context")
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec, ispec),
+        out_specs=(spec, P(None, None, "context")), check_vma=False,
+    )
+    def run(q_, k_, v_, ids_):
+        return ring_attention(
+            q_, k_, v_, axis_name="context", causal=causal, backend="xla",
+            segment_ids=ids_,
+        )
+
+    o, lse = run(q, k, v, ids)
+    seg_mask = ids[:, None, :, None] == ids[:, None, None, :]
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal, mask=seg_mask)
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_bidir_and_allgather_segment_ids_match_oracle():
+    from flashattention_tpu.parallel.ring import (
+        all_gather_attention,
+        ring_attention_bidir,
+    )
+
+    mesh = make_mesh(data=1, model=1, context=4)
+    b, h, n, d = 1, 2, 256, 32  # 64 per shard (even halves of 32)
+    q, k, v = make_qkv(b, h, n, d)
+    ids = np.zeros((b, n), np.int32)
+    ids[0, 50:] = 1
+    ids[0, 130:] = 2
+    ids = jnp.asarray(ids)
+    spec = P(None, None, "context", None)
+    ispec = P(None, "context")
+    seg_mask = ids[:, None, :, None] == ids[:, None, None, :]
+    o_ref, lse_ref = reference_attention(q, k, v, causal=True, mask=seg_mask)
+
+    for fn in (ring_attention_bidir, all_gather_attention):
+        @jax.jit
+        @functools.partial(
+            jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec, ispec),
+            out_specs=(spec, P(None, None, "context")), check_vma=False,
+        )
+        def run(q_, k_, v_, ids_, fn=fn):
+            return fn(
+                q_, k_, v_, axis_name="context", causal=True, backend="xla",
+                segment_ids=ids_,
+            )
+
+        o, lse = run(q, k, v, ids)
+        assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+        assert_allclose(lse, lse_ref, rtol=1e-3, atol=1e-3)
