@@ -24,9 +24,20 @@ namespace {
 struct Allocator {
   int64_t num_pages = 0;
   std::vector<int32_t> free_stack;           // available physical pages
+  std::vector<int32_t> refcnt;               // per-page; 0 = free
   std::unordered_map<int64_t, std::vector<int32_t>> seq_pages;
   std::mutex mu;
 };
+
+// Drop one reference; return the page to the free list at zero. (Prefix
+// caching shares prompt-prefix pages across sequences plus one pin held by
+// the cache itself, so "release" means decrement, not free.)
+void drop_ref(Allocator* a, int32_t page) {
+  if (--a->refcnt[page] <= 0) {
+    a->refcnt[page] = 0;
+    a->free_stack.push_back(page);
+  }
+}
 
 }  // namespace
 
@@ -37,6 +48,7 @@ void* fat_allocator_create(int64_t num_pages) {
   auto* a = new Allocator();
   a->num_pages = num_pages;
   a->free_stack.reserve(num_pages);
+  a->refcnt.assign(num_pages, 0);
   // LIFO: hand out low page ids first (stable layouts for tests/debugging).
   for (int64_t i = num_pages - 1; i >= 0; --i) {
     a->free_stack.push_back(static_cast<int32_t>(i));
@@ -65,10 +77,56 @@ int32_t fat_allocator_grow(void* handle, int64_t seq_id, int64_t num_pages) {
   if (need <= 0) return 0;
   if (static_cast<int64_t>(a->free_stack.size()) < need) return -1;
   for (int64_t i = 0; i < need; ++i) {
-    chain.push_back(a->free_stack.back());
+    int32_t p = a->free_stack.back();
     a->free_stack.pop_back();
+    a->refcnt[p] = 1;
+    chain.push_back(p);
   }
   return 0;
+}
+
+// Append EXISTING pages (another sequence's shared prompt prefix, or
+// cache-pinned pages) to `seq_id`'s chain, taking one reference each.
+// Returns 0, or -1 if any page id is out of range or currently free.
+int32_t fat_allocator_adopt(void* handle, int64_t seq_id,
+                            const int32_t* pages, int64_t n) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  for (int64_t i = 0; i < n; ++i) {
+    if (pages[i] < 0 || pages[i] >= a->num_pages || a->refcnt[pages[i]] <= 0)
+      return -1;  // adopting a free page would alias future allocations
+  }
+  auto& chain = a->seq_pages[seq_id];
+  for (int64_t i = 0; i < n; ++i) {
+    ++a->refcnt[pages[i]];
+    chain.push_back(pages[i]);
+  }
+  return 0;
+}
+
+// Take / drop a chain-independent reference (the prefix cache's own hold
+// on a page). Returns the new refcount (0 = freed back to the pool), or
+// -1 for invalid pins.
+int32_t fat_allocator_pin(void* handle, int32_t page) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  if (page < 0 || page >= a->num_pages || a->refcnt[page] <= 0) return -1;
+  return ++a->refcnt[page];
+}
+
+int32_t fat_allocator_unpin(void* handle, int32_t page) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  if (page < 0 || page >= a->num_pages || a->refcnt[page] <= 0) return -1;
+  drop_ref(a, page);
+  return a->refcnt[page];
+}
+
+int32_t fat_allocator_refcount(void* handle, int32_t page) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  if (page < 0 || page >= a->num_pages) return -1;
+  return a->refcnt[page];
 }
 
 // Copy the sequence's page chain into `out` (caller-sized to `capacity`).
@@ -101,7 +159,7 @@ int64_t fat_allocator_release_prefix(void* handle, int64_t seq_id,
   int64_t m = n < static_cast<int64_t>(chain.size())
                   ? n
                   : static_cast<int64_t>(chain.size());
-  for (int64_t i = 0; i < m; ++i) a->free_stack.push_back(chain[i]);
+  for (int64_t i = 0; i < m; ++i) drop_ref(a, chain[i]);
   chain.erase(chain.begin(), chain.begin() + m);
   return m;
 }
@@ -113,7 +171,7 @@ int64_t fat_allocator_release(void* handle, int64_t seq_id) {
   auto it = a->seq_pages.find(seq_id);
   if (it == a->seq_pages.end()) return 0;
   int64_t n = static_cast<int64_t>(it->second.size());
-  for (int32_t p : it->second) a->free_stack.push_back(p);
+  for (int32_t p : it->second) drop_ref(a, p);
   a->seq_pages.erase(it);
   return n;
 }

@@ -51,6 +51,15 @@ def _load_native(build_if_missing: bool = True):
         lib.fat_allocator_release_prefix.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64
         ]
+        lib.fat_allocator_adopt.restype = ctypes.c_int32
+        lib.fat_allocator_adopt.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
+        for name in ("pin", "unpin", "refcount"):
+            fn = getattr(lib, f"fat_allocator_{name}")
+            fn.restype = ctypes.c_int32
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     except AttributeError:
         # Stale .so from before release_prefix existed: rebuild once.
         try:
@@ -95,6 +104,7 @@ class PageAllocator:
         else:
             self._free = list(range(num_pages - 1, -1, -1))
             self._seq_pages: dict[int, list[int]] = {}
+            self._refcnt = [0] * num_pages
 
     @property
     def is_native(self) -> bool:
@@ -116,8 +126,63 @@ class PageAllocator:
         if len(self._free) < need:
             return False
         for _ in range(need):
-            chain.append(self._free.pop())
+            p = self._free.pop()
+            self._refcnt[p] = 1
+            chain.append(p)
         return True
+
+    def adopt(self, seq_id: int, pages: list[int]) -> bool:
+        """Append EXISTING pages (a shared prompt prefix) to seq's chain,
+        taking one reference each. False if any page is free/out of range
+        (adopting a free page would alias future allocations)."""
+        if self._lib:
+            arr = (ctypes.c_int32 * len(pages))(*pages)
+            return self._lib.fat_allocator_adopt(
+                self._handle, seq_id, arr, len(pages)
+            ) == 0
+        if any(
+            p < 0 or p >= self.num_pages or self._refcnt[p] <= 0
+            for p in pages
+        ):
+            return False
+        chain = self._seq_pages.setdefault(seq_id, [])
+        for p in pages:
+            self._refcnt[p] += 1
+            chain.append(p)
+        return True
+
+    def pin(self, page: int) -> int:
+        """Chain-independent reference (the prefix cache's hold). Returns
+        the new refcount, or -1 for an invalid/free page."""
+        if self._lib:
+            return self._lib.fat_allocator_pin(self._handle, page)
+        if page < 0 or page >= self.num_pages or self._refcnt[page] <= 0:
+            return -1
+        self._refcnt[page] += 1
+        return self._refcnt[page]
+
+    def unpin(self, page: int) -> int:
+        """Drop one reference; frees the page at zero. Returns the new
+        refcount (0 = freed), or -1 for an invalid/free page."""
+        if self._lib:
+            return self._lib.fat_allocator_unpin(self._handle, page)
+        if page < 0 or page >= self.num_pages or self._refcnt[page] <= 0:
+            return -1
+        return self._drop_ref(page)
+
+    def refcount(self, page: int) -> int:
+        if self._lib:
+            return self._lib.fat_allocator_refcount(self._handle, page)
+        if page < 0 or page >= self.num_pages:
+            return -1
+        return self._refcnt[page]
+
+    def _drop_ref(self, page: int) -> int:
+        self._refcnt[page] -= 1
+        if self._refcnt[page] <= 0:
+            self._refcnt[page] = 0
+            self._free.append(page)
+        return self._refcnt[page]
 
     def pages(self, seq_id: int) -> list[int]:
         if self._lib:
@@ -135,7 +200,8 @@ class PageAllocator:
         if self._lib:
             return self._lib.fat_allocator_release(self._handle, seq_id)
         chain = self._seq_pages.pop(seq_id, [])
-        self._free.extend(chain)
+        for p in chain:
+            self._drop_ref(p)
         return len(chain)
 
     def release_prefix(self, seq_id: int, n: int) -> int:
@@ -151,7 +217,8 @@ class PageAllocator:
         if not chain or n <= 0:
             return 0
         m = min(n, len(chain))
-        self._free.extend(chain[:m])
+        for p in chain[:m]:
+            self._drop_ref(p)
         del chain[:m]
         return m
 

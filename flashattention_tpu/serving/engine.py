@@ -18,6 +18,7 @@ The model weights are the same pytree the training stack produces
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import math
 from typing import Any
@@ -50,6 +51,10 @@ class EngineConfig:
     max_seq_len: int = 512         # per-sequence cap
     prefill_pad: int = 64          # prompts padded to a multiple of this
     quant: str | None = None       # None | "int8" | "fp8" page payloads
+    prefix_cache: bool = False     # share full prompt-prefix pages across
+                                   # requests (vLLM-style automatic prefix
+                                   # caching): refcounted pages + LRU pins,
+                                   # prefill skips the shared prefix
     eos_token: int | None = None
     # None / temperature 0.0 = greedy argmax (deterministic). Stochastic
     # decode folds a per-call key from ``seed`` (serving/sampling.py).
@@ -380,7 +385,18 @@ class ServingEngine:
             )
             for _ in range(cfg.n_layers)
         ]
+        if ecfg.prefix_cache and cfg.attention_window is not None:
+            raise ValueError(
+                "prefix_cache cannot combine with attention_window: window "
+                "reclamation frees prefix pages other requests may share"
+            )
         self.allocator = PageAllocator(ecfg.num_pages, native=native_allocator)
+        # Prefix cache: prompt-prefix bytes -> physical page, LRU order.
+        # Every cached page holds one allocator pin, so it can never be
+        # freed/reused while an entry points at it (no stale entries).
+        self._prefix_lru: collections.OrderedDict[bytes, int] = (
+            collections.OrderedDict()
+        )
         # Reserve a dump page for inactive decode slots / padded prefill.
         if not self.allocator.grow(-1, 1):
             raise RuntimeError("page pool too small for the dump page")
@@ -448,11 +464,37 @@ class ServingEngine:
                 self.waiting.pop(0)
                 self.finished[req.request_id] = []  # rejected: empty/too long
                 continue
+            # Prefix-cache reuse: adopt the longest cached run of FULL
+            # prompt pages (capped so at least one token still prefills —
+            # the sampler needs the last position's hidden state). Shared
+            # pages are refcounted; their KV is position-correct because
+            # every prompt starts at position 0.
+            psize = self.ecfg.page_size
+            shared = 0
+            if self.ecfg.prefix_cache:
+                prompt_np = np.asarray(req.prompt, np.int32)
+                max_shared = (prompt_len - 1) // psize
+                pages_shared: list[int] = []
+                while shared < max_shared:
+                    key = prompt_np[: (shared + 1) * psize].tobytes()
+                    page = self._prefix_lru.get(key)
+                    if page is None:
+                        break
+                    self._prefix_lru.move_to_end(key)
+                    pages_shared.append(page)
+                    shared += 1
+                if pages_shared and not self.allocator.adopt(
+                    req.request_id, pages_shared
+                ):
+                    shared = 0  # unreachable while entries hold pins
             # all-or-nothing page reservation for prompt + one decode token
-            if not self.allocator.grow(
-                req.request_id, self._pages_needed(prompt_len + 1)
-            ):
-                return  # out of pages: retry next tick (backpressure)
+            need_total = self._pages_needed(prompt_len + 1)
+            if not self.allocator.grow(req.request_id, need_total):
+                # Pool pressure: drop LRU prefix-cache pins, then retry.
+                self._shrink_prefix_cache(need_total - shared)
+                if not self.allocator.grow(req.request_id, need_total):
+                    self.allocator.release(req.request_id)  # undo adoption
+                    return  # out of pages: retry next tick (backpressure)
             self.waiting.pop(0)
             slot.request = req
             slot.length = prompt_len
@@ -460,11 +502,15 @@ class ServingEngine:
 
             # Chunked prefill on the paged fast path: every chunk reuses one
             # fixed-shape compilation; K/V land directly in the pages and
-            # each chunk attends through the paged kernel.
+            # each chunk attends through the paged kernel. A shared prefix
+            # is SKIPPED — prefill starts at the first non-cached page
+            # (that is the prefix cache's compute win).
             chunk = self.ecfg.prefill_pad
             page_row = self._page_row(req.request_id)[None]
             x = None
-            for base in range(0, prompt_len, chunk):
+            start = shared * psize
+            last_base = start
+            for base in range(start, prompt_len, chunk):
                 valid = min(chunk, prompt_len - base)
                 toks = np.zeros((1, chunk), np.int32)
                 toks[0, :valid] = req.prompt[base : base + valid]
@@ -472,7 +518,10 @@ class ServingEngine:
                     self.params, self.caches, jnp.asarray(toks), page_row,
                     jnp.int32(base), jnp.int32(valid),
                 )
-            idx = jnp.int32((prompt_len - 1) % chunk)
+                last_base = base
+            if self.ecfg.prefix_cache:
+                self._register_prefix(req)
+            idx = jnp.int32(prompt_len - 1 - last_base)
             if self._stochastic:
                 first_tok = self._sample_last(
                     self.params, x, idx, self._next_key()
@@ -541,6 +590,35 @@ class ServingEngine:
             slot.generated.append(int(next_np[i]))
             self._reclaim_window(slot)
             self._maybe_finish(slot)
+
+    def _register_prefix(self, req: GenerationRequest) -> None:
+        """Pin this prompt's full pages into the prefix cache (LRU).
+
+        Keys are the exact prompt-prefix token bytes (no hash collisions);
+        each new entry takes one allocator pin so the page outlives the
+        sequence that computed it."""
+        psize = self.ecfg.page_size
+        prompt_np = np.asarray(req.prompt, np.int32)
+        n_full = len(req.prompt) // psize
+        chain = self.allocator.pages(req.request_id)
+        for i in range(min(n_full, len(chain))):
+            key = prompt_np[: (i + 1) * psize].tobytes()
+            if key in self._prefix_lru:
+                self._prefix_lru.move_to_end(key)
+                continue
+            if self.allocator.pin(chain[i]) > 0:
+                self._prefix_lru[key] = chain[i]
+
+    def _shrink_prefix_cache(self, pages_needed: int) -> None:
+        """Drop LRU cache pins until the free pool can satisfy the request
+        (or the cache is empty). Pages still shared by active sequences
+        survive as pages (refcount > 0) but leave the cache."""
+        while (
+            self._prefix_lru
+            and self.allocator.free_pages() < pages_needed
+        ):
+            _, page = self._prefix_lru.popitem(last=False)
+            self.allocator.unpin(page)
 
     def _reclaim_window(self, slot: _Slot) -> None:
         """Free pages wholly below the sliding-window band.

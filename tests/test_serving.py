@@ -1,6 +1,8 @@
 """Serving tests: allocator (native C++ and Python), paged cache numerics,
 and end-to-end continuous batching vs. naive full-forward greedy decoding."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -644,3 +646,134 @@ def test_pallas_paged_merged_window_and_prefill():
     np.testing.assert_allclose(
         np.asarray(o_m), np.asarray(o_f), rtol=2e-5, atol=2e-5
     )
+
+
+# -- prefix caching ------------------------------------------------------------
+
+
+@pytest.mark.parametrize("native", [False, None])
+def test_allocator_refcounts_adopt_pin(native):
+    a = PageAllocator(8, native=native)
+    assert a.grow(1, 3)
+    p = a.pages(1)
+    assert all(a.refcount(x) == 1 for x in p)
+    # another sequence adopts the first two pages
+    assert a.adopt(2, p[:2])
+    assert a.pages(2) == p[:2]
+    assert a.refcount(p[0]) == 2
+    # a cache pin on top
+    assert a.pin(p[0]) == 3
+    # releasing the owner frees only unshared pages
+    free0 = a.free_pages()
+    assert a.release(1) == 3
+    assert a.free_pages() == free0 + 1       # only p[2] actually freed
+    assert a.refcount(p[0]) == 2 and a.refcount(p[1]) == 1
+    assert a.release(2) == 2
+    assert a.refcount(p[0]) == 1             # pin still holds it
+    assert a.unpin(p[0]) == 0                # freed now
+    assert a.free_pages() == 8               # everything back in the pool
+    # adopt of a free page is refused (would alias future allocations)
+    assert not a.adopt(3, [p[0]])
+    assert a.pin(p[0]) == -1
+
+
+def test_engine_prefix_cache_matches_uncached(params):
+    """vLLM-style automatic prefix caching: requests sharing a prompt
+    prefix reuse its KV pages (refcounted) and skip the shared prefill
+    compute — outputs must be IDENTICAL to the uncached engine."""
+    rng = np.random.default_rng(3)
+    common = list(rng.integers(0, CFG.vocab_size, size=24))  # 3 full pages
+    prompts = [
+        common + list(rng.integers(0, CFG.vocab_size, size=7)),
+        common + list(rng.integers(0, CFG.vocab_size, size=3)),
+        common[:10],                       # shorter than the cached run
+    ]
+
+    def run(prefix_cache):
+        ecfg = EngineConfig(
+            max_batch_size=4, page_size=8, num_pages=64, max_seq_len=128,
+            prefill_pad=16, prefix_cache=prefix_cache,
+        )
+        eng = ServingEngine(params, CFG, ecfg)
+        for i, p in enumerate(prompts):
+            eng.submit(
+                GenerationRequest(request_id=i, prompt=p, max_new_tokens=6)
+            )
+        return eng, eng.run()
+
+    eng_c, res_c = run(True)
+    _, res_u = run(False)
+    assert res_c == res_u
+    # the cache retained the common prefix's pages (3 full pages for the
+    # 24-token prefix at page 8, plus entries for the longer prompts)
+    assert len(eng_c._prefix_lru) >= 3
+    # physical sharing happened: cached pages held multiple refs during the
+    # run; after finish, cache pins keep them allocated
+    free = eng_c.allocator.free_pages()
+    held = len(eng_c._prefix_lru)
+    assert free == eng_c.ecfg.num_pages - 1 - held  # dump page + pins
+
+
+def test_engine_prefix_cache_shares_pages(params):
+    """The second request's chain must physically reuse the first's prefix
+    pages, and its prefill must skip the shared pages' compute."""
+    rng = np.random.default_rng(4)
+    common = list(rng.integers(0, CFG.vocab_size, size=16))  # 2 pages @ 8
+    ecfg = EngineConfig(
+        max_batch_size=1, page_size=8, num_pages=64, max_seq_len=128,
+        prefill_pad=16, prefix_cache=True,
+    )
+    eng = ServingEngine(params, CFG, ecfg)
+    eng.submit(GenerationRequest(0, common + [1, 2], max_new_tokens=2))
+    eng.run()
+    first_pages = [eng._prefix_lru[k] for k in eng._prefix_lru]
+
+    calls = []
+    orig = eng._chunk_prefill
+
+    def spy(*a):
+        calls.append(int(a[4]))  # base
+        return orig(*a)
+
+    eng._chunk_prefill = spy
+    eng.submit(GenerationRequest(1, common + [3, 4, 5], max_new_tokens=2))
+    res = eng.run()
+    assert 1 in res and len(res[1]) == 2
+    # prefill started AT the first non-cached page (base 16), not at 0
+    assert calls and min(calls) == 16
+    # and the adopted pages were the cached ones
+    assert first_pages[:2] == [eng._prefix_lru[k]
+                               for k in list(eng._prefix_lru)[:2]]
+
+
+def test_engine_prefix_cache_evicts_under_pressure(params):
+    """When the pool runs dry, LRU cache pins are dropped so new requests
+    still admit; correctness is preserved."""
+    rng = np.random.default_rng(5)
+    ecfg = EngineConfig(
+        max_batch_size=1, page_size=8, num_pages=10, max_seq_len=64,
+        prefill_pad=16, prefix_cache=True,
+    )
+    eng = ServingEngine(params, CFG, ecfg)
+    # fill the cache: 4-page prompt -> 4 pinned pages after finish
+    p1 = list(rng.integers(0, CFG.vocab_size, size=32))
+    eng.submit(GenerationRequest(0, p1, max_new_tokens=2))
+    r1 = eng.run()
+    assert len(eng._prefix_lru) == 4
+    # a second, unrelated 32-token prompt needs 5 pages; pool has
+    # 10 - 1(dump) - 4(pinned) = 5 -> fits without eviction; a third needs
+    # eviction of the first's pins
+    p2 = list(rng.integers(0, CFG.vocab_size, size=32))
+    p3 = list(rng.integers(0, CFG.vocab_size, size=32))
+    eng.submit(GenerationRequest(1, p2, max_new_tokens=2))
+    eng.submit(GenerationRequest(2, p3, max_new_tokens=2))
+    res = eng.run()
+    assert set(res) >= {1, 2}
+    assert all(len(res[i]) == 2 for i in (1, 2))
+    # outputs still match the uncached engine
+    ecfg_u = dataclasses.replace(ecfg, prefix_cache=False, num_pages=32)
+    eng_u = ServingEngine(params, CFG, ecfg_u)
+    for i, p in ((0, p1), (1, p2), (2, p3)):
+        eng_u.submit(GenerationRequest(i, p, max_new_tokens=2))
+    res_u = eng_u.run()
+    assert r1[0] == res_u[0] and res[1] == res_u[1] and res[2] == res_u[2]
