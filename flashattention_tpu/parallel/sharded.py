@@ -90,13 +90,50 @@ def param_partition_specs(params) -> dict:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def make_sharded_train_state(mesh: Mesh, params, tx):
+def _zero1_spec(p_spec: P, shape: tuple, n_data: int) -> P:
+    """The ZeRO-1 sharding for an optimizer-moment leaf: the param's TP
+    spec plus 'data' on the first free, divisible axis. Leaves with no
+    such axis stay at the TP spec (tiny biases/norms — replicating their
+    moments costs nothing)."""
+    parts = list(p_spec) + [None] * (len(shape) - len(p_spec))
+    for i, ax in enumerate(parts):
+        if ax is None and shape[i] % n_data == 0 and shape[i] >= n_data:
+            parts[i] = "data"
+            break
+    return P(*parts)
+
+
+def make_sharded_train_state(mesh: Mesh, params, tx, *, zero1: bool = False):
     """Place params per TP spec (replicated over 'data') and init the
-    optimizer under jit so its state inherits the same shardings."""
+    optimizer under jit so its state inherits the same shardings.
+
+    ``zero1=True`` additionally shards the optimizer moments over the
+    'data' axis (ZeRO-1 / scaling-book optimizer-state sharding): each
+    data-parallel rank holds 1/n_data of every AdamW mu/nu leaf, cutting
+    optimizer memory by the DP degree. GSPMD inserts the reduce-scatter
+    (grads -> sharded update) and all-gather (updates -> replicated
+    params) that the explicit-collective formulation would hand-write.
+    """
     specs = param_partition_specs(params)
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
     params = jax.device_put(params, shardings)
-    opt_state = jax.jit(tx.init)(params)
+    if not zero1:
+        opt_state = jax.jit(tx.init)(params)
+        return params, opt_state, specs
+    import optax
+
+    n_data = mesh.shape["data"]
+    opt_shapes = jax.eval_shape(tx.init, params)
+    opt_shardings = optax.tree_map_params(
+        tx,
+        lambda leaf, spec: NamedSharding(
+            mesh, _zero1_spec(spec, leaf.shape, n_data)
+        ),
+        opt_shapes,
+        specs,
+        transform_non_params=lambda leaf: NamedSharding(mesh, P()),
+    )
+    opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
     return params, opt_state, specs
 
 
@@ -118,6 +155,17 @@ def make_sharded_train_step(mesh: Mesh, cfg, tx, loss_fn):
 
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # Pin params back to the TP spec: under ZeRO-1 the updates come out
+        # data-sharded (they inherit the moments' sharding), and without
+        # the constraint GSPMD would happily leave params data-sharded too
+        # (all-gathering them anew inside every later matmul).
+        params = jax.lax.with_sharding_constraint(
+            params,
+            jax.tree.map(
+                lambda s: NamedSharding(mesh, s),
+                param_partition_specs(params),
+            ),
+        )
         return params, opt_state, loss
 
     return step

@@ -259,3 +259,61 @@ def test_bidir_and_allgather_segment_ids_match_oracle():
         o, lse = run(q, k, v, ids)
         assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
         assert_allclose(lse, lse_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_zero1_optimizer_sharding_matches_single_device():
+    """ZeRO-1: AdamW moments sharded over the 'data' axis. The train step
+    must still produce single-device-identical params, and the moment
+    leaves must actually be data-sharded (1/n_data per rank)."""
+    import optax
+
+    cfg = TransformerConfig(
+        vocab_size=64, d_model=64, n_layers=1, n_heads=4, d_ff=64,
+        max_seq_len=32, block_size=16, dropout_rate=0.0, dtype=jnp.float32,
+        attention_backend="xla", remat=False,
+    )
+    tc = TrainConfig(grad_accum=1, warmup_steps=1, total_steps=4,
+                     learning_rate=1e-3, weight_decay=0.0)
+    params = init_transformer(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (4, 17), 0, cfg.vocab_size)
+    batch = {"tokens": tokens}
+    key = jax.random.key(2)
+
+    tx = make_optimizer(tc)
+    st = tx.init(params)
+    loss0, grads = jax.value_and_grad(loss_fn)(params, batch, cfg, key)
+    updates, _ = tx.update(grads, st, params)
+    p_single = optax.apply_updates(params, updates)
+
+    mesh = make_mesh(data=4, model=2)
+    tx2 = make_optimizer(tc)
+    p_sh, st_sh, _ = make_sharded_train_state(mesh, params, tx2, zero1=True)
+
+    # moments really are sharded over 'data'
+    def on_data(spec):
+        return any(
+            ax == "data" or (isinstance(ax, tuple) and "data" in ax)
+            for ax in spec
+        )
+
+    data_sharded = [
+        leaf for leaf in jax.tree.leaves(st_sh)
+        if hasattr(leaf, "sharding") and on_data(leaf.sharding.spec)
+    ]
+    assert len(data_sharded) > 0, "no optimizer leaf sharded over data"
+    big = max(data_sharded, key=lambda x: x.size)
+    shard_frac = big.addressable_shards[0].data.size / big.size
+    assert shard_frac <= 1 / mesh.shape["data"] + 1e-9
+
+    step = make_sharded_train_step(mesh, cfg, tx2, loss_fn)
+    p_sh, st_sh, loss_sh = step(p_sh, st_sh, batch, key)
+    np.testing.assert_allclose(float(loss_sh), float(loss0), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32),
+            np.asarray(jax.device_get(b), np.float32),
+            rtol=1e-4, atol=1e-5,
+        )
+    # params stayed on the TP spec (not silently left data-sharded)
+    for leaf in jax.tree.leaves(p_sh):
+        assert not on_data(leaf.sharding.spec)
