@@ -60,6 +60,8 @@ class TransformerConfig:
                                    # each position attends to the last
                                    # `window` tokens only (Pallas skips
                                    # out-of-band tiles; O(N*W) work)
+    attn_softcap: float | None = None  # logit soft-capping: scores become
+                                   # softcap*tanh(s/softcap) (Gemma-2-style)
     use_block_sparse: bool = False
     dtype: Any = jnp.bfloat16      # activation/compute dtype
     param_dtype: Any = jnp.float32
@@ -289,6 +291,7 @@ def _attention(
             softmax_scale=cfg.softmax_scale,
             block_k=min(cfg.block_size, n_cache),
             mask=mask,
+            softcap=cfg.attn_softcap,
         )
     else:
         new_cache = None
@@ -331,6 +334,7 @@ def _attention(
                 dropout_key=dropout_key if rate > 0 else None,
                 window=cfg.attention_window,
                 segment_ids=segment_ids,
+                softcap=cfg.attn_softcap,
             )
 
     o = o.transpose(0, 2, 1, 3).reshape(b, n, d)

@@ -69,8 +69,14 @@ def flash_attention(
     bwd_block_k: int | None = None,
     window: int | None = None,
     segment_ids=None,
+    softcap: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
+
+    ``softcap``: logit soft-capping (Gemma-2-style; flash-attn's knob —
+    the reference has no analogue): scaled scores become
+    softcap * tanh(s / softcap) BEFORE masking, on every backend; the
+    backward chains through the cap exactly.
 
     ``segment_ids``: packed variable-length (varlen) attention — an int32
     (B, N) array (or ``(q_ids, kv_ids)`` pair) marking each position's
@@ -151,7 +157,7 @@ def flash_attention(
                 raise ValueError("reference backend has no dropout path")
             return reference_attention(
                 q, k, v, causal=causal, softmax_scale=softmax_scale,
-                q_offset=q_offset, mask=mask,
+                q_offset=q_offset, mask=mask, softcap=softcap,
             )
         if backend == "pallas" and mask is not None:
             warnings.warn(
@@ -164,7 +170,7 @@ def flash_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
             block_k=min(block_k, 128) if k.shape[-2] < block_k else block_k,
             mask=mask, dropout_rate=dropout_rate, dropout_key=dropout_key,
-            q_offset=q_offset,
+            q_offset=q_offset, softcap=softcap,
         )
     if backend == "pallas":
         dropout_seed = None
@@ -179,16 +185,16 @@ def flash_attention(
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
             q_offset=q_offset, stages=stages,
             bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k,
-            window=window, segment_ids=segment_ids,
+            window=window, segment_ids=segment_ids, softcap=softcap,
         )
     if backend == "xla":
         return tiled_attention(
             q, k, v, causal=causal, softmax_scale=softmax_scale,
-            block_k=min(block_k, 512), q_offset=q_offset,
+            block_k=min(block_k, 512), q_offset=q_offset, softcap=softcap,
         )
     return reference_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
-        q_offset=q_offset, window=window,
+        q_offset=q_offset, window=window, softcap=softcap,
     )
 
 

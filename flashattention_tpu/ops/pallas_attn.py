@@ -218,7 +218,7 @@ def _keep_mask(seed, bh, iq, ik, block_q, block_k, rate):
 def _fwd_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False,
+    window=None, segmented=False, softcap=None,
 ):
     qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
         refs, dropout_rate, segmented
@@ -265,6 +265,12 @@ def _fwd_kernel(
         )
         if not scale_fold:
             s = s * jnp.float32(softmax_scale)
+        if softcap is not None:
+            # Logit soft-capping (Gemma-2 / flash-attn softcap): bound the
+            # scaled scores BEFORE masking — tanh saturates the mask value.
+            s = jnp.float32(softcap) * jnp.tanh(
+                s * jnp.float32(1.0 / softcap)
+            )
         mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
                               iq, ik, block_q, block_k, n_q, n_k, causal,
                               offset, window)
@@ -334,7 +340,7 @@ def _fwd_kernel(
 def _flash_fwd(
     q, k, v, seed, qoff, *, causal, softmax_scale, block_q, block_k,
     interpret, n_q, n_k, dropout_rate, stages=2, window=None,
-    q_seg=None, kv_seg=None,
+    q_seg=None, kv_seg=None, softcap=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -354,6 +360,7 @@ def _flash_fwd(
         dropout_rate=dropout_rate,
         window=window,
         segmented=segmented,
+        softcap=softcap,
     )
     # ``stages`` — the FAx pipeline-depth knob (the reference plumbs it but
     # never uses it, quirk Q6; src/fa3/spec.py:3-13). Here it sets the K/V
@@ -432,7 +439,7 @@ def _flash_fwd(
 def _bwd_dkv_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False,
+    window=None, segmented=False, softcap=None,
 ):
     """dK/dV: one grid cell per KV tile, sequential loop over Q tiles.
 
@@ -471,6 +478,11 @@ def _bwd_dkv_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if softcap is not None:
+            # Same cap as the forward; tanh kept for the backward chain
+            # d(cap*tanh(x/cap))/dx = 1 - tanh^2.
+            tcap = jnp.tanh(s2 * jnp.float32(1.0 / softcap))
+            s2 = jnp.float32(softcap) * tcap
         mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
                               iq, ik, block_q, block_k, n_q, n_k, causal,
                               offset, window)
@@ -504,6 +516,8 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - di)
+        if softcap is not None:
+            ds = ds * (1.0 - tcap * tcap)  # through the cap to raw scores
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -548,7 +562,7 @@ def _bwd_dkv_kernel(
 def _bwd_fused_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False,
+    window=None, segmented=False, softcap=None,
     resident,
 ):
     """Fused backward: dK/dV accumulated in scratch per KV tile, plus dQ by
@@ -604,6 +618,11 @@ def _bwd_fused_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if softcap is not None:
+            # Same cap as the forward; tanh kept for the backward chain
+            # d(cap*tanh(x/cap))/dx = 1 - tanh^2.
+            tcap = jnp.tanh(s2 * jnp.float32(1.0 / softcap))
+            s2 = jnp.float32(softcap) * tcap
         mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
                               iq, ik, block_q, block_k, n_q, n_k, causal,
                               offset, window)
@@ -634,6 +653,8 @@ def _bwd_fused_kernel(
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - di)
+        if softcap is not None:
+            ds = ds * (1.0 - tcap * tcap)  # through the cap to raw scores
         ds_cast = ds.astype(q.dtype)
         dk_scr[...] += jax.lax.dot_general(
             ds_cast, q, (((0,), (0,)), ((), ())),
@@ -702,7 +723,7 @@ def _bwd_fused_kernel(
 def _bwd_dq_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False,
+    window=None, segmented=False, softcap=None,
 ):
     qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
         refs, dropout_rate, segmented
@@ -733,6 +754,11 @@ def _bwd_dq_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if softcap is not None:
+            # Same cap as the forward; tanh kept for the backward chain
+            # d(cap*tanh(x/cap))/dx = 1 - tanh^2.
+            tcap = jnp.tanh(s2 * jnp.float32(1.0 / softcap))
+            s2 = jnp.float32(softcap) * tcap
         mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
                               iq, ik, block_q, block_k, n_q, n_k, causal,
                               offset, window)
@@ -754,6 +780,8 @@ def _bwd_dq_kernel(
             )
             dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
         ds = p * (dp - di)
+        if softcap is not None:
+            ds = ds * (1.0 - tcap * tcap)  # through the cap to raw scores
         dq_scr[...] += jax.lax.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )
@@ -797,7 +825,7 @@ def _bwd_dq_kernel(
 def _flash_bwd(
     q, k, v, o, lse, do, seed, *, causal, softmax_scale, block_q, block_k,
     interpret, n_q, n_k, dropout_rate, dlse=None, qoff=None, window=None,
-    q_seg=None, kv_seg=None,
+    q_seg=None, kv_seg=None, softcap=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -819,7 +847,7 @@ def _flash_bwd(
     common = dict(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
         block_q=block_q, block_k=block_k, dropout_rate=dropout_rate,
-        window=window, segmented=segmented,
+        window=window, segmented=segmented, softcap=softcap,
     )
     # Pipeline depth for the inner-loop-streamed Q-side inputs (q, do): the
     # bwd analogue of the forward's ``stages`` knob. Buffered(1) halves
@@ -1098,17 +1126,18 @@ def _seg_layouts(q_ids, kv_ids, bq, bk):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    jax.custom_vjp,
+    nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17),
 )
 def _flash_attention(
     q, k, v, seed, qoff, q_ids, kv_ids, causal, softmax_scale, block_q,
     block_k, interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
-    window,
+    window, softcap,
 ):
     o, lse = _flash_attention_fwd_rule(
         q, k, v, seed, qoff, q_ids, kv_ids, causal, softmax_scale, block_q,
         block_k, interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
-        window,
+        window, softcap,
     )[0]
     return o, lse
 
@@ -1116,7 +1145,7 @@ def _flash_attention(
 def _flash_attention_fwd_rule(
     q, k, v, seed, qoff, q_ids, kv_ids, causal, softmax_scale, block_q,
     block_k, interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
-    window,
+    window, softcap,
 ):
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
     q_seg = kv_seg = None
@@ -1126,7 +1155,7 @@ def _flash_attention_fwd_rule(
         qp, kp, vp, seed, qoff, causal=causal, softmax_scale=softmax_scale,
         block_q=bq, block_k=bk, interpret=interpret, n_q=n_q, n_k=n_k,
         dropout_rate=dropout_rate, stages=stages, window=window,
-        q_seg=q_seg, kv_seg=kv_seg,
+        q_seg=q_seg, kv_seg=kv_seg, softcap=softcap,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
@@ -1136,7 +1165,7 @@ def _flash_attention_fwd_rule(
 
 def _flash_attention_bwd_rule(
     causal, softmax_scale, block_q, block_k, interpret, dropout_rate, stages,
-    bwd_block_q, bwd_block_k, window, residuals, cotangents,
+    bwd_block_q, bwd_block_k, window, softcap, residuals, cotangents,
 ):
     q, k, v, seed, qoff, q_ids, kv_ids, o, lse = residuals
     do, dlse = cotangents
@@ -1167,6 +1196,7 @@ def _flash_attention_bwd_rule(
         softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
         dlse=dlsep, qoff=qoff, window=window, q_seg=q_seg, kv_seg=kv_seg,
+        softcap=softcap,
     )
     return (
         dq[:, :, :n_q, :d].astype(q.dtype),
@@ -1200,8 +1230,15 @@ def pallas_attention(
     bwd_block_k: int | None = None,
     window: int | None = None,
     segment_ids=None,
+    softcap: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
+
+    ``softcap``: logit soft-capping (Gemma-2-style; flash-attn's knob the
+    reference lacks) — scaled scores become softcap * tanh(s / softcap)
+    BEFORE masking, bounding |s| < softcap. The backward chains through
+    the cap exactly (ds *= 1 - tanh^2); dV is unaffected (the value path
+    skips the tanh).
 
     ``segment_ids``: packed variable-length attention (the TPU analogue of
     flash-attn's varlen/cu_seqlens API, which the reference lacks): an
@@ -1317,4 +1354,5 @@ def pallas_attention(
         int(bwd_block_q) if bwd_block_q else None,
         int(bwd_block_k) if bwd_block_k else None,
         int(window) if window is not None else None,
+        float(softcap) if softcap is not None else None,
     )

@@ -106,6 +106,7 @@ def _decode_kernel(
     quantized,
     compute_dtype,
     window=None,
+    softcap=None,
 ):
     s_count = pages_per_step
     k_refs = rest[:s_count]
@@ -182,6 +183,9 @@ def _decode_kernel(
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )  # (G, page)
+                if softcap is not None:
+                    # Cap BEFORE masking (tanh saturates mask values).
+                    scores = softcap * jnp.tanh(scores * (1.0 / softcap))
                 if window is None:
                     # -inf is exact here: page 0 always holds a valid slot
                     # for every row, so the running max is finite before any
@@ -254,6 +258,7 @@ def _decode_kernel_merged(
     quantized,
     compute_dtype,
     window=None,
+    softcap=None,
 ):
     """Step-merged decode: one online-softmax update per (head, STEP).
 
@@ -330,6 +335,8 @@ def _decode_kernel_merged(
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (g_pad, width)
+        if softcap is not None:
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         # Unlike the flat kernel, a whole step CAN be past a short
         # sequence (no per-page predicate), making every column masked:
         # use the finite mask value + explicit p zeroing unconditionally
@@ -376,6 +383,7 @@ def pallas_paged_attention(
     interpret: bool | None = None,
     window: int | None = None,
     merged: bool | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Paged attention on TPU: decode (q: (B, H, D), one token per sequence)
     or chunked prefill (q: (B, H, T, D) — the chunk's K/V must already be
@@ -463,6 +471,7 @@ def pallas_paged_attention(
         quantized=quantized,
         compute_dtype=compute_dtype,
         window=window,
+        softcap=float(softcap) if softcap is not None else None,
     )
 
     def idx_q(b_, j, pi_, ln):

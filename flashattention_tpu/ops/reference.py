@@ -50,8 +50,13 @@ def reference_attention(
     mask: jax.Array | None = None,
     q_offset: jax.Array | int | None = None,
     window: int | None = None,
+    softcap: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Dense fp32 attention oracle.
+
+    ``softcap``: logit soft-capping (Gemma-2-style; the flash-attn
+    ``softcap`` knob) — scores become softcap * tanh(s / softcap) BEFORE
+    any mask, bounding |s| < softcap.
 
     ``window``: sliding-window band under causal — row r attends cols in
     (r + offset - window, r + offset].
@@ -84,6 +89,8 @@ def reference_attention(
     s = jnp.einsum("...qd,...kd->...qk", qf, kf) * softmax_scale
     if bias is not None:
         s = s + bias.astype(jnp.float32)
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
     if causal:

@@ -96,21 +96,21 @@ def _dropout_keep(key, j, shape, rate):
 #              has_dropout.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def _tiled_attention(
     q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-    dropout_rate, has_mask, has_dropout,
+    dropout_rate, has_mask, has_dropout, softcap,
 ):
     o, lse = _tiled_fwd(
         q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-        dropout_rate, has_mask, has_dropout,
+        dropout_rate, has_mask, has_dropout, softcap,
     )
     return o, lse
 
 
 def _tiled_fwd(
     q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-    dropout_rate, has_mask, has_dropout,
+    dropout_rate, has_mask, has_dropout, softcap,
 ):
     b, h, n_q, d = q.shape
     k, v, n_k = _pad_kv(k, v, block_k)
@@ -127,6 +127,9 @@ def _tiled_fwd(
             jnp.einsum("bhqd,bhkd->bhqk", qf, k_j.astype(jnp.float32))
             * softmax_scale
         )
+        if softcap is not None:
+            # Cap BEFORE masking — tanh saturates the mask fill value.
+            s = softcap * jnp.tanh(s / softcap)
         mask_tile = None
         if has_mask:
             mask_tile = jax.lax.dynamic_slice_in_dim(
@@ -172,18 +175,18 @@ def _tiled_fwd(
 
 def _tiled_fwd_vjp(
     q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-    dropout_rate, has_mask, has_dropout,
+    dropout_rate, has_mask, has_dropout, softcap,
 ):
     o, lse = _tiled_fwd(
         q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-        dropout_rate, has_mask, has_dropout,
+        dropout_rate, has_mask, has_dropout, softcap,
     )
     return (o, lse), (q, k, v, mask, dropout_key, qoff, o, lse)
 
 
 def _tiled_bwd(
     causal, softmax_scale, block_k, dropout_rate, has_mask, has_dropout,
-    residuals, cotangents,
+    softcap, residuals, cotangents,
 ):
     q, k, v, mask, dropout_key, qoff, o, lse = residuals
     do, dlse = cotangents
@@ -209,6 +212,9 @@ def _tiled_bwd(
         kf = k_j.astype(jnp.float32)
         vf = v_j.astype(jnp.float32)
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * softmax_scale
+        if softcap is not None:
+            tcap = jnp.tanh(s / softcap)
+            s = softcap * tcap
         mask_tile = None
         if has_mask:
             mask_tile = jax.lax.dynamic_slice_in_dim(
@@ -232,7 +238,10 @@ def _tiled_bwd(
         dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
         if has_dropout:
             dp = jnp.where(keep, dp / (1.0 - dropout_rate), 0.0)
-        ds = p * (dp - di[..., None]) * softmax_scale
+        ds = p * (dp - di[..., None])
+        if softcap is not None:
+            ds = ds * (1.0 - tcap * tcap)  # chain through the cap
+        ds = ds * softmax_scale
         dq_acc = dq_acc + jnp.einsum("bhqk,bhkd->bhqd", ds, kf)
         dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qf)
         return dq_acc, (dk_j, dv_j)
@@ -274,8 +283,12 @@ def tiled_attention(
     dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
     q_offset: jax.Array | int | None = None,
+    softcap: float | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Tiled online-softmax attention (XLA executor).
+
+    ``softcap``: logit soft-capping — scaled scores become
+    softcap * tanh(s / softcap) before masking (see pallas_attention).
 
     Args:
       q, k, v: (B, H, N, D); q may have a different N than k/v (decode).
@@ -323,4 +336,5 @@ def tiled_attention(
     return _tiled_attention(
         q, k, v, mask, dropout_key, qoff, causal, float(softmax_scale),
         int(block_k), float(dropout_rate), has_mask, has_dropout,
+        float(softcap) if softcap is not None else None,
     )

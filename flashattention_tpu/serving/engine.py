@@ -171,6 +171,7 @@ def make_prefill_fn(cfg: TransformerConfig):
             o, _ = tiled_attention(
                 q, k, v, softmax_scale=cfg.softmax_scale,
                 block_k=min(cfg.block_size, tp), mask=mask,
+                softcap=cfg.attn_softcap,
             )
             x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
             x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
@@ -216,6 +217,7 @@ def make_chunk_prefill_fn(
                 k_scales=cache.k_scales, v_scales=cache.v_scales,
                 softmax_scale=cfg.softmax_scale,
                 window=cfg.attention_window,
+                softcap=cfg.attn_softcap,
             )
         from flashattention_tpu.serving.paged_kv import gather_pages
 
@@ -235,7 +237,7 @@ def make_chunk_prefill_fn(
         o, _ = tiled_attention(
             q, k_full.astype(q.dtype), v_full.astype(q.dtype),
             causal=True, softmax_scale=cfg.softmax_scale, q_offset=base,
-            mask=band,
+            mask=band, softcap=cfg.attn_softcap,
         )
         return o
 
@@ -313,10 +315,11 @@ def make_decode_fn(
                 k_scales=cache.k_scales, v_scales=cache.v_scales,
                 softmax_scale=cfg.softmax_scale,
                 window=cfg.attention_window,
+                softcap=cfg.attn_softcap,
             )
         return paged_attention_decode(
             q, cache, page_indices, lengths, softmax_scale=cfg.softmax_scale,
-            window=cfg.attention_window,
+            window=cfg.attention_window, softcap=cfg.attn_softcap,
         )
 
     def _decode_logits(params, caches, tokens, page_indices, lengths):

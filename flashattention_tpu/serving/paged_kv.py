@@ -168,7 +168,7 @@ def gather_pages(cache: PagedKVCache, page_indices: jax.Array):
     return k, v
 
 
-@partial(jax.jit, static_argnames=("softmax_scale",))
+@partial(jax.jit, static_argnames=("softmax_scale", "window", "softcap"))
 def paged_attention_decode(
     q: jax.Array,             # (B, H, D) one query token per sequence
     cache: PagedKVCache,
@@ -177,6 +177,7 @@ def paged_attention_decode(
     *,
     softmax_scale: float | None = None,
     window: int | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Decode attention against the paged cache (XLA executor).
 
@@ -192,6 +193,8 @@ def paged_attention_decode(
     groups = h_q // h_kv
     qf = q.astype(jnp.float32).reshape(b, h_kv, groups, d)
     s = jnp.einsum("bhgd,bhld->bhgl", qf, k) * softmax_scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)  # cap BEFORE the length mask
     slot = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
     length_mask = slot < lengths[:, None, None, None]
     if window is not None:

@@ -227,3 +227,52 @@ step ab_decode_merged_pps 2400 python scripts/ab_compare.py --env-a FAT_PAGED_ME
 # Train-step MFU at the flagship config (reference's intended training
 # shape; it never published a number). First compile may take minutes.
 step bench_train 1800 python scripts/bench_train.py
+
+step verify_softcap 1200 python - <<'PYEOF'
+# softcap on REAL TPU: Mosaic tanh lowering legality + parity + a coarse
+# cost check (exp2 taught us transcendentals can hit slow paths on v5e).
+from flashattention_tpu.utils.profiling import enable_compile_cache
+enable_compile_cache()
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax import lax
+from flashattention_tpu.ops.pallas_attn import pallas_attention
+from flashattention_tpu.ops.reference import reference_attention
+b, h, n, d = 1, 4, 4096, 128
+q = jax.random.normal(jax.random.key(0), (b, h, n, d), jnp.bfloat16) * 4
+k = jax.random.normal(jax.random.key(1), (b, h, n, d), jnp.bfloat16)
+v = jax.random.normal(jax.random.key(2), (b, h, n, d), jnp.bfloat16)
+o, lse = pallas_attention(q, k, v, causal=True, softcap=10.0)
+o_r, lse_r = reference_attention(q, k, v, causal=True, softcap=10.0)
+err = np.abs(np.asarray(o, np.float32) - np.asarray(o_r, np.float32)).max()
+print(f"softcap fwd maxerr {err:.4f}", flush=True)
+assert err < 5e-2, err
+g = jax.grad(lambda t: jnp.sum(pallas_attention(
+    t[0], t[1], t[2], causal=True, softcap=10.0)[0].astype(jnp.float32)**2)
+)((q, k, v))
+gs = [np.abs(np.asarray(x, np.float32)).max() for x in g]
+print("softcap grads finite:", gs, flush=True)
+assert all(np.isfinite(x) for x in gs)
+def mk(cap):
+    @jax.jit
+    def loop(n_, q0):
+        def body(i, acc):
+            o, _ = pallas_attention(acc, k, v, causal=True, softcap=cap)
+            return o.astype(acc.dtype)
+        return lax.fori_loop(0, n_, body, q0)
+    return loop
+def tp(loop):
+    best = 1e9
+    loop(jnp.int32(2), q)
+    for _ in range(3):
+        for i1, i2 in ((10, 110),):
+            t0=time.perf_counter(); np.asarray(loop(jnp.int32(10), q)).ravel()[:4]; a=time.perf_counter()-t0
+            t0=time.perf_counter(); np.asarray(loop(jnp.int32(110), q)).ravel()[:4]; bb=time.perf_counter()-t0
+            best=min(best,(bb-a)/100)
+    return best
+t_cap, t_plain = tp(mk(10.0)), tp(mk(None))
+print(f"fwd {n=} softcap {t_cap*1e3:.3f} ms vs plain {t_plain*1e3:.3f} ms "
+      f"(ratio {t_cap/t_plain:.2f} - >2x means Mosaic tanh slow path)",
+      flush=True)
+print("SOFTCAP PASS", flush=True)
+PYEOF

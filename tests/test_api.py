@@ -1,6 +1,7 @@
 """Dispatch API + backend-consistency tests (the reference's archetype-5,
 tests/test_correctness_fa1.py:113-150) and FP8/FA3 + spec tests."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -204,3 +205,48 @@ def test_flash_attention_segment_ids_backends_agree():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_softcap_all_backends_agree():
+    """softcap on the public API: pallas (in-kernel), xla (tiled executor),
+    and reference produce the same capped attention, including gradients
+    on the tiled path."""
+    from flashattention_tpu.ops.api import flash_attention
+    from flashattention_tpu.ops.reference import reference_attention
+
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    q = q * 4.0
+    cap = 10.0
+    o_ref, lse_ref = reference_attention(q, k, v, causal=True, softcap=cap)
+    for backend in ("pallas", "xla", "reference"):
+        o, lse = flash_attention(
+            q, k, v, causal=True, backend=backend, softcap=cap,
+            block_q=128, block_k=128,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(o_ref), rtol=2e-4, atol=2e-4,
+            err_msg=backend,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(lse_ref), rtol=1e-3, atol=1e-3,
+            err_msg=backend,
+        )
+
+    # tiled-path gradient parity (the xla executor's hand-written vjp)
+    def loss_t(t):
+        o, _ = flash_attention(t[0], t[1], t[2], causal=True, backend="xla",
+                               softcap=cap)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_r(t):
+        o, _ = reference_attention(t[0], t[1], t[2], causal=True, softcap=cap)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gt = jax.grad(loss_t)((q, k, v))
+    gr = jax.grad(loss_r)((q, k, v))
+    for a, bb in zip(gt, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=5e-3, atol=5e-3,
+        )

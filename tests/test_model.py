@@ -439,3 +439,27 @@ def test_packed_train_step_runs_and_reduces_loss():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_softcap_model_decode_matches_full_forward():
+    """attn_softcap end to end: the KV-cache decode path (tiled executor)
+    must match the full forward (flash kernel path) token for token."""
+    cfg = dataclasses.replace(
+        TINY, dropout_rate=0.0, n_layers=1, attn_softcap=8.0,
+        attention_backend="auto",
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    n = 12
+    tokens = jax.random.randint(jax.random.key(1), (1, n), 0, cfg.vocab_size)
+    logits_full = apply_transformer(params, tokens, cfg)
+    caches = init_kv_cache(cfg, 1, max_len=16)
+    outs = []
+    for t in range(n):
+        logit, caches = decode_step(
+            params, caches, tokens[:, t][:, None], jnp.int32(t), cfg
+        )
+        outs.append(logit)
+    dec = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(dec), np.asarray(logits_full), rtol=2e-4, atol=2e-4
+    )

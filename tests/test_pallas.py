@@ -652,3 +652,76 @@ def test_segment_ids_validation():
             q, k[:, :, :64], v[:, :, :64],
             segment_ids=jnp.zeros((1, 128), jnp.int32),
         )
+
+
+# ---------------------------------------------------------------------------
+# Logit soft-capping
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_softcap_matches_oracle(causal):
+    """softcap * tanh(s / softcap) before masking — o and lse must match
+    the dense oracle; scores are large (scale 4x) so the cap really bends
+    them (tanh far from identity)."""
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    q = q * 4.0  # push |s| well past the cap
+    cap = 10.0
+    o, lse = pallas_attention(
+        q, k, v, causal=causal, block_q=BQ, block_k=BK, softcap=cap
+    )
+    o_r, lse_r = reference_attention(q, k, v, causal=causal, softcap=cap)
+    assert_allclose(o, o_r, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_r, rtol=LSE_TOL, atol=LSE_TOL)
+    # the cap must actually matter at this scale
+    o_nc, _ = reference_attention(q, k, v, causal=causal)
+    assert np.abs(np.asarray(o_nc, np.float32)
+                  - np.asarray(o_r, np.float32)).max() > 1e-2
+
+
+def test_softcap_grads_match_oracle():
+    """Backward chains through the cap exactly: ds *= 1 - tanh^2 on the
+    dq/dk path, dv untouched. Oracle grads come from jax.grad through the
+    differentiable dense reference."""
+    b, h, n, d = 1, 2, 192, 64
+    q, k, v = make_qkv(b, h, n, d)
+    q = q * 3.0
+    cap = 8.0
+
+    def loss_p(t):
+        o, _ = pallas_attention(
+            t[0], t[1], t[2], causal=True, block_q=BQ, block_k=BK,
+            softcap=cap,
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_r(t):
+        o, _ = reference_attention(t[0], t[1], t[2], causal=True, softcap=cap)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gp = jax.grad(loss_p)((q, k, v))
+    gr = jax.grad(loss_r)((q, k, v))
+    for name, a, bb in zip("dq dk dv".split(), gp, gr):
+        assert_allclose(a, bb, rtol=5e-3, atol=5e-3)
+
+
+def test_softcap_with_window_and_segments():
+    """softcap composes with sliding window and segment ids (cap applies
+    to raw scores BEFORE every mask)."""
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    cap, win = 12.0, 96
+    ids = np.zeros((b, n), np.int32)
+    ids[0, 130:] = 1
+    ids = jnp.asarray(ids)
+    o, lse = pallas_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK, softcap=cap,
+        window=win, segment_ids=ids,
+    )
+    seg = ids[:, None, :, None] == ids[:, None, None, :]
+    o_r, lse_r = reference_attention(
+        q, k, v, causal=True, window=win, softcap=cap, mask=seg
+    )
+    assert_allclose(o, o_r, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_r, rtol=LSE_TOL, atol=LSE_TOL)

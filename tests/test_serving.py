@@ -777,3 +777,38 @@ def test_engine_prefix_cache_evicts_under_pressure(params):
         eng_u.submit(GenerationRequest(i, p, max_new_tokens=2))
     res_u = eng_u.run()
     assert r1[0] == res_u[0] and res[1] == res_u[1] and res[2] == res_u[2]
+
+
+def test_paged_decode_softcap_matches_dense(params):
+    """softcap on the paged decode path (both kernels + gather executor)
+    vs the dense capped oracle."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h, d, psize, total = 2, 4, 64, 16, 64
+    cap = 6.0
+    cache = init_paged_cache(h, 10, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, total, d)) * 2.0
+    vf = jax.random.normal(jax.random.key(1), (b, h, total, d))
+    pi = jnp.arange(2 * (total // psize)).reshape(b, -1).astype(jnp.int32)
+    lengths = jnp.asarray([total, 41])
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32), valid_len=lengths
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h, d)) * 2.0
+    o_exec = paged_attention_decode(q, cache, pi, lengths, softcap=cap)
+    for merged in (False, True):
+        o = pallas_paged_attention(
+            q, cache.k_pages, cache.v_pages, pi, lengths,
+            compute_dtype=jnp.float32, softcap=cap, merged=merged,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(o_exec), rtol=2e-5, atol=2e-5,
+        )
+    # dense oracle per row (row 0: full length)
+    o_ref, _ = reference_attention(
+        q[:1, :, None, :], kf[:1], vf[:1], softcap=cap
+    )
+    np.testing.assert_allclose(
+        np.asarray(o_exec[0]), np.asarray(o_ref[0, :, 0]),
+        rtol=2e-5, atol=2e-5,
+    )
