@@ -24,6 +24,7 @@ from flashattention_tpu.ops.api import (
     fa1_attention,
     fa2_attention,
     fa3_attention,
+    alibi_slopes,
     flash_attention,
 )
 from flashattention_tpu.ops.reference import reference_attention
@@ -43,6 +44,7 @@ __all__ = [
     "fa1_attention",
     "fa2_attention",
     "fa3_attention",
+    "alibi_slopes",
     "flash_attention",
     "reference_attention",
     "BPETokenizer",

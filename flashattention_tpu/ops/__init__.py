@@ -4,6 +4,7 @@ from flashattention_tpu.ops.api import (
     fa1_attention,
     fa2_attention,
     fa3_attention,
+    alibi_slopes,
     flash_attention,
 )
 from flashattention_tpu.ops.pallas_attn import pallas_attention
@@ -20,6 +21,7 @@ __all__ = [
     "fa1_attention",
     "fa2_attention",
     "fa3_attention",
+    "alibi_slopes",
     "flash_attention",
     "pallas_attention",
     "pallas_paged_attention",

@@ -70,8 +70,15 @@ def flash_attention(
     window: int | None = None,
     segment_ids=None,
     softcap: float | None = None,
+    alibi_slopes: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
+
+    ``alibi_slopes``: (H,) per-head ALiBi slopes (``alibi_slopes(H)`` for
+    the paper's geometric schedule). Supported on the Pallas backend
+    (bias computed in-kernel from positions — no O(N^2) operand) and the
+    reference backend (dense bias); raises on routes that drop to the
+    tiled executor.
 
     ``softcap``: logit soft-capping (Gemma-2-style; flash-attn's knob —
     the reference has no analogue): scaled scores become
@@ -114,6 +121,40 @@ def flash_attention(
     backend = _resolve_backend(backend)
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).ravel()
+        if backend == "pallas" and mask is None and dropout_rate == 0.0:
+            pass  # in-kernel positional bias, handled below
+        elif backend in ("reference", "xla") and dropout_rate == 0.0:
+            # Dense-bias fallback through the oracle (the tiled executor
+            # has no bias operand). Correct math, O(N^2) bias memory.
+            if window is not None or segment_ids is not None:
+                raise ValueError(
+                    "alibi with window/segment_ids is only supported on "
+                    "the pallas backend"
+                )
+            n_q, n_k = q.shape[-2], k.shape[-2]
+            off = (n_k - n_q) if q_offset is None else q_offset
+            rows = jnp.arange(n_q)[:, None] + off
+            cols = jnp.arange(n_k)[None, :]
+            bias = -slopes[:, None, None] * jnp.abs(
+                cols - rows
+            ).astype(jnp.float32)
+            h_q, h_kv = q.shape[1], k.shape[1]
+            kk, vv = k, v
+            if h_kv != h_q:
+                kk = jnp.repeat(k, h_q // h_kv, axis=1)
+                vv = jnp.repeat(v, h_q // h_kv, axis=1)
+            return reference_attention(
+                q, kk, vv, causal=causal, softmax_scale=softmax_scale,
+                q_offset=q_offset, mask=mask, bias=bias, softcap=softcap,
+            )
+        else:
+            raise ValueError(
+                "alibi_slopes requires the pallas backend (in-kernel "
+                "bias) or the reference/xla dense-bias fallback without "
+                "mask/dropout"
+            )
     if segment_ids is not None and (backend != "pallas" or mask is not None):
         # Non-kernel paths take segments as a dense mask (tile-level id
         # compares are a kernel concept); the Pallas backend keeps them
@@ -186,6 +227,7 @@ def flash_attention(
             q_offset=q_offset, stages=stages,
             bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k,
             window=window, segment_ids=segment_ids, softcap=softcap,
+            alibi_slopes=alibi_slopes,
         )
     if backend == "xla":
         return tiled_attention(
@@ -287,3 +329,22 @@ def _fp8_block(n: int, preferred: int) -> int:
     while n % b:
         b -= 1
     return max(b, 1)
+
+
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """The ALiBi paper's geometric head slopes (Press et al., §3): for H a
+    power of two, slope_i = 2^(-8(i+1)/H); otherwise the paper's
+    interpolation (nearest power of two + odd-index slopes of 2H)."""
+    import math as _m
+
+    def _pow2(n):
+        start = 2.0 ** (-(2.0 ** -(_m.log2(n) - 3)))
+        return [start ** (i + 1) for i in range(n)]
+
+    if _m.log2(n_heads).is_integer():
+        sl = _pow2(n_heads)
+    else:
+        base = 2 ** _m.floor(_m.log2(n_heads))
+        sl = _pow2(base)
+        sl += _pow2(2 * base)[0::2][: n_heads - base]
+    return jnp.asarray(sl, jnp.float32)

@@ -131,12 +131,10 @@ _SEG_PAD_Q = -2147483647
 _SEG_PAD_K = -2147483646
 
 
-def _unpack_refs(refs, dropout_rate, segmented, n_extra=0):
-    """Shared kernel-ref unpacking: [qoff, (seed), (qseg, kseg), *rest].
-
-    The optional groups mirror the args/in_specs assembly in _flash_fwd /
-    _flash_bwd; n_extra is unused but documents intent for future groups.
-    """
+def _unpack_refs(refs, dropout_rate, segmented, alibi=False):
+    """Shared kernel-ref unpacking:
+    [qoff, (seed), (qseg, kseg), (slopes), *rest] — the optional groups
+    mirror the args/in_specs assembly in _flash_fwd / _flash_bwd."""
     refs = list(refs)
     qoff_ref = refs.pop(0)
     seed_ref = refs.pop(0) if dropout_rate > 0.0 else None
@@ -145,7 +143,25 @@ def _unpack_refs(refs, dropout_rate, segmented, n_extra=0):
         kseg_ref = refs.pop(0)
     else:
         qseg_ref = kseg_ref = None
-    return qoff_ref, seed_ref, qseg_ref, kseg_ref, refs
+    slopes_ref = refs.pop(0) if alibi else None
+    return qoff_ref, seed_ref, qseg_ref, kseg_ref, slopes_ref, refs
+
+
+def _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q, block_k, offset):
+    """ALiBi bias for tile (iq, ik) of query head ``ih``:
+    -slope_h * |key_pos(col) - key_pos(row)| — computed from positions
+    in-kernel (no HBM bias operand; flash-attn streams a materialized
+    bias, a GPU-ism). Row r of the q tile sits at key-timeline position
+    iq*block_q + r + offset; the |.| form covers non-causal too and
+    equals slope*(col - row-line) on the causal side."""
+    rows = iq * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    ) + offset
+    cols = ik * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+    dist = jnp.abs(cols - rows).astype(jnp.float32)
+    return -slopes_ref[ih] * dist
 
 
 def _seg_tile_mask(qseg_ref, kseg_ref, block_k):
@@ -218,10 +234,10 @@ def _keep_mask(seed, bh, iq, ik, block_q, block_k, rate):
 def _fwd_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False, softcap=None,
+    window=None, segmented=False, softcap=None, alibi=False,
 ):
-    qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
-        refs, dropout_rate, segmented
+    qoff_ref, seed_ref, qseg_ref, kseg_ref, slopes_ref, rest = _unpack_refs(
+        refs, dropout_rate, segmented, alibi
     )
     (q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = rest
     ib = pl.program_id(0)
@@ -265,6 +281,9 @@ def _fwd_kernel(
         )
         if not scale_fold:
             s = s * jnp.float32(softmax_scale)
+        if alibi:
+            s = s + _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q,
+                                     block_k, offset)
         if softcap is not None:
             # Logit soft-capping (Gemma-2 / flash-attn softcap): bound the
             # scaled scores BEFORE masking — tanh saturates the mask value.
@@ -340,7 +359,7 @@ def _fwd_kernel(
 def _flash_fwd(
     q, k, v, seed, qoff, *, causal, softmax_scale, block_q, block_k,
     interpret, n_q, n_k, dropout_rate, stages=2, window=None,
-    q_seg=None, kv_seg=None, softcap=None,
+    q_seg=None, kv_seg=None, softcap=None, slopes=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -361,6 +380,7 @@ def _flash_fwd(
         window=window,
         segmented=segmented,
         softcap=softcap,
+        alibi=slopes is not None,
     )
     # ``stages`` — the FAx pipeline-depth knob (the reference plumbs it but
     # never uses it, quirk Q6; src/fa3/spec.py:3-13). Here it sets the K/V
@@ -393,6 +413,10 @@ def _flash_fwd(
                          lambda b_, h_, iq, ik: (b_, 0, ik)),
         ]
         args[1:1] = [q_seg, kv_seg]
+    if slopes is not None:
+        idx = 3 if segmented else 1  # after [qoff(, qseg, kseg)]
+        in_specs.insert(idx, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(idx, slopes)
     if dropout_rate > 0.0:
         in_specs.insert(
             1, pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -439,7 +463,7 @@ def _flash_fwd(
 def _bwd_dkv_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False, softcap=None,
+    window=None, segmented=False, softcap=None, alibi=False,
 ):
     """dK/dV: one grid cell per KV tile, sequential loop over Q tiles.
 
@@ -448,8 +472,8 @@ def _bwd_dkv_kernel(
     dK = scale * sum(ds^T q) = sum(ds^T (scale*q)), the dk store needs no
     scale either — the only per-tile scale cost is bq x d multiplies.
     """
-    qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
-        refs, dropout_rate, segmented
+    qoff_ref, seed_ref, qseg_ref, kseg_ref, slopes_ref, rest = _unpack_refs(
+        refs, dropout_rate, segmented, alibi
     )
     (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
      dk_ref, dv_ref, dk_scr, dv_scr) = rest
@@ -478,6 +502,9 @@ def _bwd_dkv_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if alibi:
+            s2 = s2 + _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q,
+                                       block_k, offset)
         if softcap is not None:
             # Same cap as the forward; tanh kept for the backward chain
             # d(cap*tanh(x/cap))/dx = 1 - tanh^2.
@@ -562,7 +589,7 @@ def _bwd_dkv_kernel(
 def _bwd_fused_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False, softcap=None,
+    window=None, segmented=False, softcap=None, alibi=False,
     resident,
 ):
     """Fused backward: dK/dV accumulated in scratch per KV tile, plus dQ by
@@ -579,8 +606,8 @@ def _bwd_fused_kernel(
       cell, reduced over the KV axis outside the kernel (XLA sum) — costs
       an O(n_k_tiles · N_q · D) fp32 buffer's write+read.
     """
-    qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
-        refs, dropout_rate, segmented
+    qoff_ref, seed_ref, qseg_ref, kseg_ref, slopes_ref, rest = _unpack_refs(
+        refs, dropout_rate, segmented, alibi
     )
     (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
      dk_ref, dv_ref, dq_ref, dk_scr, dv_scr, *dq_scr) = rest
@@ -618,6 +645,9 @@ def _bwd_fused_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if alibi:
+            s2 = s2 + _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q,
+                                       block_k, offset)
         if softcap is not None:
             # Same cap as the forward; tanh kept for the backward chain
             # d(cap*tanh(x/cap))/dx = 1 - tanh^2.
@@ -723,10 +753,10 @@ def _bwd_fused_kernel(
 def _bwd_dq_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False, softcap=None,
+    window=None, segmented=False, softcap=None, alibi=False,
 ):
-    qoff_ref, seed_ref, qseg_ref, kseg_ref, rest = _unpack_refs(
-        refs, dropout_rate, segmented
+    qoff_ref, seed_ref, qseg_ref, kseg_ref, slopes_ref, rest = _unpack_refs(
+        refs, dropout_rate, segmented, alibi
     )
     (q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, dq_scr) = rest
     ib = pl.program_id(0)
@@ -754,6 +784,9 @@ def _bwd_dq_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if alibi:
+            s2 = s2 + _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q,
+                                       block_k, offset)
         if softcap is not None:
             # Same cap as the forward; tanh kept for the backward chain
             # d(cap*tanh(x/cap))/dx = 1 - tanh^2.
@@ -825,7 +858,7 @@ def _bwd_dq_kernel(
 def _flash_bwd(
     q, k, v, o, lse, do, seed, *, causal, softmax_scale, block_q, block_k,
     interpret, n_q, n_k, dropout_rate, dlse=None, qoff=None, window=None,
-    q_seg=None, kv_seg=None, softcap=None,
+    q_seg=None, kv_seg=None, softcap=None, slopes=None,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -848,6 +881,7 @@ def _flash_bwd(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
         block_q=block_q, block_k=block_k, dropout_rate=dropout_rate,
         window=window, segmented=segmented, softcap=softcap,
+        alibi=slopes is not None,
     )
     # Pipeline depth for the inner-loop-streamed Q-side inputs (q, do): the
     # bwd analogue of the forward's ``stages`` knob. Buffered(1) halves
@@ -884,6 +918,10 @@ def _flash_bwd(
                          lambda b_, h_, i, j: (b_, 0, i)),
         ]
         args[1:1] = [q_seg, kv_seg]
+    if slopes is not None:
+        idx = 3 if segmented else 1
+        in_specs.insert(idx, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.insert(idx, slopes)
     if dropout_rate > 0.0:
         in_specs.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
         args.insert(1, seed)
@@ -1048,6 +1086,10 @@ def _flash_bwd(
                          lambda b_, h_, i, j: (b_, 0, j)),
         ]
         args2[1:1] = [q_seg, kv_seg]
+    if slopes is not None:
+        idx = 3 if segmented else 1
+        in_specs2.insert(idx, pl.BlockSpec(memory_space=pltpu.SMEM))
+        args2.insert(idx, slopes)
     if dropout_rate > 0.0:
         in_specs2.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
         args2.insert(1, seed)
@@ -1127,25 +1169,25 @@ def _seg_layouts(q_ids, kv_ids, bq, bk):
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17),
+    nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18),
 )
 def _flash_attention(
-    q, k, v, seed, qoff, q_ids, kv_ids, causal, softmax_scale, block_q,
-    block_k, interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
-    window, softcap,
+    q, k, v, seed, qoff, q_ids, kv_ids, slopes, causal, softmax_scale,
+    block_q, block_k, interpret, dropout_rate, stages, bwd_block_q,
+    bwd_block_k, window, softcap,
 ):
     o, lse = _flash_attention_fwd_rule(
-        q, k, v, seed, qoff, q_ids, kv_ids, causal, softmax_scale, block_q,
-        block_k, interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
-        window, softcap,
+        q, k, v, seed, qoff, q_ids, kv_ids, slopes, causal, softmax_scale,
+        block_q, block_k, interpret, dropout_rate, stages, bwd_block_q,
+        bwd_block_k, window, softcap,
     )[0]
     return o, lse
 
 
 def _flash_attention_fwd_rule(
-    q, k, v, seed, qoff, q_ids, kv_ids, causal, softmax_scale, block_q,
-    block_k, interpret, dropout_rate, stages, bwd_block_q, bwd_block_k,
-    window, softcap,
+    q, k, v, seed, qoff, q_ids, kv_ids, slopes, causal, softmax_scale,
+    block_q, block_k, interpret, dropout_rate, stages, bwd_block_q,
+    bwd_block_k, window, softcap,
 ):
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
     q_seg = kv_seg = None
@@ -1155,19 +1197,19 @@ def _flash_attention_fwd_rule(
         qp, kp, vp, seed, qoff, causal=causal, softmax_scale=softmax_scale,
         block_q=bq, block_k=bk, interpret=interpret, n_q=n_q, n_k=n_k,
         dropout_rate=dropout_rate, stages=stages, window=window,
-        q_seg=q_seg, kv_seg=kv_seg, softcap=softcap,
+        q_seg=q_seg, kv_seg=kv_seg, softcap=softcap, slopes=slopes,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
-    return (o_out, lse_out), (q, k, v, seed, qoff, q_ids, kv_ids, o_out,
-                              lse_out)
+    return (o_out, lse_out), (q, k, v, seed, qoff, q_ids, kv_ids, slopes,
+                              o_out, lse_out)
 
 
 def _flash_attention_bwd_rule(
     causal, softmax_scale, block_q, block_k, interpret, dropout_rate, stages,
     bwd_block_q, bwd_block_k, window, softcap, residuals, cotangents,
 ):
-    q, k, v, seed, qoff, q_ids, kv_ids, o, lse = residuals
+    q, k, v, seed, qoff, q_ids, kv_ids, slopes, o, lse = residuals
     do, dlse = cotangents
     n_q, d = q.shape[-2], q.shape[-1]
     n_k = k.shape[-2]
@@ -1196,12 +1238,13 @@ def _flash_attention_bwd_rule(
         softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
         dlse=dlsep, qoff=qoff, window=window, q_seg=q_seg, kv_seg=kv_seg,
-        softcap=softcap,
+        softcap=softcap, slopes=slopes,
     )
     return (
         dq[:, :, :n_q, :d].astype(q.dtype),
         dk[:, :, :n_k, :d].astype(k.dtype),
         dv[:, :, :n_k, :d].astype(v.dtype),
+        None,
         None,
         None,
         None,
@@ -1231,8 +1274,16 @@ def pallas_attention(
     window: int | None = None,
     segment_ids=None,
     softcap: float | None = None,
+    alibi_slopes: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
+
+    ``alibi_slopes``: (H,) per-query-head ALiBi slopes — the bias
+    -slope_h * |key_pos(col) - key_pos(row)| is computed IN-KERNEL from
+    positions (no O(N^2) bias operand in HBM, unlike flash-attn's
+    streamed-bias GPU design); rides the q_offset timeline, so KV-cache
+    decode and ring/CP shards stay position-correct. Linear in s: the
+    backward needs no extra chain terms.
 
     ``softcap``: logit soft-capping (Gemma-2-style; flash-attn's knob the
     reference lacks) — scaled scores become softcap * tanh(s / softcap)
@@ -1347,8 +1398,17 @@ def pallas_attention(
                 f"kv segment_ids must be (B, N_k)={k.shape[0], k.shape[-2]},"
                 f" got {kv_ids.shape}"
             )
+    slopes = None
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).ravel()
+        if slopes.shape != (q.shape[1],):
+            raise ValueError(
+                f"alibi_slopes must be (H,)=({q.shape[1]},), "
+                f"got {slopes.shape}"
+            )
     return _flash_attention(
-        q, k, v, seed, qoff, q_ids, kv_ids, causal, float(softmax_scale),
+        q, k, v, seed, qoff, q_ids, kv_ids, slopes, causal,
+        float(softmax_scale),
         int(block_q), int(block_k), bool(interpret), float(dropout_rate),
         int(stages),
         int(bwd_block_q) if bwd_block_q else None,

@@ -276,3 +276,30 @@ print(f"fwd {n=} softcap {t_cap*1e3:.3f} ms vs plain {t_plain*1e3:.3f} ms "
       flush=True)
 print("SOFTCAP PASS", flush=True)
 PYEOF
+
+step verify_alibi 900 python - <<'PYEOF'
+# ALiBi in-kernel bias on REAL TPU: compile + parity vs dense-bias oracle.
+from flashattention_tpu.utils.profiling import enable_compile_cache
+enable_compile_cache()
+import jax, jax.numpy as jnp, numpy as np
+from flashattention_tpu.ops.api import alibi_slopes
+from flashattention_tpu.ops.pallas_attn import pallas_attention
+from flashattention_tpu.ops.reference import reference_attention
+b, h, n, d = 1, 4, 2048, 128
+q = jax.random.normal(jax.random.key(0), (b, h, n, d), jnp.bfloat16)
+k = jax.random.normal(jax.random.key(1), (b, h, n, d), jnp.bfloat16)
+v = jax.random.normal(jax.random.key(2), (b, h, n, d), jnp.bfloat16)
+sl = alibi_slopes(h)
+o, _ = pallas_attention(q, k, v, causal=True, alibi_slopes=sl)
+rows = jnp.arange(n)[:, None]; cols = jnp.arange(n)[None, :]
+bias = -sl[:, None, None] * jnp.abs(cols - rows).astype(jnp.float32)
+o_r, _ = reference_attention(q, k, v, causal=True, bias=bias)
+err = np.abs(np.asarray(o, np.float32) - np.asarray(o_r, np.float32)).max()
+print(f"alibi fwd maxerr {err:.4f}", flush=True)
+assert err < 5e-2, err
+g = jax.grad(lambda t: jnp.sum(pallas_attention(
+    t[0], t[1], t[2], causal=True, alibi_slopes=sl)[0].astype(jnp.float32)**2)
+)((q, k, v))
+assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in g)
+print("ALIBI PASS", flush=True)
+PYEOF

@@ -250,3 +250,26 @@ def test_softcap_all_backends_agree():
             np.asarray(a, np.float32), np.asarray(bb, np.float32),
             rtol=5e-3, atol=5e-3,
         )
+
+
+def test_alibi_api_backends_agree():
+    from flashattention_tpu.ops.api import alibi_slopes, flash_attention
+    from flashattention_tpu.ops.reference import reference_attention
+
+    b, h, n, d = 1, 4, 192, 64
+    q, k, v = make_qkv(b, h, n, d)
+    slopes = alibi_slopes(h)
+    o_p, lse_p = flash_attention(
+        q, k, v, causal=True, backend="pallas", alibi_slopes=slopes,
+        block_q=128, block_k=128,
+    )
+    o_x, lse_x = flash_attention(
+        q, k, v, causal=True, backend="xla", alibi_slopes=slopes
+    )
+    np.testing.assert_allclose(np.asarray(o_p), np.asarray(o_x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse_p), np.asarray(lse_x),
+                               rtol=1e-3, atol=1e-3)
+    with pytest.raises(ValueError, match="alibi"):
+        flash_attention(q, k, v, causal=True, backend="xla",
+                        alibi_slopes=slopes, window=8)

@@ -725,3 +725,83 @@ def test_softcap_with_window_and_segments():
     )
     assert_allclose(o, o_r, rtol=1e-4, atol=1e-4)
     assert_allclose(lse, lse_r, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+# ---------------------------------------------------------------------------
+# ALiBi
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_alibi_matches_oracle(causal):
+    """In-kernel ALiBi bias (-slope_h * |distance|) vs the dense oracle
+    with the materialized bias matrix."""
+    from flashattention_tpu.ops.api import alibi_slopes
+
+    b, h, n, d = 1, 4, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    slopes = alibi_slopes(h)
+    o, lse = pallas_attention(
+        q, k, v, causal=causal, block_q=BQ, block_k=BK, alibi_slopes=slopes
+    )
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(n)[None, :]
+    bias = -slopes[:, None, None] * jnp.abs(cols - rows).astype(jnp.float32)
+    o_r, lse_r = reference_attention(q, k, v, causal=causal, bias=bias)
+    assert_allclose(o, o_r, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_r, rtol=LSE_TOL, atol=LSE_TOL)
+    # the bias must actually matter
+    o_nb, _ = reference_attention(q, k, v, causal=causal)
+    assert np.abs(np.asarray(o_nb, np.float32)
+                  - np.asarray(o_r, np.float32)).max() > 1e-3
+
+
+def test_alibi_grads_and_decode_offset():
+    """Grads through the ALiBi kernels (bias is linear in s — no extra
+    chain), and q_offset keeps decode position-correct: the last row of a
+    full forward equals a q_len=1 call at the same absolute position."""
+    from flashattention_tpu.ops.api import alibi_slopes
+
+    b, h, n, d = 1, 2, 192, 64
+    q, k, v = make_qkv(b, h, n, d)
+    slopes = alibi_slopes(h)
+
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(n)[None, :]
+    bias = -slopes[:, None, None] * jnp.abs(cols - rows).astype(jnp.float32)
+
+    def loss_p(t):
+        o, _ = pallas_attention(
+            t[0], t[1], t[2], causal=True, block_q=BQ, block_k=BK,
+            alibi_slopes=slopes,
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_r(t):
+        o, _ = reference_attention(t[0], t[1], t[2], causal=True, bias=bias)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gp = jax.grad(loss_p)((q, k, v))
+    gr = jax.grad(loss_r)((q, k, v))
+    for a, bb in zip(gp, gr):
+        assert_allclose(a, bb, rtol=5e-3, atol=5e-3)
+
+    # decode: q_len=1 at position n-1 (default bottom-aligned offset)
+    o_full, _ = pallas_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK, alibi_slopes=slopes
+    )
+    o_dec, _ = pallas_attention(
+        q[:, :, -1:], k, v, causal=True, block_q=BQ, block_k=BK,
+        alibi_slopes=slopes,
+    )
+    assert_allclose(o_dec[:, :, 0], o_full[:, :, -1], rtol=1e-4, atol=1e-4)
+
+
+def test_alibi_slopes_schedule():
+    from flashattention_tpu.ops.api import alibi_slopes
+
+    s8 = np.asarray(alibi_slopes(8))
+    np.testing.assert_allclose(s8, [2.0 ** (-(i + 1)) for i in range(8)],
+                               rtol=1e-6)
+    s6 = np.asarray(alibi_slopes(6))
+    assert s6.shape == (6,) and (s6 > 0).all()
