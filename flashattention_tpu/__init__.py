@@ -26,6 +26,8 @@ from flashattention_tpu.ops.api import (
     fa3_attention,
     alibi_slopes,
     flash_attention,
+    flash_attention_kvpacked,
+    flash_attention_qkvpacked,
 )
 from flashattention_tpu.ops.reference import reference_attention
 from flashattention_tpu.tokenizer import BPETokenizer
@@ -46,6 +48,8 @@ __all__ = [
     "fa3_attention",
     "alibi_slopes",
     "flash_attention",
+    "flash_attention_kvpacked",
+    "flash_attention_qkvpacked",
     "reference_attention",
     "BPETokenizer",
     "FA1Spec",

@@ -6,6 +6,8 @@ from flashattention_tpu.ops.api import (
     fa3_attention,
     alibi_slopes,
     flash_attention,
+    flash_attention_kvpacked,
+    flash_attention_qkvpacked,
 )
 from flashattention_tpu.ops.pallas_attn import pallas_attention
 from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
@@ -23,6 +25,8 @@ __all__ = [
     "fa3_attention",
     "alibi_slopes",
     "flash_attention",
+    "flash_attention_kvpacked",
+    "flash_attention_qkvpacked",
     "pallas_attention",
     "pallas_paged_attention",
     "pallas_sparse_attention",

@@ -348,3 +348,25 @@ def alibi_slopes(n_heads: int) -> jax.Array:
         sl = _pow2(base)
         sl += _pow2(2 * base)[0::2][: n_heads - base]
     return jnp.asarray(sl, jnp.float32)
+
+
+def flash_attention_qkvpacked(qkv: jax.Array, **kwargs):
+    """flash-attn's qkvpacked convenience (flash_attn_qkvpacked_func):
+    qkv (B, N, 3, H, D) — one fused projection output — unpacked to the
+    kernels' (B, H, N, D). All flash_attention kwargs apply."""
+    if qkv.ndim != 5 or qkv.shape[2] != 3:
+        raise ValueError(f"expected (B, N, 3, H, D), got {qkv.shape}")
+    q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    return flash_attention(q, k, v, **kwargs)
+
+
+def flash_attention_kvpacked(q: jax.Array, kv: jax.Array, **kwargs):
+    """flash-attn's kvpacked convenience (flash_attn_kvpacked_func):
+    q (B, N, H, D) + kv (B, N, 2, H_kv, D) (GQA/MQA ok)."""
+    if kv.ndim != 5 or kv.shape[2] != 2:
+        raise ValueError(f"expected kv (B, N, 2, H_kv, D), got {kv.shape}")
+    if q.ndim != 4:
+        raise ValueError(f"expected q (B, N, H, D), got {q.shape}")
+    qh = q.transpose(0, 2, 1, 3)
+    k, v = (kv[:, :, i].transpose(0, 2, 1, 3) for i in range(2))
+    return flash_attention(qh, k, v, **kwargs)

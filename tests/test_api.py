@@ -273,3 +273,29 @@ def test_alibi_api_backends_agree():
     with pytest.raises(ValueError, match="alibi"):
         flash_attention(q, k, v, causal=True, backend="xla",
                         alibi_slopes=slopes, window=8)
+
+
+def test_packed_qkv_wrappers():
+    """flash-attn layout-compat wrappers: (B, N, 3, H, D) / kvpacked."""
+    from flashattention_tpu.ops.api import (
+        flash_attention,
+        flash_attention_kvpacked,
+        flash_attention_qkvpacked,
+    )
+
+    b, h, n, d = 2, 2, 128, 32
+    q, k, v = make_qkv(b, h, n, d)
+    o_ref, lse_ref = flash_attention(q, k, v, causal=True)
+    qkv = jnp.stack(
+        [q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+         v.transpose(0, 2, 1, 3)], axis=2
+    )
+    o1, lse1 = flash_attention_qkvpacked(qkv, causal=True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o_ref))
+    kv = jnp.stack(
+        [k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)], axis=2
+    )
+    o2, _ = flash_attention_kvpacked(q.transpose(0, 2, 1, 3), kv, causal=True)
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(o_ref))
+    with pytest.raises(ValueError, match="B, N, 3"):
+        flash_attention_qkvpacked(q)
