@@ -127,7 +127,15 @@ def flash_attention(
             pass  # in-kernel positional bias, handled below
         elif backend in ("reference", "xla") and dropout_rate == 0.0:
             # Dense-bias fallback through the oracle (the tiled executor
-            # has no bias operand). Correct math, O(N^2) bias memory.
+            # has no bias operand). Correct math, O(H*N^2) bias memory.
+            if backend == "xla":
+                warnings.warn(
+                    "flash_attention(backend='xla', alibi_slopes=...) runs "
+                    "the dense reference oracle (O(H*N^2) bias memory): "
+                    "the tiled executor has no bias operand. Use "
+                    "backend='pallas' for the in-kernel O(1) bias.",
+                    stacklevel=2,
+                )
             if window is not None or segment_ids is not None:
                 raise ValueError(
                     "alibi with window/segment_ids is only supported on "

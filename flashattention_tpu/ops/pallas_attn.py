@@ -164,6 +164,38 @@ def _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q, block_k, offset):
     return -slopes_ref[ih] * dist
 
 
+def _bwd_scores(q, k, *, alibi, slopes_ref, ih, softcap, use_mask,
+                segmented, qseg_ref, kseg_ref, iq, ik, block_q, block_k,
+                n_q, n_k, causal, offset, window):
+    """Recomputed pre-exp scores for one backward tile — the scale-folded
+    QK^T plus ALiBi bias, soft-cap, and the tile mask, shared by all three
+    backward kernels (one definition, not four divergent copies).
+
+    Returns (s2, mask, dcap): ``dcap`` is the d(capped)/d(raw) chain
+    factor for the dq/dk path (None without softcap; dV never needs it —
+    the value path skips the tanh).
+    """
+    s2 = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if alibi:
+        s2 = s2 + _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q,
+                                   block_k, offset)
+    dcap = None
+    if softcap is not None:
+        # d(cap*tanh(x/cap))/dx = 1 - tanh^2
+        tcap = jnp.tanh(s2 * jnp.float32(1.0 / softcap))
+        s2 = jnp.float32(softcap) * tcap
+        dcap = 1.0 - tcap * tcap
+    mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
+                          iq, ik, block_q, block_k, n_q, n_k, causal,
+                          offset, window)
+    if mask is not None:
+        s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
+    return s2, mask, dcap
+
+
 def _seg_tile_mask(qseg_ref, kseg_ref, block_k):
     """Boolean (block_q, block_k) segment mask: attend iff ids are equal.
 
@@ -498,23 +530,13 @@ def _bwd_dkv_kernel(
         lse2 = lse_ref[0, 0]  # (bq, 1)
         di = di_ref[0, 0]     # (bq, 1)
 
-        s2 = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        s2, mask, dcap = _bwd_scores(
+            q, k, alibi=alibi, slopes_ref=slopes_ref, ih=ih,
+            softcap=softcap, use_mask=use_mask, segmented=segmented,
+            qseg_ref=qseg_ref, kseg_ref=kseg_ref, iq=iq, ik=ik,
+            block_q=block_q, block_k=block_k, n_q=n_q, n_k=n_k,
+            causal=causal, offset=offset, window=window,
         )
-        if alibi:
-            s2 = s2 + _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q,
-                                       block_k, offset)
-        if softcap is not None:
-            # Same cap as the forward; tanh kept for the backward chain
-            # d(cap*tanh(x/cap))/dx = 1 - tanh^2.
-            tcap = jnp.tanh(s2 * jnp.float32(1.0 / softcap))
-            s2 = jnp.float32(softcap) * tcap
-        mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
-                              iq, ik, block_q, block_k, n_q, n_k, causal,
-                              offset, window)
-        if mask is not None:
-            s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         # dp is issued BEFORE the exp: it does not depend on p, so the
         # scheduler may overlap the VPU softmax recompute with this MXU
         # pass instead of serializing MXU -> VPU -> MXU.
@@ -543,8 +565,8 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - di)
-        if softcap is not None:
-            ds = ds * (1.0 - tcap * tcap)  # through the cap to raw scores
+        if dcap is not None:
+            ds = ds * dcap  # chain through the soft-cap to raw scores
         dk_scr[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -641,23 +663,13 @@ def _bwd_fused_kernel(
         lse2 = lse_ref[0, 0]  # (bq, 1)
         di = di_ref[0, 0]     # (bq, 1)
 
-        s2 = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        s2, mask, dcap = _bwd_scores(
+            q, k, alibi=alibi, slopes_ref=slopes_ref, ih=ih,
+            softcap=softcap, use_mask=use_mask, segmented=segmented,
+            qseg_ref=qseg_ref, kseg_ref=kseg_ref, iq=iq, ik=ik,
+            block_q=block_q, block_k=block_k, n_q=n_q, n_k=n_k,
+            causal=causal, offset=offset, window=window,
         )
-        if alibi:
-            s2 = s2 + _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q,
-                                       block_k, offset)
-        if softcap is not None:
-            # Same cap as the forward; tanh kept for the backward chain
-            # d(cap*tanh(x/cap))/dx = 1 - tanh^2.
-            tcap = jnp.tanh(s2 * jnp.float32(1.0 / softcap))
-            s2 = jnp.float32(softcap) * tcap
-        mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
-                              iq, ik, block_q, block_k, n_q, n_k, causal,
-                              offset, window)
-        if mask is not None:
-            s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         # dp before exp: overlap the VPU recompute with this MXU pass
         # (see dkv kernel note).
         dp = jax.lax.dot_general(
@@ -683,8 +695,8 @@ def _bwd_fused_kernel(
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - di)
-        if softcap is not None:
-            ds = ds * (1.0 - tcap * tcap)  # through the cap to raw scores
+        if dcap is not None:
+            ds = ds * dcap  # chain through the soft-cap to raw scores
         ds_cast = ds.astype(q.dtype)
         dk_scr[...] += jax.lax.dot_general(
             ds_cast, q, (((0,), (0,)), ((), ())),
@@ -780,23 +792,13 @@ def _bwd_dq_kernel(
         lse2 = lse_ref[0, 0]  # (bq, 1)
         di = di_ref[0, 0]     # (bq, 1)
 
-        s2 = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        s2, mask, dcap = _bwd_scores(
+            q, k, alibi=alibi, slopes_ref=slopes_ref, ih=ih,
+            softcap=softcap, use_mask=use_mask, segmented=segmented,
+            qseg_ref=qseg_ref, kseg_ref=kseg_ref, iq=iq, ik=ik,
+            block_q=block_q, block_k=block_k, n_q=n_q, n_k=n_k,
+            causal=causal, offset=offset, window=window,
         )
-        if alibi:
-            s2 = s2 + _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q,
-                                       block_k, offset)
-        if softcap is not None:
-            # Same cap as the forward; tanh kept for the backward chain
-            # d(cap*tanh(x/cap))/dx = 1 - tanh^2.
-            tcap = jnp.tanh(s2 * jnp.float32(1.0 / softcap))
-            s2 = jnp.float32(softcap) * tcap
-        mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
-                              iq, ik, block_q, block_k, n_q, n_k, causal,
-                              offset, window)
-        if mask is not None:
-            s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
         # dp before exp: overlap the VPU recompute with this MXU pass
         # (see dkv kernel note).
         dp = jax.lax.dot_general(
@@ -813,8 +815,8 @@ def _bwd_dq_kernel(
             )
             dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
         ds = p * (dp - di)
-        if softcap is not None:
-            ds = ds * (1.0 - tcap * tcap)  # through the cap to raw scores
+        if dcap is not None:
+            ds = ds * dcap  # chain through the soft-cap to raw scores
         dq_scr[...] += jax.lax.dot(
             ds.astype(k.dtype), k, preferred_element_type=jnp.float32
         )

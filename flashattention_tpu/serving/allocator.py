@@ -18,7 +18,7 @@ _LIB_PATH = _NATIVE_DIR / "libfat_runtime.so"
 _CSRC = Path(__file__).resolve().parent.parent.parent / "csrc"
 
 
-def _load_native(build_if_missing: bool = True):
+def _load_native(build_if_missing: bool = True, allow_rebuild: bool = True):
     if not _LIB_PATH.exists() and build_if_missing and _CSRC.exists():
         try:
             subprocess.run(
@@ -61,13 +61,17 @@ def _load_native(build_if_missing: bool = True):
             fn.restype = ctypes.c_int32
             fn.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     except AttributeError:
-        # Stale .so from before release_prefix existed: rebuild once.
+        # Stale .so from before the newer symbols existed: rebuild ONCE
+        # (allow_rebuild=False on the retry — if the relinked library
+        # still lacks the symbols, fall back to Python rather than loop).
+        if not allow_rebuild:
+            return None
         try:
             subprocess.run(
                 ["make", "-C", str(_CSRC), "clean", "all"],
                 check=True, capture_output=True, timeout=120,
             )
-            return _load_native(build_if_missing=False)
+            return _load_native(build_if_missing=False, allow_rebuild=False)
         except (subprocess.SubprocessError, OSError):
             return None
     return lib

@@ -43,6 +43,24 @@ from flashattention_tpu.serving.paged_kv import (
 from flashattention_tpu.serving.sampling import SamplingConfig, sample_logits
 
 
+def _prefix_keys(prompt, n_pages: int, page_size: int) -> list[bytes]:
+    """Chained digests of the first n_pages page-sized token chunks:
+    key_i = sha1(key_{i-1} || tokens[i*psize:(i+1)*psize]). O(total tokens)
+    instead of re-serializing the growing prefix per page (O(P^2)); the
+    chain makes each key depend on the WHOLE prefix, so equal keys mean
+    equal prefixes (up to SHA-1 collision)."""
+    import hashlib
+
+    arr = np.asarray(prompt, np.int32)
+    keys: list[bytes] = []
+    h = b""
+    for i in range(n_pages):
+        chunk = arr[i * page_size: (i + 1) * page_size].tobytes()
+        h = hashlib.sha1(h + chunk).digest()
+        keys.append(h)
+    return keys
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     max_batch_size: int = 8        # decode slots
@@ -475,15 +493,14 @@ class ServingEngine:
             psize = self.ecfg.page_size
             shared = 0
             if self.ecfg.prefix_cache:
-                prompt_np = np.asarray(req.prompt, np.int32)
                 max_shared = (prompt_len - 1) // psize
+                keys = _prefix_keys(req.prompt, max_shared, psize)
                 pages_shared: list[int] = []
                 while shared < max_shared:
-                    key = prompt_np[: (shared + 1) * psize].tobytes()
-                    page = self._prefix_lru.get(key)
+                    page = self._prefix_lru.get(keys[shared])
                     if page is None:
                         break
-                    self._prefix_lru.move_to_end(key)
+                    self._prefix_lru.move_to_end(keys[shared])
                     pages_shared.append(page)
                     shared += 1
                 if pages_shared and not self.allocator.adopt(
@@ -560,15 +577,18 @@ class ServingEngine:
                 continue
             # grow pages to hold position `length` (the token being written);
             # the physical chain is shorter by the reclaimed window prefix
-            if not self.allocator.grow(
-                slot.request.request_id,
-                self._pages_needed(slot.length + 1) - slot.freed_pages,
-            ):
-                # OOM mid-flight: evict (release + requeue) — the bench
-                # harness's catch-and-continue analogue (SURVEY.md §5.3).
-                self._evict(slot)
-                page_rows.append(self._page_row(None))
-                continue
+            need = self._pages_needed(slot.length + 1) - slot.freed_pages
+            if not self.allocator.grow(slot.request.request_id, need):
+                # Drop LRU prefix-cache pins first: losing a cache entry is
+                # far cheaper than evicting an in-flight sequence (which
+                # forfeits all its decode progress to a full re-prefill).
+                self._shrink_prefix_cache(1)
+                if not self.allocator.grow(slot.request.request_id, need):
+                    # OOM mid-flight: evict (release + requeue) — the bench
+                    # harness's catch-and-continue analogue (SURVEY.md §5.3).
+                    self._evict(slot)
+                    page_rows.append(self._page_row(None))
+                    continue
             tokens[i, 0] = slot.generated[-1]
             lengths[i] = slot.length
             page_rows.append(
@@ -601,11 +621,12 @@ class ServingEngine:
         each new entry takes one allocator pin so the page outlives the
         sequence that computed it."""
         psize = self.ecfg.page_size
-        prompt_np = np.asarray(req.prompt, np.int32)
         n_full = len(req.prompt) // psize
         chain = self.allocator.pages(req.request_id)
-        for i in range(min(n_full, len(chain))):
-            key = prompt_np[: (i + 1) * psize].tobytes()
+        n = min(n_full, len(chain))
+        keys = _prefix_keys(req.prompt, n, psize)
+        for i in range(n):
+            key = keys[i]
             if key in self._prefix_lru:
                 self._prefix_lru.move_to_end(key)
                 continue

@@ -177,7 +177,7 @@ step bench_decode 1200 python scripts/bench_decode.py
 step grid_16k 7200 python scripts/tune_attention.py --grid --seqs 8192,16384 \
   --resume benchmarks/results/grid_r02.jsonl --timeout 700 --attempts 2
 
-echo "QUEUE DONE $(date +%H:%M:%S) — logs in $LOGDIR"
+echo "core steps done $(date +%H:%M:%S) — appended steps follow (logs in $LOGDIR)"
 
 # ---- 6. merged paged-decode schedule A/B (appended mid-queue-run) -----------
 step ab_decode_merged 2400 python scripts/ab_compare.py --env-b FAT_PAGED_MERGED=1 --what decode,sol --pairs 3
