@@ -62,6 +62,9 @@ class TransformerConfig:
                                    # out-of-band tiles; O(N*W) work)
     attn_softcap: float | None = None  # logit soft-capping: scores become
                                    # softcap*tanh(s/softcap) (Gemma-2-style)
+    attention_sinks: int = 0       # StreamingLLM: with attention_window,
+                                   # the first `sinks` tokens stay visible
+                                   # to every position
     use_block_sparse: bool = False
     dtype: Any = jnp.bfloat16      # activation/compute dtype
     param_dtype: Any = jnp.float32
@@ -103,6 +106,8 @@ def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
         raise ValueError("rope needs an even d_head")
     if cfg.attention_window is not None and cfg.attention_window < 1:
         raise ValueError("attention_window must be >= 1")
+    if cfg.attention_sinks and cfg.attention_window is None:
+        raise ValueError("attention_sinks require attention_window")
     keys = jax.random.split(key, 4 + cfg.n_layers)
     pd = cfg.param_dtype
     d, dff = cfg.d_model, cfg.d_ff
@@ -281,7 +286,10 @@ def _attention(
         rows = jax.lax.broadcasted_iota(jnp.int32, (n, n_cache), 0)
         mask = cols <= rows + cache_index
         if cfg.attention_window is not None:
-            mask = mask & (cols > rows + cache_index - cfg.attention_window)
+            band = cols > rows + cache_index - cfg.attention_window
+            if cfg.attention_sinks:
+                band = band | (cols < cfg.attention_sinks)
+            mask = mask & band
         kc, vc = k_cache.astype(q.dtype), v_cache.astype(q.dtype)
         if h_kv != h:  # GQA: the tiled executor wants matching head counts
             kc = jnp.repeat(kc, h // h_kv, axis=1)
@@ -335,6 +343,7 @@ def _attention(
                 window=cfg.attention_window,
                 segment_ids=segment_ids,
                 softcap=cfg.attn_softcap,
+                sinks=cfg.attention_sinks,
             )
 
     o = o.transpose(0, 2, 1, 3).reshape(b, n, d)

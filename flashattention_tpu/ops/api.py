@@ -71,6 +71,7 @@ def flash_attention(
     segment_ids=None,
     softcap: float | None = None,
     alibi_slopes: jax.Array | None = None,
+    sinks: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Generic flash attention entry point. q, k, v: (B, H, N, D) -> (o, lse).
 
@@ -121,6 +122,8 @@ def flash_attention(
     backend = _resolve_backend(backend)
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
+    if sinks and window is None:
+        raise ValueError("sinks require window= (StreamingLLM band)")
     if alibi_slopes is not None:
         slopes = jnp.asarray(alibi_slopes, jnp.float32).ravel()
         if backend == "pallas" and mask is None and dropout_rate == 0.0:
@@ -188,6 +191,8 @@ def flash_attention(
         rows = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 1)
         low = cols > rows + offset - window
+        if sinks:
+            low = low | (cols < sinks)  # StreamingLLM sinks stay visible
         mask = low if mask is None else (mask & low)
     h_q, h_kv = q.shape[1], k.shape[1]
     routes_tiled = mask is not None or (
@@ -235,7 +240,7 @@ def flash_attention(
             q_offset=q_offset, stages=stages,
             bwd_block_q=bwd_block_q, bwd_block_k=bwd_block_k,
             window=window, segment_ids=segment_ids, softcap=softcap,
-            alibi_slopes=alibi_slopes,
+            alibi_slopes=alibi_slopes, sinks=sinks,
         )
     if backend == "xla":
         return tiled_attention(
@@ -244,7 +249,7 @@ def flash_attention(
         )
     return reference_attention(
         q, k, v, causal=causal, softmax_scale=softmax_scale,
-        q_offset=q_offset, window=window, softcap=softcap,
+        q_offset=q_offset, window=window, softcap=softcap, sinks=sinks,
     )
 
 

@@ -71,26 +71,32 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _causal_should_run(iq, ik, block_q, block_k, offset, window=None):
+def _causal_should_run(iq, ik, block_q, block_k, offset, window=None,
+                       sinks=0):
     """True unless the whole (iq, ik) tile is outside the attended band.
 
     Query row r attends to cols <= r + offset (offset = n_k - n_q), and —
     with a sliding ``window`` W — only to cols > r + offset - W (the last W
-    keys including self). Tiles entirely above the diagonal OR entirely
-    below the window band are skipped; with W << N the kernel runs
-    O(N*W) tiles instead of O(N^2/2).
+    keys including self) plus, with ``sinks`` S > 0, the first S columns
+    (StreamingLLM attention sinks). Tiles entirely above the diagonal OR
+    entirely below the window band (and past the sinks) are skipped; with
+    W << N the kernel runs O(N*(W+S)) tiles instead of O(N^2/2).
     """
     run = (iq * block_q + block_q - 1 + offset) >= ik * block_k
     if window is not None:
         # Tile's most permissive row for the low bound is its FIRST:
         # its lowest attended col is iq*bq + offset - W + 1.
-        run = run & (
+        in_band = (
             (ik * block_k + block_k - 1) >= (iq * block_q + offset - window + 1)
         )
+        if sinks:
+            in_band = in_band | (ik * block_k < sinks)
+        run = run & in_band
     return run
 
 
-def _causal_needs_mask(iq, ik, block_q, block_k, offset, window=None):
+def _causal_needs_mask(iq, ik, block_q, block_k, offset, window=None,
+                       sinks=0):
     """True when the (iq, ik) tile straddles the diagonal (its last column can
     exceed what the tile's *first* row may attend to) or — with a sliding
     window — the band's low edge. Tiles fully inside the band take the
@@ -99,14 +105,17 @@ def _causal_needs_mask(iq, ik, block_q, block_k, offset, window=None):
     needs = (ik * block_k + block_k - 1) > (iq * block_q + offset)
     if window is not None:
         # First col <= last row's low bound -> some element below the band.
-        needs = needs | (
-            ik * block_k <= (iq * block_q + block_q - 1 + offset - window)
-        )
+        # With sinks the below-band element only masks when it is PAST the
+        # sink columns (a tile wholly inside the sinks stays unmasked).
+        below = ik * block_k <= (iq * block_q + block_q - 1 + offset - window)
+        if sinks:
+            below = below & ((ik * block_k + block_k - 1) >= sinks)
+        needs = needs | below
     return needs
 
 
 def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset,
-               window=None):
+               window=None, sinks=0):
     """Boolean (block_q, block_k) mask from absolute indices.
 
     Built from a (bq, 1) row iota and a (1, bk) col iota so the compare
@@ -117,7 +126,10 @@ def _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset,
     if causal:
         mask = cols <= rows + offset
         if window is not None:
-            mask = mask & (cols > rows + offset - window)
+            band = cols > rows + offset - window
+            if sinks:
+                band = band | (cols < sinks)
+            mask = mask & band
         if n_k % block_k:
             mask = mask & (cols < n_k)
         return mask
@@ -166,7 +178,7 @@ def _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q, block_k, offset):
 
 def _bwd_scores(q, k, *, alibi, slopes_ref, ih, softcap, use_mask,
                 segmented, qseg_ref, kseg_ref, iq, ik, block_q, block_k,
-                n_q, n_k, causal, offset, window):
+                n_q, n_k, causal, offset, window, sinks=0):
     """Recomputed pre-exp scores for one backward tile — the scale-folded
     QK^T plus ALiBi bias, soft-cap, and the tile mask, shared by all three
     backward kernels (one definition, not four divergent copies).
@@ -190,7 +202,7 @@ def _bwd_scores(q, k, *, alibi, slopes_ref, ih, softcap, use_mask,
         dcap = 1.0 - tcap * tcap
     mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
                           iq, ik, block_q, block_k, n_q, n_k, causal,
-                          offset, window)
+                          offset, window, sinks)
     if mask is not None:
         s2 = jnp.where(mask, s2, DEFAULT_MASK_VALUE)
     return s2, mask, dcap
@@ -212,7 +224,8 @@ def _seg_tile_mask(qseg_ref, kseg_ref, block_k):
 
 
 def _combined_mask(use_mask, segmented, qseg_ref, kseg_ref, iq, ik,
-                   block_q, block_k, n_q, n_k, causal, offset, window):
+                   block_q, block_k, n_q, n_k, causal, offset, window,
+                   sinks=0):
     """The tile's attend-mask, or None when the tile needs none (fast path).
 
     ``use_mask`` is the *static* causal/edge predicate from the dispatch;
@@ -222,7 +235,7 @@ def _combined_mask(use_mask, segmented, qseg_ref, kseg_ref, iq, ik,
     mask = None
     if use_mask:
         mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
-                          offset, window)
+                          offset, window, sinks)
     if segmented:
         seg = _seg_tile_mask(qseg_ref, kseg_ref, block_k)
         mask = seg if mask is None else mask & seg
@@ -266,7 +279,7 @@ def _keep_mask(seed, bh, iq, ik, block_q, block_k, rate):
 def _fwd_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False, softcap=None, alibi=False,
+    window=None, segmented=False, softcap=None, alibi=False, sinks=0,
 ):
     qoff_ref, seed_ref, qseg_ref, kseg_ref, slopes_ref, rest = _unpack_refs(
         refs, dropout_rate, segmented, alibi
@@ -324,7 +337,7 @@ def _fwd_kernel(
             )
         mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
                               iq, ik, block_q, block_k, n_q, n_k, causal,
-                              offset, window)
+                              offset, window, sinks)
         if mask is not None:
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
@@ -355,9 +368,10 @@ def _fwd_kernel(
         )
 
     if causal:
-        run = _causal_should_run(iq, ik, block_q, block_k, offset, window)
+        run = _causal_should_run(iq, ik, block_q, block_k, offset, window,
+                                 sinks)
         needs_mask = _causal_needs_mask(
-            iq, ik, block_q, block_k, offset, window
+            iq, ik, block_q, block_k, offset, window, sinks
         )
         if kv_edge:
             needs_mask = needs_mask | (ik == n_kv_tiles - 1)
@@ -391,7 +405,7 @@ def _fwd_kernel(
 def _flash_fwd(
     q, k, v, seed, qoff, *, causal, softmax_scale, block_q, block_k,
     interpret, n_q, n_k, dropout_rate, stages=2, window=None,
-    q_seg=None, kv_seg=None, softcap=None, slopes=None,
+    q_seg=None, kv_seg=None, softcap=None, slopes=None, sinks=0,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -413,6 +427,7 @@ def _flash_fwd(
         segmented=segmented,
         softcap=softcap,
         alibi=slopes is not None,
+        sinks=sinks,
     )
     # ``stages`` — the FAx pipeline-depth knob (the reference plumbs it but
     # never uses it, quirk Q6; src/fa3/spec.py:3-13). Here it sets the K/V
@@ -495,7 +510,7 @@ def _flash_fwd(
 def _bwd_dkv_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False, softcap=None, alibi=False,
+    window=None, segmented=False, softcap=None, alibi=False, sinks=0,
 ):
     """dK/dV: one grid cell per KV tile, sequential loop over Q tiles.
 
@@ -535,7 +550,7 @@ def _bwd_dkv_kernel(
             softcap=softcap, use_mask=use_mask, segmented=segmented,
             qseg_ref=qseg_ref, kseg_ref=kseg_ref, iq=iq, ik=ik,
             block_q=block_q, block_k=block_k, n_q=n_q, n_k=n_k,
-            causal=causal, offset=offset, window=window,
+            causal=causal, offset=offset, window=window, sinks=sinks,
         )
         # dp is issued BEFORE the exp: it does not depend on p, so the
         # scheduler may overlap the VPU softmax recompute with this MXU
@@ -573,9 +588,10 @@ def _bwd_dkv_kernel(
         )
 
     if causal:
-        run = _causal_should_run(iq, ik, block_q, block_k, offset, window)
+        run = _causal_should_run(iq, ik, block_q, block_k, offset, window,
+                                 sinks)
         needs_mask = _causal_needs_mask(
-            iq, ik, block_q, block_k, offset, window
+            iq, ik, block_q, block_k, offset, window, sinks
         )
         if kv_edge:
             needs_mask = needs_mask | (ik == pl.num_programs(2) - 1)
@@ -611,7 +627,7 @@ def _bwd_dkv_kernel(
 def _bwd_fused_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False, softcap=None, alibi=False,
+    window=None, segmented=False, softcap=None, alibi=False, sinks=0,
     resident,
 ):
     """Fused backward: dK/dV accumulated in scratch per KV tile, plus dQ by
@@ -668,7 +684,7 @@ def _bwd_fused_kernel(
             softcap=softcap, use_mask=use_mask, segmented=segmented,
             qseg_ref=qseg_ref, kseg_ref=kseg_ref, iq=iq, ik=ik,
             block_q=block_q, block_k=block_k, n_q=n_q, n_k=n_k,
-            causal=causal, offset=offset, window=window,
+            causal=causal, offset=offset, window=window, sinks=sinks,
         )
         # dp before exp: overlap the VPU recompute with this MXU pass
         # (see dkv kernel note).
@@ -712,9 +728,10 @@ def _bwd_fused_kernel(
             dq_ref[0, 0, 0] = dq_tile * jnp.float32(softmax_scale)
 
     if causal:
-        run = _causal_should_run(iq, ik, block_q, block_k, offset, window)
+        run = _causal_should_run(iq, ik, block_q, block_k, offset, window,
+                                 sinks)
         needs_mask = _causal_needs_mask(
-            iq, ik, block_q, block_k, offset, window
+            iq, ik, block_q, block_k, offset, window, sinks
         )
         if kv_edge:
             needs_mask = needs_mask | (ik == n_k_tiles - 1)
@@ -765,7 +782,7 @@ def _bwd_fused_kernel(
 def _bwd_dq_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, dropout_rate,
-    window=None, segmented=False, softcap=None, alibi=False,
+    window=None, segmented=False, softcap=None, alibi=False, sinks=0,
 ):
     qoff_ref, seed_ref, qseg_ref, kseg_ref, slopes_ref, rest = _unpack_refs(
         refs, dropout_rate, segmented, alibi
@@ -797,7 +814,7 @@ def _bwd_dq_kernel(
             softcap=softcap, use_mask=use_mask, segmented=segmented,
             qseg_ref=qseg_ref, kseg_ref=kseg_ref, iq=iq, ik=ik,
             block_q=block_q, block_k=block_k, n_q=n_q, n_k=n_k,
-            causal=causal, offset=offset, window=window,
+            causal=causal, offset=offset, window=window, sinks=sinks,
         )
         # dp before exp: overlap the VPU recompute with this MXU pass
         # (see dkv kernel note).
@@ -822,9 +839,10 @@ def _bwd_dq_kernel(
         )
 
     if causal:
-        run = _causal_should_run(iq, ik, block_q, block_k, offset, window)
+        run = _causal_should_run(iq, ik, block_q, block_k, offset, window,
+                                 sinks)
         needs_mask = _causal_needs_mask(
-            iq, ik, block_q, block_k, offset, window
+            iq, ik, block_q, block_k, offset, window, sinks
         )
         if kv_edge:
             needs_mask = needs_mask | (ik == n_kv_tiles - 1)
@@ -860,7 +878,7 @@ def _bwd_dq_kernel(
 def _flash_bwd(
     q, k, v, o, lse, do, seed, *, causal, softmax_scale, block_q, block_k,
     interpret, n_q, n_k, dropout_rate, dlse=None, qoff=None, window=None,
-    q_seg=None, kv_seg=None, softcap=None, slopes=None,
+    q_seg=None, kv_seg=None, softcap=None, slopes=None, sinks=0,
 ):
     b, h, n_q_pad, d = q.shape
     h_kv = k.shape[1]
@@ -883,7 +901,7 @@ def _flash_bwd(
         softmax_scale=softmax_scale, causal=causal, n_q=n_q, n_k=n_k,
         block_q=block_q, block_k=block_k, dropout_rate=dropout_rate,
         window=window, segmented=segmented, softcap=softcap,
-        alibi=slopes is not None,
+        alibi=slopes is not None, sinks=sinks,
     )
     # Pipeline depth for the inner-loop-streamed Q-side inputs (q, do): the
     # bwd analogue of the forward's ``stages`` knob. Buffered(1) halves
@@ -1171,17 +1189,17 @@ def _seg_layouts(q_ids, kv_ids, bq, bk):
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18),
+    nondiff_argnums=(8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19),
 )
 def _flash_attention(
     q, k, v, seed, qoff, q_ids, kv_ids, slopes, causal, softmax_scale,
     block_q, block_k, interpret, dropout_rate, stages, bwd_block_q,
-    bwd_block_k, window, softcap,
+    bwd_block_k, window, softcap, sinks,
 ):
     o, lse = _flash_attention_fwd_rule(
         q, k, v, seed, qoff, q_ids, kv_ids, slopes, causal, softmax_scale,
         block_q, block_k, interpret, dropout_rate, stages, bwd_block_q,
-        bwd_block_k, window, softcap,
+        bwd_block_k, window, softcap, sinks,
     )[0]
     return o, lse
 
@@ -1189,7 +1207,7 @@ def _flash_attention(
 def _flash_attention_fwd_rule(
     q, k, v, seed, qoff, q_ids, kv_ids, slopes, causal, softmax_scale,
     block_q, block_k, interpret, dropout_rate, stages, bwd_block_q,
-    bwd_block_k, window, softcap,
+    bwd_block_k, window, softcap, sinks,
 ):
     qp, kp, vp, bq, bk, n_q, n_k, d = _prepare(q, k, v, block_q, block_k)
     q_seg = kv_seg = None
@@ -1200,6 +1218,7 @@ def _flash_attention_fwd_rule(
         block_q=bq, block_k=bk, interpret=interpret, n_q=n_q, n_k=n_k,
         dropout_rate=dropout_rate, stages=stages, window=window,
         q_seg=q_seg, kv_seg=kv_seg, softcap=softcap, slopes=slopes,
+        sinks=sinks,
     )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
@@ -1209,7 +1228,7 @@ def _flash_attention_fwd_rule(
 
 def _flash_attention_bwd_rule(
     causal, softmax_scale, block_q, block_k, interpret, dropout_rate, stages,
-    bwd_block_q, bwd_block_k, window, softcap, residuals, cotangents,
+    bwd_block_q, bwd_block_k, window, softcap, sinks, residuals, cotangents,
 ):
     q, k, v, seed, qoff, q_ids, kv_ids, slopes, o, lse = residuals
     do, dlse = cotangents
@@ -1240,7 +1259,7 @@ def _flash_attention_bwd_rule(
         softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
         dlse=dlsep, qoff=qoff, window=window, q_seg=q_seg, kv_seg=kv_seg,
-        softcap=softcap, slopes=slopes,
+        softcap=softcap, slopes=slopes, sinks=sinks,
     )
     return (
         dq[:, :, :n_q, :d].astype(q.dtype),
@@ -1277,8 +1296,14 @@ def pallas_attention(
     segment_ids=None,
     softcap: float | None = None,
     alibi_slopes: jax.Array | None = None,
+    sinks: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Flash attention on TPU via Pallas. (B, H, N, D) in, (o, lse) out.
+
+    ``sinks``: StreamingLLM attention sinks — with ``window``, the first
+    ``sinks`` key columns stay visible to every row in addition to the
+    sliding band (sink tiles are never skipped; tiles wholly inside the
+    sinks keep the unmasked fast path).
 
     ``alibi_slopes``: (H,) per-query-head ALiBi slopes — the bias
     -slope_h * |key_pos(col) - key_pos(row)| is computed IN-KERNEL from
@@ -1371,6 +1396,11 @@ def pallas_attention(
             raise ValueError("window requires causal=True")
         if window < 1:
             raise ValueError(f"window must be >= 1, got {window}")
+    if sinks:
+        if window is None:
+            raise ValueError("sinks require window= (StreamingLLM band)")
+        if sinks < 0:
+            raise ValueError(f"sinks must be >= 0, got {sinks}")
     q_ids = kv_ids = None
     if segment_ids is not None:
         if isinstance(segment_ids, (tuple, list)):
@@ -1417,4 +1447,5 @@ def pallas_attention(
         int(bwd_block_k) if bwd_block_k else None,
         int(window) if window is not None else None,
         float(softcap) if softcap is not None else None,
+        int(sinks),
     )

@@ -51,6 +51,7 @@ def reference_attention(
     q_offset: jax.Array | int | None = None,
     window: int | None = None,
     softcap: float | None = None,
+    sinks: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Dense fp32 attention oracle.
 
@@ -99,7 +100,10 @@ def reference_attention(
         cols = jax.lax.broadcasted_iota(jnp.int32, (n_q, n_k), 1)
         cm = cols <= rows + offset
         if window is not None:
-            cm = cm & (cols > rows + offset - window)
+            band = cols > rows + offset - window
+            if sinks:
+                band = band | (cols < sinks)  # StreamingLLM sinks
+            cm = cm & band
         s = jnp.where(cm, s, DEFAULT_MASK_VALUE)
     if mask is not None:
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)

@@ -463,3 +463,39 @@ def test_softcap_model_decode_matches_full_forward():
     np.testing.assert_allclose(
         np.asarray(dec), np.asarray(logits_full), rtol=2e-4, atol=2e-4
     )
+
+
+def test_sinks_model_decode_matches_full_forward():
+    """StreamingLLM sinks end to end: windowed decode with the first
+    `sinks` tokens always visible must reproduce the full forward."""
+    cfg = dataclasses.replace(
+        TINY, attention_window=6, attention_sinks=3, dropout_rate=0.0
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    n = 16
+    tokens = jax.random.randint(jax.random.key(3), (1, n), 0, cfg.vocab_size)
+    full_logits = apply_transformer(params, tokens, cfg)
+    # sinks must matter vs plain window
+    nowin = dataclasses.replace(cfg, attention_sinks=0)
+    win_logits = apply_transformer(params, tokens, nowin)
+    assert not np.allclose(
+        np.asarray(full_logits[0, 10:]), np.asarray(win_logits[0, 10:]),
+        atol=1e-5,
+    )
+    caches = init_kv_cache(cfg, batch=1, max_len=n, dtype=jnp.float32)
+    step_logits = []
+    for i in range(n):
+        logits_i, caches = decode_step(
+            params, caches, tokens[:, i: i + 1], jnp.int32(i), cfg
+        )
+        step_logits.append(logits_i)
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full_logits),
+        rtol=2e-3, atol=2e-3,
+    )
+    with pytest.raises(ValueError, match="sinks require"):
+        init_transformer(
+            jax.random.key(0),
+            dataclasses.replace(TINY, attention_sinks=2),
+        )

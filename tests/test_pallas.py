@@ -805,3 +805,54 @@ def test_alibi_slopes_schedule():
                                rtol=1e-6)
     s6 = np.asarray(alibi_slopes(6))
     assert s6.shape == (6,) and (s6 > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Attention sinks (StreamingLLM)
+# ---------------------------------------------------------------------------
+
+
+def test_sinks_match_oracle_and_grads():
+    """window + sinks: the first `sinks` keys stay visible to every row on
+    top of the sliding band; o/lse and grads vs the dense oracle. The
+    sink region spans a tile boundary fragment (sinks=40 < BQ) so the
+    partial-sink-tile masking is exercised."""
+    b, h, n, d, win, sinks = 1, 2, 512, 64, 96, 40
+    q, k, v = make_qkv(b, h, n, d)
+    o, lse = pallas_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK, window=win,
+        sinks=sinks,
+    )
+    o_r, lse_r = reference_attention(
+        q, k, v, causal=True, window=win, sinks=sinks
+    )
+    assert_allclose(o, o_r, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_r, rtol=LSE_TOL, atol=LSE_TOL)
+    # sinks must actually matter vs plain window
+    o_w, _ = reference_attention(q, k, v, causal=True, window=win)
+    assert np.abs(np.asarray(o_w, np.float32)
+                  - np.asarray(o_r, np.float32)).max() > 1e-3
+
+    def loss_p(t):
+        o, _ = pallas_attention(
+            t[0], t[1], t[2], causal=True, block_q=BQ, block_k=BK,
+            window=win, sinks=sinks,
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_r(t):
+        o, _ = reference_attention(
+            t[0], t[1], t[2], causal=True, window=win, sinks=sinks
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gp = jax.grad(loss_p)((q, k, v))
+    gr = jax.grad(loss_r)((q, k, v))
+    for a, bb in zip(gp, gr):
+        assert_allclose(a, bb, rtol=5e-3, atol=5e-3)
+
+
+def test_sinks_validation():
+    q, k, v = make_qkv(1, 1, 128, 64)
+    with pytest.raises(ValueError, match="sinks require window"):
+        pallas_attention(q, k, v, causal=True, sinks=4)
