@@ -164,6 +164,24 @@ int64_t fat_allocator_release_prefix(void* handle, int64_t seq_id,
   return m;
 }
 
+// Release `n` pages of `seq_id`'s chain starting at position `start`
+// (StreamingLLM serving: the window band moves past pages while the sink
+// pages at the chain head must stay). Returns pages freed.
+int64_t fat_allocator_release_range(void* handle, int64_t seq_id,
+                                    int64_t start, int64_t n) {
+  auto* a = static_cast<Allocator*>(handle);
+  std::lock_guard<std::mutex> lock(a->mu);
+  auto it = a->seq_pages.find(seq_id);
+  if (it == a->seq_pages.end() || n <= 0 || start < 0) return 0;
+  auto& chain = it->second;
+  int64_t sz = static_cast<int64_t>(chain.size());
+  if (start >= sz) return 0;
+  int64_t m = n < (sz - start) ? n : (sz - start);
+  for (int64_t i = 0; i < m; ++i) drop_ref(a, chain[start + i]);
+  chain.erase(chain.begin() + start, chain.begin() + start + m);
+  return m;
+}
+
 // Release all pages owned by `seq_id`. Returns number of pages freed.
 int64_t fat_allocator_release(void* handle, int64_t seq_id) {
   auto* a = static_cast<Allocator*>(handle);

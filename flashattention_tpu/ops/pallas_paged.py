@@ -107,6 +107,7 @@ def _decode_kernel(
     compute_dtype,
     window=None,
     softcap=None,
+    sinks=0,
 ):
     s_count = pages_per_step
     k_refs = rest[:s_count]
@@ -134,6 +135,10 @@ def _decode_kernel(
         first = 0
     else:
         first = jnp.maximum((length - q_len - window + 1) // page_size, 0)
+    # StreamingLLM sinks: the walk covers the sink pages FIRST, then the
+    # band (skipping any overlap — band_base >= sink_pages).
+    sink_pages = -(-sinks // page_size) if (window is not None and sinks) else 0
+    band_base = jnp.maximum(first, sink_pages) if sink_pages else first
 
     @pl.when(j == 0)
     def _init():
@@ -145,7 +150,14 @@ def _decode_kernel(
     # kv heads of one page in a single strided fetch — fetch count is
     # B * pages, not B * pages * H_kv.
     for s in range(s_count):
-        page_idx = first + j * s_count + s
+        t_walk = j * s_count + s
+        if sink_pages:
+            page_idx = jnp.where(
+                t_walk < sink_pages, t_walk,
+                band_base + t_walk - sink_pages,
+            )
+        else:
+            page_idx = first + t_walk
 
         @pl.when(page_idx < n_pages)
         def _update(s=s, page_idx=page_idx):
@@ -163,7 +175,10 @@ def _decode_kernel(
             positions = (length - q_len) + row_t          # (g_pad, 1)
             in_range = slots <= positions                  # (g_pad, page)
             if window is not None:
-                in_range = in_range & (slots > positions - window)
+                band = slots > positions - window
+                if sinks:
+                    band = band | (slots < sinks)
+                in_range = in_range & band
             # HIGHEST costs nothing in fp32 debug mode and is ignored for
             # bf16 operands; accumulation is always fp32 (preferred type).
             prec = (
@@ -259,6 +274,7 @@ def _decode_kernel_merged(
     compute_dtype,
     window=None,
     softcap=None,
+    sinks=0,
 ):
     """Step-merged decode: one online-softmax update per (head, STEP).
 
@@ -296,6 +312,8 @@ def _decode_kernel_merged(
         first = 0
     else:
         first = jnp.maximum((length - q_len - window + 1) // page_size, 0)
+    sink_pages = -(-sinks // page_size) if (window is not None and sinks) else 0
+    band_base = jnp.maximum(first, sink_pages) if sink_pages else first
 
     @pl.when(j == 0)
     def _init():
@@ -313,16 +331,33 @@ def _decode_kernel_merged(
         )
 
     width = s_count * page_size
-    # Consecutive logical pages -> consecutive slots: col c of the scratch
-    # is absolute slot (first + j*S)*page + c.
-    slots = (first + j * s_count) * page_size + jax.lax.broadcasted_iota(
-        jnp.int32, (1, width), 1
-    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    if sink_pages:
+        # The sink->band jump breaks column contiguity: slot bases are
+        # selected per page chunk (statically unrolled, s_count terms).
+        slots = jnp.zeros((1, width), jnp.int32)
+        for s in range(s_count):
+            t_walk = j * s_count + s
+            pidx = jnp.where(
+                t_walk < sink_pages, t_walk,
+                band_base + t_walk - sink_pages,
+            )
+            in_chunk = (cols // page_size) == s
+            slots = jnp.where(
+                in_chunk, pidx * page_size + (cols - s * page_size), slots
+            )
+    else:
+        # Consecutive logical pages -> consecutive slots: col c of the
+        # scratch is absolute slot (first + j*S)*page + c.
+        slots = (first + j * s_count) * page_size + cols
     row_t = jax.lax.broadcasted_iota(jnp.int32, (g_pad, 1), 0) % q_len
     positions = (length - q_len) + row_t              # (g_pad, 1)
     in_range = slots <= positions                     # (g_pad, width)
     if window is not None:
-        in_range = in_range & (slots > positions - window)
+        band = slots > positions - window
+        if sinks:
+            band = band | (slots < sinks)
+        in_range = in_range & band
     prec = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32 else None
@@ -384,6 +419,7 @@ def pallas_paged_attention(
     window: int | None = None,
     merged: bool | None = None,
     softcap: float | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Paged attention on TPU: decode (q: (B, H, D), one token per sequence)
     or chunked prefill (q: (B, H, T, D) — the chunk's K/V must already be
@@ -439,6 +475,8 @@ def pallas_paged_attention(
         # The band spans window + q_len - 1 slots -> at most that many
         # pages + 1 for straddle; the walk starts at the band's first page.
         band_pages = -(-(window + q_len - 1) // page_size) + 1
+        if sinks:
+            band_pages += -(-sinks // page_size)
         n_steps = min(n_steps, -(-band_pages // s_count))
     pps_pad = max(n_steps * s_count, pages_per_seq)
     pi = page_indices
@@ -472,27 +510,42 @@ def pallas_paged_attention(
         compute_dtype=compute_dtype,
         window=window,
         softcap=float(softcap) if softcap is not None else None,
+        sinks=int(sinks),
     )
 
     def idx_q(b_, j, pi_, ln):
         return (b_, 0, 0, 0)
 
+    sink_pages_static = (
+        -(-sinks // page_size) if (window is not None and sinks) else 0
+    )
+
     def idx_page(s):
         def f(b_, j, pi_, ln):
             # Block covers ALL kv heads of one page (dim 0 = full H_kv).
-            logical = j * s_count + s
+            t_walk = j * s_count + s
+            logical = t_walk
             if window is not None:
                 # Start the walk at the band's first page (same arithmetic
-                # as the kernel's ``first``); steps past the sequence's
-                # last page clamp to it, so their block index repeats and
-                # Pallas skips the re-fetch.
+                # as the kernel's ``first``); with sinks the walk covers
+                # the sink pages first, then the band. Steps past the
+                # sequence's last page clamp to it, so their block index
+                # repeats and Pallas skips the re-fetch.
                 first = jnp.maximum(
                     (ln[b_] - q_len - window + 1) // page_size, 0
                 )
                 last = jnp.maximum(
                     (ln[b_] + page_size - 1) // page_size - 1, 0
                 )
-                logical = jnp.minimum(first + logical, last)
+                if sink_pages_static:
+                    base = jnp.maximum(first, sink_pages_static)
+                    logical = jnp.where(
+                        t_walk < sink_pages_static, t_walk,
+                        base + t_walk - sink_pages_static,
+                    )
+                else:
+                    logical = first + t_walk
+                logical = jnp.minimum(logical, last)
             return (0, pi_[b_ * pps_pad + logical], 0, 0)
         return f
 

@@ -51,6 +51,10 @@ def _load_native(build_if_missing: bool = True, allow_rebuild: bool = True):
         lib.fat_allocator_release_prefix.argtypes = [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64
         ]
+        lib.fat_allocator_release_range.restype = ctypes.c_int64
+        lib.fat_allocator_release_range.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64
+        ]
         lib.fat_allocator_adopt.restype = ctypes.c_int32
         lib.fat_allocator_adopt.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -207,6 +211,23 @@ class PageAllocator:
         for p in chain:
             self._drop_ref(p)
         return len(chain)
+
+    def release_range(self, seq_id: int, start: int, n: int) -> int:
+        """Free ``n`` pages of the chain starting at position ``start``
+        (StreamingLLM: the band moves past pages while the sink pages at
+        the chain head stay)."""
+        if self._lib:
+            return self._lib.fat_allocator_release_range(
+                self._handle, seq_id, start, n
+            )
+        chain = self._seq_pages.get(seq_id)
+        if not chain or n <= 0 or start < 0 or start >= len(chain):
+            return 0
+        m = min(n, len(chain) - start)
+        for p_ in chain[start: start + m]:
+            self._drop_ref(p_)
+        del chain[start: start + m]
+        return m
 
     def release_prefix(self, seq_id: int, n: int) -> int:
         """Free the first ``n`` pages of the sequence's chain (sliding-window

@@ -170,7 +170,10 @@ def make_prefill_fn(cfg: TransformerConfig):
         cols = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
         mask = (cols <= rows) & (cols < prompt_len)
         if cfg.attention_window is not None:
-            mask = mask & (cols > rows - cfg.attention_window)
+            band = cols > rows - cfg.attention_window
+            if cfg.attention_sinks:
+                band = band | (cols < cfg.attention_sinks)
+            mask = mask & band
         new_caches = []
         zero_len = jnp.zeros((b,), jnp.int32)
         for bp, cache in zip(params["blocks"], caches):
@@ -236,6 +239,7 @@ def make_chunk_prefill_fn(
                 softmax_scale=cfg.softmax_scale,
                 window=cfg.attention_window,
                 softcap=cfg.attn_softcap,
+                sinks=cfg.attention_sinks,
             )
         from flashattention_tpu.serving.paged_kv import gather_pages
 
@@ -252,6 +256,8 @@ def make_chunk_prefill_fn(
             rows = jax.lax.broadcasted_iota(jnp.int32, (c, l_cache), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (c, l_cache), 1)
             band = cols > rows + base - cfg.attention_window
+            if cfg.attention_sinks:
+                band = band | (cols < cfg.attention_sinks)
         o, _ = tiled_attention(
             q, k_full.astype(q.dtype), v_full.astype(q.dtype),
             causal=True, softmax_scale=cfg.softmax_scale, q_offset=base,
@@ -334,10 +340,12 @@ def make_decode_fn(
                 softmax_scale=cfg.softmax_scale,
                 window=cfg.attention_window,
                 softcap=cfg.attn_softcap,
+                sinks=cfg.attention_sinks,
             )
         return paged_attention_decode(
             q, cache, page_indices, lengths, softmax_scale=cfg.softmax_scale,
             window=cfg.attention_window, softcap=cfg.attn_softcap,
+            sinks=cfg.attention_sinks,
         )
 
     def _decode_logits(params, caches, tokens, page_indices, lengths):
@@ -556,14 +564,18 @@ class ServingEngine:
     def _page_row(
         self, seq_id: int | None, freed: int = 0
     ) -> jnp.ndarray:
-        """Logical page p lives at row position p: a reclaimed prefix
-        (sliding window) shifts the physical chain up by ``freed``; the
-        dead positions keep the dump page and are never visited (the
-        kernel's page walk starts at the band's first page)."""
+        """Logical page p lives at row position p: a reclaimed range
+        (sliding window) shifts the physical chain up by ``freed`` after
+        the sink pages; the dead positions keep the dump page and are
+        never visited (the kernel's page walk covers sinks + band)."""
         row = np.full((self.ecfg.pages_per_seq,), self.dump_page, np.int32)
         if seq_id is not None:
             pages = self.allocator.pages(seq_id)
-            row[freed: freed + len(pages)] = pages
+            keep = 0
+            if freed and self.cfg.attention_sinks:
+                keep = -(-self.cfg.attention_sinks // self.ecfg.page_size)
+                row[:keep] = pages[:keep]
+            row[keep + freed: keep + freed + len(pages) - keep] = pages[keep:]
         return jnp.asarray(row)
 
     def _decode_once(self) -> None:
@@ -655,12 +667,24 @@ class ServingEngine:
         w = self.cfg.attention_window
         if w is None or slot.request is None:
             return
-        first_needed = max(0, (slot.length - w + 1)) // self.ecfg.page_size
-        freeable = first_needed - slot.freed_pages
+        psize = self.ecfg.page_size
+        sink_pages = (
+            -(-self.cfg.attention_sinks // psize)
+            if self.cfg.attention_sinks else 0
+        )
+        first_needed = max(0, (slot.length - w + 1)) // psize
+        freeable = first_needed - sink_pages - slot.freed_pages
         if freeable > 0:
-            freed = self.allocator.release_prefix(
-                slot.request.request_id, freeable
-            )
+            if sink_pages:
+                # Keep the sink pages at the chain head; the dead pages
+                # sit right after them (earlier frees already removed).
+                freed = self.allocator.release_range(
+                    slot.request.request_id, sink_pages, freeable
+                )
+            else:
+                freed = self.allocator.release_prefix(
+                    slot.request.request_id, freeable
+                )
             slot.freed_pages += freed
 
     def _maybe_finish(self, slot: _Slot) -> None:

@@ -168,7 +168,7 @@ def gather_pages(cache: PagedKVCache, page_indices: jax.Array):
     return k, v
 
 
-@partial(jax.jit, static_argnames=("softmax_scale", "window", "softcap"))
+@partial(jax.jit, static_argnames=("softmax_scale", "window", "softcap", "sinks"))
 def paged_attention_decode(
     q: jax.Array,             # (B, H, D) one query token per sequence
     cache: PagedKVCache,
@@ -178,6 +178,7 @@ def paged_attention_decode(
     softmax_scale: float | None = None,
     window: int | None = None,
     softcap: float | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Decode attention against the paged cache (XLA executor).
 
@@ -198,9 +199,10 @@ def paged_attention_decode(
     slot = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
     length_mask = slot < lengths[:, None, None, None]
     if window is not None:
-        length_mask = length_mask & (
-            slot >= lengths[:, None, None, None] - window
-        )
+        band = slot >= lengths[:, None, None, None] - window
+        if sinks:
+            band = band | (slot < sinks)  # StreamingLLM sinks
+        length_mask = length_mask & band
     s = jnp.where(length_mask, s, -0.7 * jnp.finfo(jnp.float32).max)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgl,bhld->bhgd", p, v)

@@ -303,3 +303,34 @@ g = jax.grad(lambda t: jnp.sum(pallas_attention(
 assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in g)
 print("ALIBI PASS", flush=True)
 PYEOF
+
+step verify_paged_sinks 1200 python - <<'PYEOF'
+# StreamingLLM sinks on the paged path, REAL TPU: sink+band walk compile
+# legality (the per-chunk slot select is new Mosaic surface) + parity.
+from flashattention_tpu.utils.profiling import enable_compile_cache
+enable_compile_cache()
+import jax, jax.numpy as jnp, numpy as np
+from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+from flashattention_tpu.serving.paged_kv import (
+    init_paged_cache, append_to_pages, paged_attention_decode,
+)
+b, h, d, psize, total, window, sinks = 4, 8, 128, 64, 2048, 512, 128
+npg = total // psize
+cache = init_paged_cache(h, b * npg + 1, psize, d, dtype=jnp.bfloat16)
+kf = jax.random.normal(jax.random.key(0), (b, h, total, d), jnp.bfloat16)
+vf = jax.random.normal(jax.random.key(1), (b, h, total, d), jnp.bfloat16)
+pi = jnp.arange(b * npg).reshape(b, -1).astype(jnp.int32)
+lengths = jnp.full((b,), total, jnp.int32)
+cache = append_to_pages(cache, kf, vf, pi, jnp.zeros((b,), jnp.int32))
+q = jax.random.normal(jax.random.key(2), (b, h, d), jnp.bfloat16)
+o_ref = paged_attention_decode(q, cache, pi, lengths, window=window,
+                               sinks=sinks)
+for merged in (False, True):
+    o = pallas_paged_attention(q, cache.k_pages, cache.v_pages, pi, lengths,
+                               window=window, sinks=sinks,
+                               compute_dtype=jnp.float32, merged=merged)
+    err = np.abs(np.asarray(o, np.float32) - np.asarray(o_ref, np.float32)).max()
+    print(f"merged={merged}: maxerr {err:.3e}", flush=True)
+    assert err < 5e-2, err
+print("PAGED-SINKS PASS", flush=True)
+PYEOF

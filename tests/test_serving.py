@@ -812,3 +812,104 @@ def test_paged_decode_softcap_matches_dense(params):
         np.asarray(o_exec[0]), np.asarray(o_ref[0, :, 0]),
         rtol=2e-5, atol=2e-5,
     )
+
+
+# -- attention sinks on the paged path ----------------------------------------
+
+
+@pytest.mark.parametrize("native", [False, None])
+def test_allocator_release_range(native):
+    a = PageAllocator(8, native=native)
+    assert a.grow(1, 6)
+    chain = a.pages(1)
+    assert a.release_range(1, 2, 3) == 3        # free positions 2..4
+    assert a.pages(1) == chain[:2] + chain[5:]
+    assert a.free_pages() == 5
+    assert a.release_range(1, 9, 1) == 0        # past the chain
+    assert a.release_range(1, 1, 99) == 2       # clamps
+
+
+@pytest.mark.parametrize("merged", [False, True])
+def test_pallas_paged_sinks_matches_executor(merged):
+    """Sink pages + band walk on both kernel schedules, decode and chunked
+    prefill, vs the gather executor; includes a freed-middle page row (the
+    engine's StreamingLLM layout: [sinks][dump hole][band])."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h, d, psize, total = 2, 4, 64, 16, 128
+    window, sinks = 40, 20  # sinks span 1.25 pages
+    cache = init_paged_cache(h, 20, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, total, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h, total, d))
+    pi = jnp.arange(2 * (total // psize)).reshape(b, -1).astype(jnp.int32)
+    lengths = jnp.asarray([total, 77])
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32), valid_len=lengths
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h, d))
+    o_exec = paged_attention_decode(
+        q, cache, pi, lengths, window=window, sinks=sinks
+    )
+    o = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32, window=window, sinks=sinks,
+        merged=merged,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o), np.asarray(o_exec), rtol=2e-5, atol=2e-5
+    )
+    # dense oracle cross-check for the full-length row
+    s_full = jnp.einsum("hqd,hkd->hqk", q[:1][0][:, None, :].astype(jnp.float32),
+                        kf[0].astype(jnp.float32)) * (d ** -0.5)
+    cols = jnp.arange(total)[None, None, :]
+    keep = (cols < sinks) | (cols >= total - window)
+    s_full = jnp.where(keep, s_full, -1e30)
+    p = jax.nn.softmax(s_full, axis=-1)
+    o_dense = jnp.einsum("hqk,hkd->hqd", p, vf[0].astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(o[0]), np.asarray(o_dense[:, 0]), rtol=2e-4, atol=2e-4
+    )
+    # freed-middle layout: pages strictly between sinks and band -> dump,
+    # must not change the output (they are never read)
+    dump = 19
+    sink_pages = -(-sinks // psize)
+    first_band = (int(lengths[0]) - 1 - window + 1) // psize
+    pif = np.asarray(pi).copy()
+    pif[0, sink_pages:first_band] = dump
+    o_free = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, jnp.asarray(pif), lengths,
+        compute_dtype=jnp.float32, window=window, sinks=sinks,
+        merged=merged,
+    )
+    np.testing.assert_array_equal(np.asarray(o_free[0]), np.asarray(o[0]))
+
+
+def test_engine_sinks_e2e_matches_uncapped_memory(params):
+    """StreamingLLM serving: window+sinks engine (with mid-chain page
+    reclamation active) must produce the same tokens as the same model
+    served without any reclamation pressure."""
+    cfg = dataclasses.replace(
+        CFG, attention_window=24, attention_sinks=8
+    )
+    p2 = init_transformer(jax.random.key(0), cfg)
+    prompt = list(np.random.default_rng(7).integers(0, cfg.vocab_size, 20))
+
+    def run(num_pages):
+        ecfg = EngineConfig(
+            max_batch_size=1, page_size=8, num_pages=num_pages,
+            max_seq_len=128, prefill_pad=16,
+        )
+        eng = ServingEngine(p2, cfg, ecfg)
+        eng.submit(GenerationRequest(0, prompt, max_new_tokens=40))
+        res = eng.run()
+        return res[0], eng
+
+    out_big, _ = run(64)
+    # Pool too small for O(length): prompt 20 + 40 new = 60 tokens = 8
+    # pages + dump = 9 > 8. Only mid-chain reclamation (window 24 + sink 8
+    # => ~6 live pages) lets this run WITHOUT eviction; identical output
+    # proves the freed pages were truly dead.
+    out_small, eng = run(8)
+    assert out_big == out_small and len(out_big) == 40
+    assert eng._evicted_prefix == {}  # no eviction happened
+    assert eng.slots[0].request is None  # finished
