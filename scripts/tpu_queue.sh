@@ -334,3 +334,6 @@ for merged in (False, True):
     assert err < 5e-2, err
 print("PAGED-SINKS PASS", flush=True)
 PYEOF
+
+# serving decode/prefill throughput + prefix-cache admit effect
+step bench_serving 1800 python scripts/bench_serving.py
