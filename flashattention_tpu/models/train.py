@@ -76,6 +76,48 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     return tx
 
 
+def chunked_cross_entropy(x, lm_head, targets, chunk, valid=None):
+    """Mean next-token CE with per-chunk logits: a remat'd lax.scan
+    computes (B, chunk, V) logits per step, so peak logits memory drops
+    from O(B*N*V) to O(B*chunk*V) — at GPT-2 vocab and B=8, N=1024 that
+    is 1.6 GB -> 1.6/(N/chunk) GB. The backward recomputes each chunk's
+    logits from the checkpointed inputs (FLOPs-for-HBM, the same trade
+    as attention recompute). ``valid`` masks targets (packed varlen)."""
+    b, n, d = x.shape
+    if valid is None:
+        valid = jnp.ones((b, n), bool)
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad)))
+    steps = x.shape[1] // chunk
+    xs = jnp.moveaxis(x.reshape(b, steps, chunk, d), 1, 0)
+    ts = jnp.moveaxis(targets.reshape(b, steps, chunk), 1, 0)
+    vs = jnp.moveaxis(valid.reshape(b, steps, chunk), 1, 0)
+    w = lm_head["w"]
+    bias = lm_head["b"]
+
+    @jax.checkpoint
+    def one(xc, tc, vc):
+        logits = (
+            xc.astype(jnp.float32) @ w.astype(jnp.float32)
+            + bias.astype(jnp.float32)
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
+        return jnp.sum(jnp.where(vc, nll, 0.0)), jnp.sum(vc)
+
+    def body(carry, inp):
+        s_, c_ = one(*inp)
+        return (carry[0] + s_, carry[1] + c_), None
+
+    (total, count), _ = jax.lax.scan(
+        body, (jnp.float32(0.0), jnp.int32(0)), (xs, ts, vs)
+    )
+    return total / jnp.maximum(count, 1)
+
+
 def loss_fn(params, batch, cfg: TransformerConfig, dropout_key):
     """Next-token cross entropy (reference CE loss, ln 896-899).
 
@@ -87,6 +129,18 @@ def loss_fn(params, batch, cfg: TransformerConfig, dropout_key):
     tokens = batch["tokens"]  # (B, N+1)
     inputs, targets = tokens[:, :-1], tokens[:, 1:]
     seg = batch.get("segment_ids")
+    valid = None
+    if seg is not None:
+        valid = (seg[:, :-1] == seg[:, 1:]) & (seg[:, :-1] >= 0)
+    if cfg.loss_chunk:
+        x = apply_transformer(
+            params, inputs, cfg, train=True, dropout_key=dropout_key,
+            segment_ids=None if seg is None else seg[:, :-1],
+            return_hidden=True,
+        )
+        return chunked_cross_entropy(
+            x, params["lm_head"], targets, cfg.loss_chunk, valid=valid
+        )
     logits = apply_transformer(
         params, inputs, cfg, train=True, dropout_key=dropout_key,
         segment_ids=None if seg is None else seg[:, :-1],
@@ -95,7 +149,6 @@ def loss_fn(params, batch, cfg: TransformerConfig, dropout_key):
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     if seg is None:
         return jnp.mean(nll)
-    valid = (seg[:, :-1] == seg[:, 1:]) & (seg[:, :-1] >= 0)
     return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
         jnp.sum(valid), 1
     )

@@ -65,6 +65,10 @@ class TransformerConfig:
     attention_sinks: int = 0       # StreamingLLM: with attention_window,
                                    # the first `sinks` tokens stay visible
                                    # to every position
+    loss_chunk: int | None = None  # chunked cross entropy: compute logits
+                                   # (B, chunk, V) per scan step instead of
+                                   # materializing (B, N, V) (HBM saver for
+                                   # big vocab; models/train.py loss_fn)
     use_block_sparse: bool = False
     dtype: Any = jnp.bfloat16      # activation/compute dtype
     param_dtype: Any = jnp.float32
@@ -387,8 +391,12 @@ def apply_transformer(
     dropout_key: jax.Array | None = None,
     sparse_pattern: jax.Array | None = None,
     segment_ids: jax.Array | None = None,
+    return_hidden: bool = False,
 ) -> jax.Array:
     """tokens (B, N) int32 -> logits (B, N, vocab) in fp32.
+
+    ``return_hidden=True`` returns the final-LN hidden states (B, N, D)
+    instead of logits (the chunked-CE loss applies the LM head itself).
 
     ``segment_ids``: (B, N) int32 — packed-varlen rows (several documents
     per row, contiguous runs of one id each). Attention stays within each
@@ -439,6 +447,8 @@ def apply_transformer(
     for i, bp in enumerate(params["blocks"]):
         x = block_fn(x, bp, tuple(keys[3 * i: 3 * i + 3]))
     x = _layer_norm(x, params["final_ln"])
+    if return_hidden:
+        return x
     logits = x.astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
     return logits + params["lm_head"]["b"].astype(jnp.float32)
 

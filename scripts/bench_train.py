@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--d-model", type=int, default=768)
     ap.add_argument("--heads", type=int, default=12)
     ap.add_argument("--vocab", type=int, default=50257)
+    ap.add_argument("--loss-chunk", type=int, default=512,
+                    help="chunked-CE logits window (0 = dense logits)")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--iters", default="3,13", help="i1,i2 two-point counts")
     ap.add_argument("--out", default="benchmarks/results/train_r02.json")
@@ -78,6 +80,7 @@ def main():
         block_size=512,
         dropout_rate=0.0,
         remat=True,
+        loss_chunk=args.loss_chunk or None,
     )
     tc = TrainConfig(grad_accum=1, batch_size=args.batch, seq_len=args.seq)
     tx = make_optimizer(tc)
@@ -140,6 +143,7 @@ def main():
             "heads": args.heads,
             "vocab": args.vocab,
             "remat": True,
+            "loss_chunk": args.loss_chunk or None,
             "optimizer": "adamw+clip+warmup-cosine",
             "backend": jax.default_backend(),
             "method": "two_point_fori_loop",

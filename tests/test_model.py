@@ -499,3 +499,30 @@ def test_sinks_model_decode_matches_full_forward():
             jax.random.key(0),
             dataclasses.replace(TINY, attention_sinks=2),
         )
+
+
+def test_chunked_cross_entropy_matches_dense():
+    """loss_chunk: scan-chunked CE (O(B*chunk*V) peak logits) must equal
+    the dense loss in value AND gradients, with and without packing."""
+    cfg_d = dataclasses.replace(TINY, dropout_rate=0.0, n_layers=1)
+    cfg_c = dataclasses.replace(cfg_d, loss_chunk=8)
+    params = init_transformer(jax.random.key(0), cfg_d)
+    tokens = jax.random.randint(jax.random.key(1), (2, 21), 0,
+                                cfg_d.vocab_size)  # N=20, not chunk-aligned
+    batch = {"tokens": tokens}
+    l_d, g_d = jax.value_and_grad(loss_fn)(params, batch, cfg_d, None)
+    l_c, g_c = jax.value_and_grad(loss_fn)(params, batch, cfg_c, None)
+    np.testing.assert_allclose(float(l_c), float(l_d), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_d), jax.tree.leaves(g_c)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=1e-5, atol=1e-6,
+        )
+    # packed: boundary masking must survive the chunked path
+    ids = np.zeros((2, 21), np.int32)
+    ids[:, 9:] = 1
+    ids[1, 15:] = -1  # padding tail
+    batch_p = {"tokens": tokens, "segment_ids": jnp.asarray(ids)}
+    l_dp = float(loss_fn(params, batch_p, cfg_d, None))
+    l_cp = float(loss_fn(params, batch_p, cfg_c, None))
+    np.testing.assert_allclose(l_cp, l_dp, rtol=1e-6)
