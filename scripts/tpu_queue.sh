@@ -337,3 +337,6 @@ PYEOF
 
 # serving decode/prefill throughput + prefix-cache admit effect
 step bench_serving 1800 python scripts/bench_serving.py
+
+# speculative decoding latency vs plain decode (self-draft ceiling)
+step bench_spec 1800 python scripts/bench_spec.py
