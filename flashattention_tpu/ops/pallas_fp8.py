@@ -40,6 +40,7 @@ from flashattention_tpu.ops.pallas_attn import (
     _interpret_default,
     _keep_mask,
     _pad_dim,
+    _seg_layouts,
     _tile_mask,
 )
 from flashattention_tpu.ops.quant import FP8_DTYPE, FP8_MAX, SCALE_EPS
@@ -268,13 +269,15 @@ def _dequant_bf16(payload, scales, block):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
 )
-def _fp8_attention(q, k, v, seed, causal, softmax_scale, block_q, block_k,
-                   interpret, out_dtype, stages, dropout_rate, mode):
+def _fp8_attention(q, k, v, seed, q_ids, kv_ids, slopes, causal,
+                   softmax_scale, block_q, block_k, interpret, out_dtype,
+                   stages, dropout_rate, mode, softcap):
     return _fp8_attention_fwd_rule(
-        q, k, v, seed, causal, softmax_scale, block_q, block_k, interpret,
-        out_dtype, stages, dropout_rate, mode,
+        q, k, v, seed, q_ids, kv_ids, slopes, causal, softmax_scale,
+        block_q, block_k, interpret, out_dtype, stages, dropout_rate, mode,
+        softcap,
     )[0]
 
 
@@ -298,12 +301,15 @@ def _prepare_fp8(q, k, v, block_q, block_k):
     return q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d
 
 
-def _fp8_attention_fwd_rule(q, k, v, seed, causal, softmax_scale, block_q,
-                            block_k, interpret, out_dtype, stages,
-                            dropout_rate, mode):
+def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
+                            softmax_scale, block_q, block_k, interpret,
+                            out_dtype, stages, dropout_rate, mode, softcap):
     q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d = _prepare_fp8(
         q, k, v, block_q, block_k
     )
+    q_seg = kv_seg = None
+    if q_ids is not None:
+        q_seg, kv_seg = _seg_layouts(q_ids, kv_ids, bq, bk)
     if mode == "predecode":
         # Compute-bound shapes (several q tiles): the fused kernel would
         # bit-decode every K/V tile once PER Q TILE — O(N_q/bq) redundant
@@ -321,6 +327,7 @@ def _fp8_attention_fwd_rule(q, k, v, seed, causal, softmax_scale, block_q,
             softmax_scale=softmax_scale, block_q=bq, block_k=bk,
             interpret=interpret, n_q=n_q, n_k=n_k,
             dropout_rate=dropout_rate, stages=stages,
+            q_seg=q_seg, kv_seg=kv_seg, softcap=softcap, slopes=slopes,
         )
         o = o.astype(out_dtype)
     else:
@@ -338,20 +345,20 @@ def _fp8_attention_fwd_rule(q, k, v, seed, causal, softmax_scale, block_q,
     kd_tag = jnp.zeros((0,), k.dtype)
     vd_tag = jnp.zeros((0,), v.dtype)
     return (o_out, lse_out), (
-        q8, k8, v8, sq, sk, sv, seed, o_out, lse_out, bq, bk, n_k,
-        kd_tag, vd_tag,
+        q8, k8, v8, sq, sk, sv, seed, q_ids, kv_ids, slopes, o_out,
+        lse_out, bq, bk, n_k, kd_tag, vd_tag,
     )
 
 
 def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
                             interpret, out_dtype, stages, dropout_rate,
-                            mode, residuals, cotangents):
+                            mode, softcap, residuals, cotangents):
     """STE backward: run the bf16 backward kernels on the dequantized
     payloads (reference fa3_bwd.cu:134-146 semantics). With dropout, the
     same counter-based mask regenerates from (seed, bh, tile) — the bf16
     backward kernels share `_keep_mask` with the fp8 forward."""
-    (q8, k8, v8, sq, sk, sv, seed, o, lse, bq, bk, n_k,
-     kd_tag, vd_tag) = residuals
+    (q8, k8, v8, sq, sk, sv, seed, q_ids, kv_ids, slopes, o, lse, bq, bk,
+     n_k, kd_tag, vd_tag) = residuals
     do, dlse = cotangents
     qd = _dequant(q8, sq, bq).astype(jnp.bfloat16)
     kd = _dequant(k8, sk, bk).astype(jnp.bfloat16)
@@ -364,16 +371,23 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
         dop = _pad_dim(dop, 3, LANES)
     lsep = _pad_dim(lse, 2, bq, value=1e9)[..., None]
     dlsep = _pad_dim(dlse, 2, bq)[..., None]
+    q_seg = kv_seg = None
+    if q_ids is not None:
+        q_seg, kv_seg = _seg_layouts(q_ids, kv_ids, bq, bk)
     dq, dk, dv = _flash_bwd(
         qd, kd, vd, op, lsep, dop, seed,
         causal=causal, softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
-        dlse=dlsep,
+        dlse=dlsep, q_seg=q_seg, kv_seg=kv_seg, softcap=softcap,
+        slopes=slopes,
     )
     return (
         dq[:, :, :n_q, :d].astype(out_dtype),
         dk[:, :, :n_k, :d].astype(kd_tag.dtype),
         dv[:, :, :n_k, :d].astype(vd_tag.dtype),
+        None,
+        None,
+        None,
         None,
     )
 
@@ -424,6 +438,9 @@ def pallas_fp8_attention(
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int | None = None,
     mode: str = "auto",
+    softcap: float | None = None,
+    segment_ids=None,
+    alibi_slopes: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """FA3 fused-FP8 flash attention: quantizes q/k/v to float8_e4m3fn with
     per-tile scales, streams 1-byte payloads through the kernel, descales in
@@ -465,10 +482,37 @@ def pallas_fp8_attention(
         raise ValueError(
             f"mode must be auto|fused|predecode, got {mode!r}"
         )
+    features = (softcap is not None or segment_ids is not None
+                or alibi_slopes is not None)
     if mode == "auto":
-        mode = "predecode" if q.shape[2] > block_q else "fused"
+        mode = (
+            "predecode" if (features or q.shape[2] > block_q) else "fused"
+        )
+    if features and mode == "fused":
+        raise ValueError(
+            "softcap/segment_ids/alibi_slopes run via mode='predecode' "
+            "(the bf16 kernel); the fused fp8 kernel does not implement "
+            "them"
+        )
+    q_ids = kv_ids = None
+    if segment_ids is not None:
+        if isinstance(segment_ids, (tuple, list)):
+            q_ids, kv_ids = segment_ids
+        else:
+            q_ids = kv_ids = segment_ids
+        q_ids = jnp.asarray(q_ids, jnp.int32)
+        kv_ids = jnp.asarray(kv_ids, jnp.int32)
+    slopes = None
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).ravel()
+        if slopes.shape != (q.shape[1],):
+            raise ValueError(
+                f"alibi_slopes must be (H,)=({q.shape[1]},), "
+                f"got {slopes.shape}"
+            )
     return _fp8_attention(
-        q, k, v, seed, causal, float(softmax_scale), int(block_q),
-        int(block_k), bool(interpret), q.dtype, int(stages),
+        q, k, v, seed, q_ids, kv_ids, slopes, causal, float(softmax_scale),
+        int(block_q), int(block_k), bool(interpret), q.dtype, int(stages),
         float(dropout_rate), mode,
+        float(softcap) if softcap is not None else None,
     )

@@ -220,3 +220,53 @@ def test_fa3_fp8_gqa_dropout_through_api():
     )
     assert o.shape == q.shape
     assert np.isfinite(np.asarray(o, np.float32)).all()
+
+
+def test_fp8_predecode_softcap_varlen_alibi():
+    """FA3-fp8 composes with softcap / packed varlen / ALiBi through the
+    predecode route (the bf16 kernel on quantize->dequantize values);
+    parity vs the capped/masked/biased oracle on the SAME dequantized
+    tensors; fused mode raises."""
+    from flashattention_tpu.ops.api import alibi_slopes
+    from flashattention_tpu.ops.pallas_fp8 import (
+        _dequant_bf16,
+        _prepare_fp8,
+        pallas_fp8_attention,
+    )
+
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    cap = 8.0
+    ids = np.zeros((b, n), np.int32)
+    ids[0, 100:] = 1
+    ids = jnp.asarray(ids)
+    slopes = alibi_slopes(h)
+
+    o, lse = pallas_fp8_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK,
+        softcap=cap, segment_ids=ids, alibi_slopes=slopes,
+    )
+    # oracle on the exact dequantized payloads
+    q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, dd = _prepare_fp8(
+        q, k, v, BQ, BK
+    )
+    qd = _dequant_bf16(q8, sq, bq)[:, :, :n, :]
+    kd = _dequant_bf16(k8, sk, bk)[:, :, :n, :]
+    vd = _dequant_bf16(v8, sv, bk)[:, :, :n, :]
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(n)[None, :]
+    bias = -slopes[:, None, None] * jnp.abs(cols - rows).astype(jnp.float32)
+    seg = ids[:, None, :, None] == ids[:, None, None, :]
+    o_r, lse_r = reference_attention(
+        qd, kd, vd, causal=True, bias=bias, softcap=cap, mask=seg
+    )
+    assert_allclose(o, o_r, rtol=2.5e-2, atol=2.5e-2)
+    assert_allclose(lse, lse_r, rtol=1e-2, atol=1e-2)
+    # grads flow and are finite
+    g = jax.grad(lambda t: jnp.sum(pallas_fp8_attention(
+        t[0], t[1], t[2], causal=True, block_q=BQ, block_k=BK,
+        softcap=cap, segment_ids=ids, alibi_slopes=slopes,
+    )[0].astype(jnp.float32) ** 2))((q, k, v))
+    assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in g)
+    with pytest.raises(ValueError, match="predecode"):
+        pallas_fp8_attention(q, k, v, causal=True, mode="fused", softcap=cap)
