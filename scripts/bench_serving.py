@@ -219,17 +219,32 @@ def main():
     )
 
     pre_len = (ns.prefill_len // ns.prefill_chunk) * ns.prefill_chunk
+    # The section-1/2 cfg's learned position table only covers ~ctx tokens;
+    # a pre_len-token prompt would silently clamp the dynamic-slice into the
+    # table and prefill with wrong embeddings. Size a dedicated model config
+    # (and params) to the prompt instead.
+    cfg3 = dataclasses.replace(
+        cfg, max_seq_len=pre_len + ns.prefill_chunk + 256 + 64
+    )
+    params3 = init_transformer(jax.random.key(3), cfg3)
     common = list(np.random.default_rng(0).integers(
-        0, cfg.vocab_size, pre_len - ns.prefill_chunk))
+        0, cfg3.vocab_size, pre_len - ns.prefill_chunk))
     tails = [list(np.random.default_rng(i + 1).integers(
-        0, cfg.vocab_size, ns.prefill_chunk + 7)) for i in range(2)]
+        0, cfg3.vocab_size, ns.prefill_chunk + 7)) for i in range(2)]
     ecfg = EngineConfig(
         max_batch_size=2, page_size=ns.page,
-        num_pages=4 * (pre_len // ns.page) + 8,
+        num_pages=6 * (pre_len // ns.page) + 16,
         max_seq_len=pre_len + 256, prefill_pad=ns.prefill_chunk,
         quant=ns.quant, prefix_cache=True,
     )
-    eng = ServingEngine(params, cfg, ecfg)
+    eng = ServingEngine(params3, cfg3, ecfg)
+    # Warm the engine's jitted programs (chunk prefill / epilogue / decode)
+    # on a DISJOINT prompt so the timed cold admit measures the prefix-cache
+    # effect, not first-call compilation (remote compiles cost 30 s-10 min).
+    warm = list(np.random.default_rng(99).integers(
+        0, cfg3.vocab_size, 2 * ns.prefill_chunk + 5))
+    eng.submit(GenerationRequest(-1, warm, max_new_tokens=1))
+    eng.run(max_steps=50)
     calls = []
     orig = eng._chunk_prefill
 
@@ -239,12 +254,14 @@ def main():
 
     eng._chunk_prefill = spy
     times = []
+    chunk_calls = []
     for i, tail in enumerate(tails):
         eng.submit(GenerationRequest(i, common + tail, max_new_tokens=1))
         n0 = len(calls)
         t0 = time.perf_counter()
         eng.step()  # admit + prefill (+1 decode)
         times.append(time.perf_counter() - t0)
+        chunk_calls.append(len(calls) - n0)
         eng.run(max_steps=50)
     print(json.dumps({
         "metric": "serving_prefix_cache_admit_speedup",
@@ -255,7 +272,7 @@ def main():
             "warm_admit_s": round(times[1], 3),
             "prompt_len": len(common) + len(tails[0]),
             "shared_prefix_len": len(common),
-            "chunk_calls_total": len(calls),
+            "chunk_calls_per_admit": chunk_calls,
             "backend": jax.default_backend(),
         },
     }), flush=True)

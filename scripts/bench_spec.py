@@ -121,7 +121,8 @@ def main():
     }
     line = json.dumps(rec)
     print(line, flush=True)
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write(line + "\n")
 

@@ -884,6 +884,43 @@ def test_pallas_paged_sinks_matches_executor(merged):
     np.testing.assert_array_equal(np.asarray(o_free[0]), np.asarray(o[0]))
 
 
+@pytest.mark.parametrize("merged", [False, True])
+def test_pallas_paged_sinks_chunked_prefill(merged):
+    """sinks + window with q_len > 1 (the engine's chunked-prefill path on a
+    StreamingLLM model): each chunk row's band starts at its own absolute
+    position while the sink prefix stays visible to every row. Oracle is the
+    dense sinks+window reference with the chunk as the query suffix.
+    psize=16 keeps the merged schedule eligible (page_size % 16 == 0)."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h, d, psize, total, chunk = 2, 4, 64, 16, 128, 8
+    window, sinks = 24, 20  # sinks span 1.25 pages; band straddles pages
+    npg = total // psize
+    cache = init_paged_cache(h, b * npg + 2, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, total, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h, total, d))
+    pi = (jnp.arange(b * npg).reshape(b, -1) + 1).astype(jnp.int32)
+    lengths = jnp.asarray([total, 93])  # short row: chunk ends mid-page
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32), valid_len=lengths
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h, chunk, d))
+    o = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32, window=window, sinks=sinks, merged=merged,
+    )
+    assert np.isfinite(np.asarray(o)).all()
+    for row in range(b):
+        ln = int(lengths[row])
+        o_ref, _ = reference_attention(
+            q[row:row + 1], kf[row:row + 1, :, :ln], vf[row:row + 1, :, :ln],
+            causal=True, window=window, sinks=sinks,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o[row]), np.asarray(o_ref[0]), rtol=2e-5, atol=2e-5
+        )
+
+
 def test_engine_sinks_e2e_matches_uncapped_memory(params):
     """StreamingLLM serving: window+sinks engine (with mid-chain page
     reclamation active) must produce the same tokens as the same model
