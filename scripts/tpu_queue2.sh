@@ -32,9 +32,18 @@ done
 echo "TPU LIVE $(date +%H:%M:%S)"
 
 step() {  # step <name> <timeout_s> <cmd...>
+  # Liveness retries: queue-1 showed single 75 s liveness timeouts skipping
+  # steps seconds before a 180-TFLOP/s window — one flicker must not cost a
+  # step.
   local name=$1 to=$2; shift 2
   echo "== $name ($(date +%H:%M:%S)) =="
-  if live; then
+  local ok=""
+  for attempt in 1 2 3; do
+    if live; then ok=1; break; fi
+    echo "   liveness flicker $attempt/3, retrying"
+    sleep 30
+  done
+  if [ -n "$ok" ]; then
     timeout "$to" "$@" >"$LOGDIR/$name.log" 2>&1
     echo "   exit=$? (log $LOGDIR/$name.log)"
     tail -4 "$LOGDIR/$name.log" | sed 's/^/   /'
@@ -42,6 +51,11 @@ step() {  # step <name> <timeout_s> <cmd...>
     echo "   SKIPPED: window wedged again"
   fi
 }
+
+# Steps queue-1 skipped on liveness flickers: the headline and two A/Bs.
+step bench_headline 900 python bench.py
+step ab_bwd_oldnew 3600 python scripts/ab_compare.py --rev "${AB_OLD_REV:-5cc841f}" --what bwd,sol --pairs 3
+step ab_bwd_stages 2400 python scripts/ab_compare.py --env-b FAT_BWD_STAGES=1 --what bwd,sol --pairs 2
 
 # Sinks + window with q_len > 1 (engine chunked prefill on a StreamingLLM
 # model) on REAL TPU: the per-row band start + sink walk interaction is a
