@@ -63,6 +63,12 @@ class BenchRecord:
     tflops: float = 0.0
     roofline_frac: float = 0.0
     peak_mem_mb: float = 0.0   # reference bench_utils.py:126-142 memory column
+    # Where peak_mem_mb came from: "device_stats" (runtime memory_stats(),
+    # the reference's max_memory_allocated analogue) or "xla_compiled"
+    # (the executable's buffer-assignment peak via memory_analysis() —
+    # exact per-program peak, works through the axon tunnel where runtime
+    # stats return nothing; VERDICT r2 item 8).
+    mem_source: str = ""
     status: str = "ok"
     error: str = ""
 
@@ -88,8 +94,9 @@ def device_peak_memory_mb() -> float:
 def benchmark_call(
     fn: Callable, args: tuple, *, chain_idx: int = 0, warmup: int = 1,
     iters: int = 60, trials: int = 3,
-) -> tuple[float, float]:
-    """Returns (t_iter_ms, pstdev_ms_across_per-length_samples).
+) -> tuple[float, float, float]:
+    """Returns (t_iter_ms, pstdev_ms_across_per-length_samples,
+    compiled_peak_mem_mb).
 
     Two-point overhead-corrected timing (bench.py methodology, round 2):
     chained calls run on device inside ONE jitted lax.fori_loop whose trip
@@ -124,6 +131,17 @@ def benchmark_call(
         return time.perf_counter() - t0
 
     run(2)  # compile + sync
+    # Compiled-program peak memory (buffer assignment) for the memory
+    # column — the persistent compile cache makes this second lower/compile
+    # a cache hit; through the tunnel runtime memory_stats() is empty, so
+    # this is the only exact per-config number available.
+    mem_mb = 0.0
+    try:
+        ma = loop.lower(jnp.int32(2), ref, *rest).compile().memory_analysis()
+        if ma is not None:
+            mem_mb = float(ma.peak_memory_in_bytes) / 1e6
+    except Exception:
+        pass
     # Auto-scale the long length so the DIFFERENTIAL compute is >= ~2 s —
     # the overhead constant jitters by a few hundred ms between dispatches,
     # so a small delta (fast kernels / short seqs) would drown the signal.
@@ -142,7 +160,7 @@ def benchmark_call(
             best[n] = min(best[n], dt)
             samples.append(dt / n * 1e3)
     t_iter = (best[i2] - best[i1]) / (i2 - i1)
-    return max(t_iter, 1e-9) * 1e3, statistics.pstdev(samples)
+    return max(t_iter, 1e-9) * 1e3, statistics.pstdev(samples), mem_mb
 
 
 def write_results(

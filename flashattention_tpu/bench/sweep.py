@@ -87,10 +87,19 @@ def run_config(ns) -> BenchRecord:
                     dq.dtype
                 )
 
-        rec.mean_ms, rec.pstdev_ms = benchmark_call(fn, (q, k, v))
+        rec.mean_ms, rec.pstdev_ms, compiled_mem = benchmark_call(
+            fn, (q, k, v)
+        )
         from flashattention_tpu.bench.harness import device_peak_memory_mb
 
+        # Prefer runtime stats (reference max_memory_allocated analogue);
+        # through the axon tunnel those return nothing, so fall back to
+        # the compiled executable's exact buffer-assignment peak.
         rec.peak_mem_mb = device_peak_memory_mb()
+        rec.mem_source = "device_stats" if rec.peak_mem_mb else ""
+        if not rec.peak_mem_mb and compiled_mem:
+            rec.peak_mem_mb = round(compiled_mem, 1)
+            rec.mem_source = "xla_compiled"
         flops = attention_flops(
             ns.batch, ns.heads, ns.seqlen, ns.dim,
             direction="both" if ns.direction == "backward" else "forward",
@@ -130,6 +139,9 @@ def main():
                     help="GQA: number of KV heads (< --heads)")
     ap.add_argument("--out", default="benchmarks/results")
     ap.add_argument("--tag", default="sweep")
+    ap.add_argument("--cell-timeout", type=float, default=1500.0,
+                    help="per-config subprocess timeout (s): a wedged "
+                         "tunnel window costs one cell, not the sweep")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--plot", action="store_true")
     # internal: run one config in-process
@@ -179,9 +191,25 @@ def main():
                                     cmd += ["--dropout", str(ns.dropout)]
                                 if ns.kv_heads:
                                     cmd += ["--kv-heads", str(ns.kv_heads)]
-                                r = subprocess.run(
-                                    cmd, capture_output=True, text=True
-                                )
+                                try:
+                                    r = subprocess.run(
+                                        cmd, capture_output=True, text=True,
+                                        timeout=ns.cell_timeout,
+                                    )
+                                except subprocess.TimeoutExpired:
+                                    records.append(BenchRecord(
+                                        algo=algo, backend=backend,
+                                        direction=direction, batch=ns.batch,
+                                        heads=ns.heads, seqlen=n, head_dim=d,
+                                        causal=causal, dtype=dtype,
+                                        status="failed",
+                                        error="cell timeout (wedged window "
+                                              "or pathological compile)",
+                                    ))
+                                    print(console_table(
+                                        records[-1:]).splitlines()[-1],
+                                        flush=True)
+                                    continue
                                 line = [l for l in r.stdout.splitlines()
                                         if l.startswith("RECORD ")]
                                 if line:

@@ -74,6 +74,15 @@ class TransformerConfig:
     param_dtype: Any = jnp.float32
     attention_backend: str = "auto"
     remat: bool = True             # jax.checkpoint each block (HBM saver)
+    remat_policy: str = "full"     # "full": save nothing, recompute the
+                                   # whole block in backward (max HBM
+                                   # savings, ~+2P FLOPs/token recompute);
+                                   # "dots": save non-batched matmul
+                                   # outputs (MLP/QKV projections),
+                                   # recompute only elementwise — the
+                                   # attention custom_vjp stays a remat
+                                   # unit either way (its kernel does its
+                                   # own internal recompute-S)
 
     @property
     def d_head(self) -> int:
@@ -437,7 +446,26 @@ def apply_transformer(
                       sparse_mask=sparse_mask, segment_ids=segment_ids,
                       positions=positions)
 
-    block_fn = jax.checkpoint(one_block) if cfg.remat else one_block
+    if cfg.remat:
+        if cfg.remat_policy == "dots":
+            # Save projection/MLP matmul outputs; recompute elementwise
+            # (LN, GELU, residual adds). Batched dots (attention planes)
+            # are never saved — flash attention's custom_vjp carries its
+            # own O(N) residuals regardless of remat policy.
+            block_fn = jax.checkpoint(
+                one_block,
+                policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable,
+            )
+        elif cfg.remat_policy == "full":
+            block_fn = jax.checkpoint(one_block)
+        else:
+            raise ValueError(
+                f"remat_policy must be 'full' or 'dots', "
+                f"got {cfg.remat_policy!r}"
+            )
+    else:
+        block_fn = one_block
 
     keys = (
         list(jax.random.split(dropout_key, 3 * cfg.n_layers))

@@ -441,8 +441,12 @@ def pallas_paged_attention(
     per-step K/V scratch, one score matmul + one online update per (head,
     step) instead of per (head, page); targets the small-op dispatch
     overhead that holds decode under HBM line rate. None reads
-    FAT_PAGED_MERGED (default flat until TPU-A/B'd); requires
-    page_size % 16 == 0 (scratch-store sublane alignment).
+    FAT_PAGED_MERGED (default ON since round 3: same-window A/B measured
+    merged 3.27x faster at the decode_r02 shape, and the 6.1e-5 merged-vs-
+    flat delta was adjudicated as accumulation-order — flat and merged sit
+    at the SAME distance from the fp32 gather oracle; RESULTS.md round 3).
+    Requires page_size % 16 == 0 (scratch-store sublane alignment) — falls
+    back to the flat schedule otherwise.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -494,7 +498,7 @@ def pallas_paged_attention(
         q4 = jnp.pad(q4, [(0, 0), (0, 0), (0, g_pad - rows), (0, 0)])
 
     if merged is None:
-        merged = os.environ.get("FAT_PAGED_MERGED", "0") == "1"
+        merged = os.environ.get("FAT_PAGED_MERGED", "1") == "1"
     if merged and page_size % 16 != 0:
         merged = False  # scratch stores need sublane-aligned page offsets
 

@@ -1,0 +1,142 @@
+"""FP8's designed win, demonstrated at a bandwidth-bound shape.
+
+On v5e the MXU is bf16, so fp8 peak FLOP/s == bf16 peak and the N=8K square
+forward (arithmetic intensity ~4000 FLOP/byte) cannot benefit from fp8 —
+it only pays the VPU decode tax (RESULTS.md round 2). The win the FA3 fp8
+design targets is the HBM-BOUND regime: a short query block attending to a
+long K/V stream reads ~Nq FLOPs per K/V byte (bf16), far below the v5e
+ridge point (~240 FLOP/byte at 197 TFLOP/s over 819 GB/s), so halving the
+K/V bytes with fp8 payloads halves the floor set by the memory system.
+
+Shape: B=1, H=8, Nq=128, Nk=32768, d=128, non-causal — the serving-shaped
+"one new chunk vs a long cache" pattern. The fp8 side uses the PREQUANT
+entry point (payloads + per-tile scales quantized once, outside the loop),
+matching how a serving cache actually holds K/V; the bf16 side streams
+2-byte K/V through the same-family kernel. Two-point traced-trip-count
+timing (bench.py methodology). Reference anchor for the fp8 claim this
+makes concrete: fa3's fp8 path (src/fa3/torch/flashattention_pytorch.py)
+quantizes K/V to cut memory traffic; the reference never measures it.
+
+    python scripts/bench_fp8_bw.py [--out benchmarks/results/fp8_bandwidth_r03.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+V5E_HBM_GBPS = 819.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/results/fp8_bandwidth_r03.json")
+    ap.add_argument("--nq", type=int, default=128)
+    ap.add_argument("--nk", type=int, default=32768)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--block-k", type=int, default=1024)
+    ap.add_argument("--iters", default="20,220")
+    ap.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args()
+    i1, i2 = (int(x) for x in args.iters.split(","))
+
+    from flashattention_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from flashattention_tpu.ops.pallas_attn import pallas_attention
+    from flashattention_tpu.ops.pallas_fp8 import (
+        pallas_fp8_attention_prequant,
+        quantize_tiles,
+    )
+
+    b, h, nq, nk, d = 1, args.heads, args.nq, args.nk, args.dim
+    bq, bk = max(nq, 128), args.block_k
+    q = jax.random.normal(jax.random.key(0), (b, h, nq, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.key(1), (b, h, nk, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.key(2), (b, h, nk, d), jnp.bfloat16)
+    q8, sq = quantize_tiles(q, bq)
+    k8, sk = quantize_tiles(k, bk)
+    v8, sv = quantize_tiles(v, bk)
+
+    def bf16_one(q_, k_, v_):
+        o, _ = pallas_attention(q_, k_, v_, block_q=bq, block_k=bk)
+        return o.astype(q_.dtype)
+
+    def fp8_one(sq_, q8_, k8_, v8_, sk_, sv_):
+        # Chain on the q SCALES: the next iteration's kernel must consume a
+        # value derived from this iteration's output, or XLA hoists the
+        # loop-invariant attention out of the fori_loop and the timing
+        # measures nothing. sign(|sum(o)|+1) == 1 always, so the scales
+        # (and outputs) stay numerically fixed while the data dependency is
+        # real (not algebraically foldable).
+        o, _ = pallas_fp8_attention_prequant(q8_, k8_, v8_, sq_, sk_, sv_)
+        return sq_ * jnp.sign(jnp.abs(jnp.sum(o.astype(jnp.float32))) + 1.0)
+
+    def make_loop(fn):
+        @jax.jit
+        def loop(n, a0, *rest):
+            return lax.fori_loop(0, n, lambda i, o: fn(o, *rest), a0)
+        return loop
+
+    def two_point(loop, call_args):
+        best = {i1: float("inf"), i2: float("inf")}
+        loop(jnp.int32(2), *call_args)
+        for t in range(args.trials):
+            for it in (i1, i2):
+                t0 = time.perf_counter()
+                out = loop(jnp.int32(it), *call_args)
+                _ = np.asarray(out).ravel()[:8]
+                best[it] = min(best[it], time.perf_counter() - t0)
+            if t + 1 < args.trials:
+                time.sleep(2)
+        return (best[i2] - best[i1]) / (i2 - i1)
+
+    t_bf16 = two_point(make_loop(bf16_one), (q, k, v))
+    t_fp8 = two_point(
+        make_loop(fp8_one), (sq, q8, k8, v8, sk, sv)
+    )
+
+    flops = 4 * b * h * nq * nk * d
+    kv_bf16 = 2 * b * h * nk * d * 2
+    kv_fp8 = 2 * b * h * nk * d * 1 + 2 * b * h * (nk // bk) * 4
+    rec = {
+        "metric": "fp8_bandwidth_bound_forward",
+        "value": round(t_bf16 / t_fp8, 3),
+        "unit": "x (bf16_ms / fp8_ms; >1 = fp8 wins)",
+        "detail": {
+            "shape": [b, h, nq, nk, d],
+            "bf16_ms": round(t_bf16 * 1e3, 4),
+            "fp8_ms": round(t_fp8 * 1e3, 4),
+            "bf16_tflops": round(flops / t_bf16 / 1e12, 1),
+            "fp8_tflops": round(flops / t_fp8 / 1e12, 1),
+            "bf16_kv_gbps": round(kv_bf16 / t_bf16 / 1e9, 1),
+            "fp8_kv_gbps_payload": round(kv_fp8 / t_fp8 / 1e9, 1),
+            "arithmetic_intensity_flop_per_kv_byte_bf16": round(
+                flops / kv_bf16, 1
+            ),
+            "v5e_ridge_flop_per_byte": round(197e12 / (V5E_HBM_GBPS * 1e9), 1),
+            "hbm_floor_ms_bf16": round(kv_bf16 / V5E_HBM_GBPS / 1e6, 4),
+            "hbm_floor_ms_fp8": round(kv_fp8 / V5E_HBM_GBPS / 1e6, 4),
+            "fp8_side": "prequant payloads + per-tile scales (serving cache)",
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(rec), flush=True)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

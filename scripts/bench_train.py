@@ -42,7 +42,16 @@ def main():
                     help="chunked-CE logits window (0 = dense logits)")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--iters", default="3,13", help="i1,i2 two-point counts")
-    ap.add_argument("--out", default="benchmarks/results/train_r02.json")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable per-block jax.checkpoint (the activations "
+                         "fit HBM at the flagship config; removes the "
+                         "~+2P/token forward recompute)")
+    ap.add_argument("--remat-policy", default="full", choices=["full", "dots"])
+    ap.add_argument("--attrib", action="store_true",
+                    help="also time fwd-only and grad-only loops in the "
+                         "same window (MFU attribution: fwd/bwd/optimizer "
+                         "split — VERDICT r2 item 7)")
+    ap.add_argument("--out", default="benchmarks/results/train_r03.json")
     args = ap.parse_args()
     i1, i2 = (int(x) for x in args.iters.split(","))
 
@@ -79,7 +88,8 @@ def main():
         max_seq_len=args.seq,
         block_size=512,
         dropout_rate=0.0,
-        remat=True,
+        remat=not args.no_remat,
+        remat_policy=args.remat_policy,
         loss_chunk=args.loss_chunk or None,
     )
     tc = TrainConfig(grad_accum=1, batch_size=args.batch, seq_len=args.seq)
@@ -122,11 +132,66 @@ def main():
             best[it] = min(best[it], time.perf_counter() - t0)
     t_step = (best[i2] - best[i1]) / (i2 - i1)
 
+    def two_point_loop(lp, largs):
+        """Same two-point protocol for the attribution sub-loops."""
+        b2 = {i1: float("inf"), i2: float("inf")}
+        out0 = lp(jnp.int32(1), *largs)
+        _ = np.asarray(jax.tree_util.tree_leaves(out0)[0]).ravel()[:4]
+        for _ in range(args.trials):
+            for it in (i1, i2):
+                t0 = time.perf_counter()
+                o = lp(jnp.int32(it), *largs)
+                _ = np.asarray(jax.tree_util.tree_leaves(o)[0]).ravel()[:4]
+                b2[it] = min(b2[it], time.perf_counter() - t0)
+        return (b2[i2] - b2[i1]) / (i2 - i1)
+
+    attrib = None
+    if args.attrib:
+        # Same-window decomposition: fwd-only (loss value), fwd+bwd (grads,
+        # no optimizer). optimizer cost ~= full - grad; bwd ~= grad - fwd.
+        # Each loop chains through a param-scaled carry so nothing is DCE'd
+        # or hoisted.
+        @jax.jit
+        def fwd_loop(n_, p, batch_tokens):
+            def body(i, acc):
+                return acc + loss_fn(p, {"tokens": batch_tokens}, cfg, None)
+            return lax.fori_loop(0, n_, body, jnp.float32(0.0))
+
+        @jax.jit
+        def grad_loop(n_, p, batch_tokens):
+            def body(i, pp):
+                _, g = jax.value_and_grad(loss_fn)(
+                    pp, {"tokens": batch_tokens}, cfg, None
+                )
+                # 1e-30*g is numerically nothing but NOT foldable — keeps
+                # every grad leaf live (DCE hazard, CLAUDE.md).
+                return jax.tree_util.tree_map(
+                    lambda x, gg: x + (1e-30 * gg).astype(x.dtype), pp, g
+                )
+            return lax.fori_loop(0, n_, body, p)
+
+        t_fwd = two_point_loop(fwd_loop, (params, tokens))
+        t_grad = two_point_loop(grad_loop, (params, tokens))
+        attrib = {
+            "fwd_ms": round(t_fwd * 1e3, 2),
+            "fwd_bwd_ms": round(t_grad * 1e3, 2),
+            "bwd_only_ms": round((t_grad - t_fwd) * 1e3, 2),
+            "optimizer_ms_est": round((t_step - t_grad) * 1e3, 2),
+            "note": "same-window two-point loops; bwd=grad-fwd, opt=step-grad",
+        }
+
     toks = args.batch * args.seq
     b, h, n, d = args.batch, args.heads, args.seq, cfg.d_head
     attn_flops = 3 * (4 * b * h * n * n * d / 2) * args.layers  # fwd+2x bwd
     flops = 6 * n_params * toks + attn_flops
     mfu = flops / t_step / V5E_PEAK
+    # Remat accounting: full-policy jax.checkpoint recomputes each block's
+    # forward during backward — ~+2P/token matmul FLOPs the 6P model never
+    # credits, capping credited MFU at ~6/8 = 0.75 of realized utilization.
+    realized = flops
+    if not args.no_remat and args.remat_policy == "full":
+        realized = flops + 2 * n_params * toks + attn_flops / 3
+    mfu_realized = realized / t_step / V5E_PEAK
     rec = {
         "metric": "train_step_tokens_per_s",
         "value": round(toks / t_step, 1),
@@ -142,7 +207,10 @@ def main():
             "d_model": args.d_model,
             "heads": args.heads,
             "vocab": args.vocab,
-            "remat": True,
+            "remat": not args.no_remat,
+            "remat_policy": args.remat_policy if not args.no_remat else None,
+            "mfu_realized_incl_recompute": round(mfu_realized, 4),
+            "attrib": attrib,
             "loss_chunk": args.loss_chunk or None,
             "optimizer": "adamw+clip+warmup-cosine",
             "backend": jax.default_backend(),

@@ -1,0 +1,98 @@
+#!/bin/bash
+# Round-3 queue 2: reference-breadth sweep + 16K spec-table cells
+# (VERDICT r2 missing #2 and #4). Run AFTER tpu_queue5.sh.
+#
+# Reference grid being mirrored: benchmarks/bench_utils.py:250-263 —
+# N in {512..16384}, d in {64,128,256}, B in {1,2}, causal both, algos,
+# fp8 rows, fwd+bwd, 6-panel figures. The full cross product is ~400
+# fresh remote Mosaic compiles — not feasible through the tunnel in one
+# window — so: the flagship algo (fa2/pallas) runs the FULL grid, and the
+# algo/fp8/batch axes run representative subsets (every axis measured,
+# no axis extrapolated).
+#
+# Usage: scripts/tpu_queue6.sh <sha> [max_wait_minutes]
+set -u
+REPO=/root/repo
+SHA=${1:?usage: tpu_queue6.sh <sha> [max_wait_minutes]}
+WT=/tmp/fat_q5_$SHA   # share queue5's worktree when present
+LOGDIR=$REPO/benchmarks/results/queue6
+mkdir -p "$LOGDIR"
+if [ ! -d "$WT" ]; then
+  git -C "$REPO" worktree add --detach "$WT" "$SHA" || exit 1
+fi
+cd "$WT"
+export PYTHONPATH="$WT${PYTHONPATH:+:$PYTHONPATH}"
+echo "worktree: $WT  logs: $LOGDIR"
+
+live() {
+  timeout 75 python - <<'EOF' >/dev/null 2>&1
+from flashattention_tpu.utils.profiling import enable_compile_cache
+enable_compile_cache()
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256), jnp.bfloat16)
+assert float((x @ x).sum()) > 0
+EOF
+}
+
+MAX_POLLS=$(( ${2:-180} * 60 / 95 ))
+n=0
+until live; do
+  n=$((n+1))
+  echo "wedged poll $n/$MAX_POLLS $(date +%H:%M:%S)"
+  [ "$n" -ge "$MAX_POLLS" ] && { echo "GAVE UP: still wedged"; exit 1; }
+  sleep 20
+done
+echo "TPU LIVE $(date +%H:%M:%S)"
+
+step() {
+  local name=$1 to=$2; shift 2
+  echo "== $name ($(date +%H:%M:%S)) =="
+  local ok=""
+  for attempt in 1 2 3 4 5; do
+    if live; then ok=1; break; fi
+    echo "   liveness flicker $attempt/5, retrying"
+    sleep 45
+  done
+  if [ -n "$ok" ]; then
+    timeout "$to" "$@" >"$LOGDIR/$name.log" 2>&1
+    echo "   exit=$? (log $LOGDIR/$name.log)"
+    tail -4 "$LOGDIR/$name.log" | sed 's/^/   /'
+  else
+    echo "   SKIPPED: window wedged again" | tee "$LOGDIR/$name.SKIPPED"
+  fi
+}
+
+# ---- 1. 16K spec-table cells (ops/specs.py TODO; VERDICT missing #4) -------
+cp -f "$LOGDIR/grid_16k.log" "$LOGDIR/grid_16k.prev" 2>/dev/null || true
+step grid_16k 10800 bash -c '
+  ARGS="--grid --seqs 16384 --timeout 1500 --attempts 2"
+  [ -s "'"$LOGDIR"'/grid_16k.prev" ] && ARGS="$ARGS --resume '"$LOGDIR"'/grid_16k.prev"
+  exec python scripts/tune_attention.py $ARGS
+'
+
+# ---- 2. flagship full-breadth sweep (fa2/pallas, fwd+bwd, causal both) -----
+step sweep_main 14400 python -m flashattention_tpu.bench.sweep \
+  --algos fa2 --backends pallas --directions forward backward \
+  --seqlens 512 1024 2048 4096 8192 16384 --dims 64 128 256 \
+  --causal both --heads 8 --batch 1 \
+  --out "$REPO/benchmarks/results" --tag sweep_r03 --plot --cell-timeout 900
+
+# ---- 3. algo axis: fa1 + fa3 at representative cells ------------------------
+step sweep_algos 5400 python -m flashattention_tpu.bench.sweep \
+  --algos fa1 fa3 --backends pallas --directions forward backward \
+  --seqlens 1024 8192 --dims 128 --causal both --heads 8 --batch 1 \
+  --out "$REPO/benchmarks/results" --tag sweep_r03_algos --cell-timeout 900
+
+# ---- 4. fp8 axis: fa3 fp8 rows ----------------------------------------------
+step sweep_fp8 5400 python -m flashattention_tpu.bench.sweep \
+  --algos fa3 --fp8 --backends pallas --directions forward backward \
+  --seqlens 1024 8192 --dims 128 --causal both --heads 8 --batch 1 \
+  --out "$REPO/benchmarks/results" --tag sweep_r03_fp8 --cell-timeout 900
+
+# ---- 5. batch axis: B=2 ------------------------------------------------------
+step sweep_b2 3600 python -m flashattention_tpu.bench.sweep \
+  --algos fa2 --backends pallas --directions forward backward \
+  --seqlens 2048 8192 --dims 128 --causal both --heads 8 --batch 2 \
+  --out "$REPO/benchmarks/results" --tag sweep_r03_b2 --cell-timeout 900
+
+echo "QUEUE6 DONE $(date +%H:%M:%S)"
