@@ -62,7 +62,7 @@ def _fp8_fwd_kernel(
     q_ref, k_ref, v_ref,
     o_ref, lse_ref, m_scr, l_scr, acc_scr,
     *, softmax_scale, causal, n_q, n_k, block_q, block_k, groups,
-    dropout_rate,
+    dropout_rate, window=None, sinks=0,
 ):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -94,7 +94,8 @@ def _fp8_fwd_kernel(
         descale = sq_ref[bi, hi, iq] * sk_ref[bi, hk, ik]
         s = s * (descale * softmax_scale)
         if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal, offset)
+            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+                              offset, window, sinks)
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -128,8 +129,13 @@ def _fp8_fwd_kernel(
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * sv_ref[bi, hk, ik]
 
     if causal:
-        run = _causal_should_run(iq, ik, block_q, block_k, offset)
-        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset)
+        # Sliding window + sinks tile dispatch is shared with the bf16
+        # kernels: tiles wholly outside the band (and past the sinks) are
+        # skipped — O(N*(W+S)) work, same as pallas_attn._fwd_kernel.
+        run = _causal_should_run(iq, ik, block_q, block_k, offset,
+                                 window, sinks)
+        needs_mask = _causal_needs_mask(iq, ik, block_q, block_k, offset,
+                                        window, sinks)
         if kv_edge:
             needs_mask = needs_mask | (ik == n_kv_tiles - 1)
 
@@ -164,6 +170,7 @@ def _fp8_fwd_kernel(
 def _fp8_fwd(
     q8, k8, v8, sq, sk, sv, *, causal, softmax_scale, block_q, block_k,
     out_dtype, interpret, n_q, n_k, stages=2, seed=None, dropout_rate=0.0,
+    window=None, sinks=0,
 ):
     b, h, n_q_pad, d = q8.shape
     h_kv = k8.shape[1]
@@ -177,7 +184,7 @@ def _fp8_fwd(
         _fp8_fwd_kernel,
         softmax_scale=softmax_scale, causal=causal,
         n_q=n_q, n_k=n_k, block_q=block_q, block_k=block_k, groups=groups,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, window=window, sinks=sinks,
     )
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
@@ -269,15 +276,16 @@ def _dequant_bf16(payload, scales, block):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+    jax.custom_vjp,
+    nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18),
 )
 def _fp8_attention(q, k, v, seed, q_ids, kv_ids, slopes, causal,
                    softmax_scale, block_q, block_k, interpret, out_dtype,
-                   stages, dropout_rate, mode, softcap):
+                   stages, dropout_rate, mode, softcap, window, sinks):
     return _fp8_attention_fwd_rule(
         q, k, v, seed, q_ids, kv_ids, slopes, causal, softmax_scale,
         block_q, block_k, interpret, out_dtype, stages, dropout_rate, mode,
-        softcap,
+        softcap, window, sinks,
     )[0]
 
 
@@ -303,7 +311,8 @@ def _prepare_fp8(q, k, v, block_q, block_k):
 
 def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
                             softmax_scale, block_q, block_k, interpret,
-                            out_dtype, stages, dropout_rate, mode, softcap):
+                            out_dtype, stages, dropout_rate, mode, softcap,
+                            window, sinks):
     q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d = _prepare_fp8(
         q, k, v, block_q, block_k
     )
@@ -328,6 +337,7 @@ def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
             interpret=interpret, n_q=n_q, n_k=n_k,
             dropout_rate=dropout_rate, stages=stages,
             q_seg=q_seg, kv_seg=kv_seg, softcap=softcap, slopes=slopes,
+            window=window, sinks=sinks,
         )
         o = o.astype(out_dtype)
     else:
@@ -336,7 +346,7 @@ def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
             softmax_scale=softmax_scale,
             block_q=bq, block_k=bk, out_dtype=out_dtype, interpret=interpret,
             n_q=n_q, n_k=n_k, stages=stages, seed=seed,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, window=window, sinks=sinks,
         )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
@@ -352,7 +362,8 @@ def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
 
 def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
                             interpret, out_dtype, stages, dropout_rate,
-                            mode, softcap, residuals, cotangents):
+                            mode, softcap, window, sinks, residuals,
+                            cotangents):
     """STE backward: run the bf16 backward kernels on the dequantized
     payloads (reference fa3_bwd.cu:134-146 semantics). With dropout, the
     same counter-based mask regenerates from (seed, bh, tile) — the bf16
@@ -379,7 +390,7 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
         causal=causal, softmax_scale=softmax_scale, block_q=bq, block_k=bk,
         interpret=interpret, n_q=n_q, n_k=n_k, dropout_rate=dropout_rate,
         dlse=dlsep, q_seg=q_seg, kv_seg=kv_seg, softcap=softcap,
-        slopes=slopes,
+        slopes=slopes, window=window, sinks=sinks,
     )
     return (
         dq[:, :, :n_q, :d].astype(out_dtype),
@@ -441,6 +452,8 @@ def pallas_fp8_attention(
     softcap: float | None = None,
     segment_ids=None,
     alibi_slopes: jax.Array | None = None,
+    window: int | None = None,
+    sinks: int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """FA3 fused-FP8 flash attention: quantizes q/k/v to float8_e4m3fn with
     per-tile scales, streams 1-byte payloads through the kernel, descales in
@@ -462,6 +475,13 @@ def pallas_fp8_attention(
     their descales are shared across each query-head group, same index maps
     as the bf16 kernel (pallas_attn._flash_fwd). Dropout uses the bf16
     kernels' counter-based mask (identical replay in the STE backward).
+
+    ``window``/``sinks``: sliding-window attention (+ StreamingLLM sinks),
+    fused-kernel native since round 3 — the fp8 kernel shares the bf16
+    kernels' band tile dispatch (tiles wholly outside the band/sinks skip
+    their compute: O(N*(W+S)) tile work, on top of fp8's halved per-tile
+    HBM traffic). Requires causal=True; the STE backward runs the bf16
+    backward kernels with the same band.
     Returns (o in q.dtype, lse fp32)."""
     if q.ndim != 4:
         raise ValueError(f"expected (B, H, N, D), got {q.shape}")
@@ -482,6 +502,16 @@ def pallas_fp8_attention(
         raise ValueError(
             f"mode must be auto|fused|predecode, got {mode!r}"
         )
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+    if sinks:
+        if window is None:
+            raise ValueError("sinks require window= (StreamingLLM band)")
+        if sinks < 0:
+            raise ValueError(f"sinks must be >= 0, got {sinks}")
     features = (softcap is not None or segment_ids is not None
                 or alibi_slopes is not None)
     if mode == "auto":
@@ -515,4 +545,5 @@ def pallas_fp8_attention(
         int(block_q), int(block_k), bool(interpret), q.dtype, int(stages),
         float(dropout_rate), mode,
         float(softcap) if softcap is not None else None,
+        int(window) if window is not None else None, int(sinks),
     )
