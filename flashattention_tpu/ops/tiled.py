@@ -88,29 +88,45 @@ def _dropout_keep(key, j, shape, rate):
     return jax.random.bernoulli(tile_key, 1.0 - rate, shape)
 
 
+def _tile_alibi(slopes, j, block_k, n_q, qoff):
+    """ALiBi bias for KV tile ``j``: (1, H, n_q, block_k) fp32.
+
+    Computed from indices per scan step — O(H*n_q*block_k) live at a time,
+    never an O(H*N^2) HBM operand (the same in-kernel design as
+    pallas_attn._alibi_tile_bias; row r sits at key position r + qoff)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_q, block_k), 0) + qoff
+    cols = j * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (n_q, block_k), 1
+    )
+    dist = jnp.abs(cols - rows).astype(jnp.float32)
+    return -slopes[None, :, None, None] * dist[None, None]
+
+
 # ---------------------------------------------------------------------------
 # custom_vjp core
 # ---------------------------------------------------------------------------
-# Primal args: q, k, v, mask, dropout_key, qoff.
+# Primal args: q, k, v, mask, dropout_key, qoff, slopes.
 # Static args: causal, softmax_scale, block_k, dropout_rate, has_mask,
-#              has_dropout.
+#              has_dropout, softcap, has_alibi.
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14)
+)
 def _tiled_attention(
-    q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-    dropout_rate, has_mask, has_dropout, softcap,
+    q, k, v, mask, dropout_key, qoff, slopes, causal, softmax_scale,
+    block_k, dropout_rate, has_mask, has_dropout, softcap, has_alibi,
 ):
     o, lse = _tiled_fwd(
-        q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-        dropout_rate, has_mask, has_dropout, softcap,
+        q, k, v, mask, dropout_key, qoff, slopes, causal, softmax_scale,
+        block_k, dropout_rate, has_mask, has_dropout, softcap, has_alibi,
     )
     return o, lse
 
 
 def _tiled_fwd(
-    q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-    dropout_rate, has_mask, has_dropout, softcap,
+    q, k, v, mask, dropout_key, qoff, slopes, causal, softmax_scale,
+    block_k, dropout_rate, has_mask, has_dropout, softcap, has_alibi,
 ):
     b, h, n_q, d = q.shape
     k, v, n_k = _pad_kv(k, v, block_k)
@@ -127,6 +143,8 @@ def _tiled_fwd(
             jnp.einsum("bhqd,bhkd->bhqk", qf, k_j.astype(jnp.float32))
             * softmax_scale
         )
+        if has_alibi:
+            s = s + _tile_alibi(slopes, j, block_k, n_q, qoff)
         if softcap is not None:
             # Cap BEFORE masking — tanh saturates the mask fill value.
             s = softcap * jnp.tanh(s / softcap)
@@ -174,21 +192,21 @@ def _tiled_fwd(
 
 
 def _tiled_fwd_vjp(
-    q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-    dropout_rate, has_mask, has_dropout, softcap,
+    q, k, v, mask, dropout_key, qoff, slopes, causal, softmax_scale,
+    block_k, dropout_rate, has_mask, has_dropout, softcap, has_alibi,
 ):
     o, lse = _tiled_fwd(
-        q, k, v, mask, dropout_key, qoff, causal, softmax_scale, block_k,
-        dropout_rate, has_mask, has_dropout, softcap,
+        q, k, v, mask, dropout_key, qoff, slopes, causal, softmax_scale,
+        block_k, dropout_rate, has_mask, has_dropout, softcap, has_alibi,
     )
-    return (o, lse), (q, k, v, mask, dropout_key, qoff, o, lse)
+    return (o, lse), (q, k, v, mask, dropout_key, qoff, slopes, o, lse)
 
 
 def _tiled_bwd(
     causal, softmax_scale, block_k, dropout_rate, has_mask, has_dropout,
-    softcap, residuals, cotangents,
+    softcap, has_alibi, residuals, cotangents,
 ):
-    q, k, v, mask, dropout_key, qoff, o, lse = residuals
+    q, k, v, mask, dropout_key, qoff, slopes, o, lse = residuals
     do, dlse = cotangents
 
     b, h, n_q, d = q.shape
@@ -212,6 +230,9 @@ def _tiled_bwd(
         kf = k_j.astype(jnp.float32)
         vf = v_j.astype(jnp.float32)
         s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * softmax_scale
+        if has_alibi:
+            # Additive and q/k-independent: no extra chain terms in ds.
+            s = s + _tile_alibi(slopes, j, block_k, n_q, qoff)
         if softcap is not None:
             tcap = jnp.tanh(s / softcap)
             s = softcap * tcap
@@ -260,6 +281,9 @@ def _tiled_bwd(
     return (
         dq, dk, dv, _float0_like(residual_mask), _float0_like(residual_key),
         _float0_like(residuals[5]),
+        # slopes are float (inexact): cotangent must be a zero float array,
+        # not float0 — ALiBi slopes are positional constants, never trained.
+        jnp.zeros_like(residuals[6]),
     )
 
 
@@ -284,11 +308,18 @@ def tiled_attention(
     dropout_key: jax.Array | None = None,
     q_offset: jax.Array | int | None = None,
     softcap: float | None = None,
+    alibi_slopes: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Tiled online-softmax attention (XLA executor).
 
     ``softcap``: logit soft-capping — scaled scores become
     softcap * tanh(s / softcap) before masking (see pallas_attention).
+
+    ``alibi_slopes``: (H,) per-head ALiBi slopes — the bias
+    -slope_h * |key_pos(col) - key_pos(row)| is built per KV tile inside
+    the scan (O(H*N*block_k) live at a time), so the xla backend no longer
+    needs an O(H*N^2) dense bias operand for ALiBi (round-3 fix; the dense
+    oracle fallback remains only for the ``reference`` backend).
 
     Args:
       q, k, v: (B, H, N, D); q may have a different N than k/v (decode).
@@ -333,8 +364,19 @@ def tiled_attention(
     if q_offset is None:
         q_offset = k.shape[-2] - q.shape[-2]
     qoff = jnp.asarray(q_offset, jnp.int32)
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).ravel()
+        if slopes.shape != (q.shape[1],):
+            raise ValueError(
+                f"alibi_slopes must be (H,)=({q.shape[1]},), "
+                f"got {slopes.shape}"
+            )
+    else:
+        slopes = jnp.zeros((1,), jnp.float32)  # placeholder, never read
     return _tiled_attention(
-        q, k, v, mask, dropout_key, qoff, causal, float(softmax_scale),
-        int(block_k), float(dropout_rate), has_mask, has_dropout,
-        float(softcap) if softcap is not None else None,
+        q, k, v, mask, dropout_key, qoff, slopes, causal,
+        float(softmax_scale), int(block_k), float(dropout_rate), has_mask,
+        has_dropout, float(softcap) if softcap is not None else None,
+        has_alibi,
     )
