@@ -159,6 +159,20 @@ def _unpack_refs(refs, dropout_rate, segmented, alibi=False):
     return qoff_ref, seed_ref, qseg_ref, kseg_ref, slopes_ref, refs
 
 
+def _mosaic_tanh(x):
+    """tanh for in-kernel use, via the Mosaic-fast natural exp:
+    tanh(x) = 1 - 2 / (exp(2x) + 1).
+
+    jnp.tanh lowers through a Mosaic slow path on v5e — measured 3.52x
+    WHOLE-KERNEL forward cost at N=4K with softcap
+    (benchmarks/results/queue5/verify_softcap.log, round 3), the same
+    transcendental-lowering class as the exp2 finding (CLAUDE.md). Natural
+    exp is the fast path every flash kernel already uses for the softmax.
+    Stable at both tails: exp(2x) -> inf gives 1 - 0 = 1; exp(2x) -> 0
+    gives 1 - 2 = -1. fp32 relative error vs jnp.tanh ~1e-7."""
+    return 1.0 - 2.0 / (jnp.exp(2.0 * x) + 1.0)
+
+
 def _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q, block_k, offset):
     """ALiBi bias for tile (iq, ik) of query head ``ih``:
     -slope_h * |key_pos(col) - key_pos(row)| — computed from positions
@@ -197,7 +211,7 @@ def _bwd_scores(q, k, *, alibi, slopes_ref, ih, softcap, use_mask,
     dcap = None
     if softcap is not None:
         # d(cap*tanh(x/cap))/dx = 1 - tanh^2
-        tcap = jnp.tanh(s2 * jnp.float32(1.0 / softcap))
+        tcap = _mosaic_tanh(s2 * jnp.float32(1.0 / softcap))
         s2 = jnp.float32(softcap) * tcap
         dcap = 1.0 - tcap * tcap
     mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
@@ -334,7 +348,7 @@ def _fwd_kernel(
         if softcap is not None:
             # Logit soft-capping (Gemma-2 / flash-attn softcap): bound the
             # scaled scores BEFORE masking — tanh saturates the mask value.
-            s = jnp.float32(softcap) * jnp.tanh(
+            s = jnp.float32(softcap) * _mosaic_tanh(
                 s * jnp.float32(1.0 / softcap)
             )
         mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flashattention_tpu.ops.pallas_attn import _mosaic_tanh
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE as _MASK_VALUE
 
 
@@ -200,7 +201,7 @@ def _decode_kernel(
                 )  # (G, page)
                 if softcap is not None:
                     # Cap BEFORE masking (tanh saturates mask values).
-                    scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+                    scores = softcap * _mosaic_tanh(scores * (1.0 / softcap))
                 if window is None:
                     # -inf is exact here: page 0 always holds a valid slot
                     # for every row, so the running max is finite before any
@@ -371,7 +372,7 @@ def _decode_kernel_merged(
             precision=prec,
         )  # (g_pad, width)
         if softcap is not None:
-            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+            scores = softcap * _mosaic_tanh(scores * (1.0 / softcap))
         # Unlike the flat kernel, a whole step CAN be past a short
         # sequence (no per-page predicate), making every column masked:
         # use the finite mask value + explicit p zeroing unconditionally
@@ -501,6 +502,35 @@ def pallas_paged_attention(
         merged = os.environ.get("FAT_PAGED_MERGED", "1") == "1"
     if merged and page_size % 16 != 0:
         merged = False  # scratch stores need sublane-aligned page offsets
+    if merged:
+        # TOTAL-VMEM gate (the resident-dQ lesson, pallas_attn vmem_est):
+        # budget scratches + double-buffered pipeline blocks, not just the
+        # merged kernel's extra kc/vc scratch. At chunked-prefill shapes
+        # (q_len=256, H_kv=8, d=128, page=64) the merged kernel's scoped
+        # allocation reads 16.26M vs the 16M limit and the REMOTE compile
+        # fails (queue5/verify_sinks_chunked_prefill.log — interpret-mode
+        # tests never see it). Fall back to the flat schedule over budget.
+        payload_b = jnp.dtype(k_pages.dtype).itemsize
+        comp_b = jnp.dtype(compute_dtype).itemsize
+        est = (
+            # q + out blocks (bf16-class), double-buffered
+            2 * 2 * (h_kv * g_pad * d * q4.dtype.itemsize)
+            # k/v pipeline: s_count blocks each, double-buffered
+            + 2 * 2 * s_count * h_kv * page_size * d * payload_b
+            # per-slot scale blocks ride the same pipeline when quantized
+            + (2 * 2 * s_count * h_kv * page_size * 4 if quantized else 0)
+            # m/l (fp32, LANES wide) + acc (fp32, d wide)
+            + 2 * h_kv * g_pad * 128 * 4
+            + h_kv * g_pad * d * 4
+            # merged-only contiguous K/V scratch
+            + 2 * h_kv * s_count * page_size * d * comp_b
+            # merged-only live (g_pad, width) fp32 planes on the kernel
+            # stack: scores, p, in_range/mask — the wide-step schedule's
+            # real extra footprint vs the flat kernel's (g_pad, page)
+            + 4 * g_pad * (s_count * page_size) * 4
+        )
+        if est > 14 * 1024 * 1024:
+            merged = False
 
     kernel = functools.partial(
         _decode_kernel_merged if merged else _decode_kernel,

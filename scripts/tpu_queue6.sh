@@ -98,6 +98,55 @@ assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in g)
 print("FP8-WINDOW PASS", flush=True)
 PYEOF
 
+# ---- 0b. softcap tanh fix: parity + cost ratio on REAL TPU -----------------
+# queue5 measured jnp.tanh at 3.52x whole-kernel forward cost (Mosaic slow
+# path); the kernels now use _mosaic_tanh = 1 - 2/(exp(2x)+1). Expect the
+# ratio to collapse toward ~1.0-1.3.
+step verify_softcap_fast 1500 python - <<'PYEOF'
+from flashattention_tpu.utils.profiling import enable_compile_cache
+enable_compile_cache()
+import time
+import jax, jax.numpy as jnp, numpy as np
+from jax import lax
+from flashattention_tpu.ops.pallas_attn import pallas_attention
+from flashattention_tpu.ops.reference import reference_attention
+b, h, n, d = 1, 4, 4096, 128
+q = jax.random.normal(jax.random.key(0), (b, h, n, d), jnp.bfloat16) * 4
+k = jax.random.normal(jax.random.key(1), (b, h, n, d), jnp.bfloat16)
+v = jax.random.normal(jax.random.key(2), (b, h, n, d), jnp.bfloat16)
+o, _ = pallas_attention(q, k, v, causal=True, softcap=10.0)
+o_r, _ = reference_attention(q, k, v, causal=True, softcap=10.0)
+err = np.abs(np.asarray(o, np.float32) - np.asarray(o_r, np.float32)).max()
+print(f"softcap(_mosaic_tanh) fwd maxerr {err:.4f}", flush=True)
+assert err < 5e-2, err
+g = jax.grad(lambda t: jnp.sum(pallas_attention(
+    t[0], t[1], t[2], causal=True, softcap=10.0)[0].astype(jnp.float32)**2)
+)((q, k, v))
+assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in g)
+def mk(cap):
+    @jax.jit
+    def loop(n_, q0):
+        def body(i, acc):
+            o, _ = pallas_attention(acc, k, v, causal=True, softcap=cap)
+            return o.astype(acc.dtype)
+        return lax.fori_loop(0, n_, body, q0)
+    return loop
+def tp(loop):
+    best = {10: 1e9, 110: 1e9}
+    loop(jnp.int32(2), q)
+    for _ in range(3):
+        for it in (10, 110):
+            t0 = time.perf_counter()
+            np.asarray(loop(jnp.int32(it), q)).ravel()[:4]
+            best[it] = min(best[it], time.perf_counter() - t0)
+    return (best[110] - best[10]) / 100
+t_cap, t_plain = tp(mk(10.0)), tp(mk(None))
+print(f"fwd {n=} softcap {t_cap*1e3:.3f} ms vs plain {t_plain*1e3:.3f} ms "
+      f"(ratio {t_cap/t_plain:.2f}; was 3.52 with jnp.tanh — "
+      f"queue5/verify_softcap.log)", flush=True)
+print("SOFTCAP-FAST PASS", flush=True)
+PYEOF
+
 # ---- 1. 16K spec-table cells (ops/specs.py TODO; VERDICT missing #4) -------
 cp -f "$LOGDIR/grid_16k.log" "$LOGDIR/grid_16k.prev" 2>/dev/null || true
 step grid_16k 10800 bash -c '
