@@ -18,6 +18,7 @@ Emits one JSON line per scale point:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -25,6 +26,17 @@ sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
+
+# Pin the PARENT to CPU too (the workers already pin themselves). The
+# environment's sitecustomize registers the axon TPU plugin at interpreter
+# startup and pins jax_platforms="axon,cpu"; backends initialize lazily, so
+# overriding here (before any device use) still lands on CPU — the same
+# mechanism as tests/conftest.py. Without this, the in-process `expected`
+# engines compute on the TPU while the ProcessEngine children compute on
+# CPU, and the byte-identity parity check diverges on TPU-vs-CPU matmul
+# rounding (observed 2026-08-19) — and the demo silently contends the
+# shared tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 from flashattention_tpu.models.transformer import (
     TransformerConfig,
@@ -129,12 +141,20 @@ def main():
         tps = tokens / wall
         if base is None:
             base = tps
+        # On a machine with >= n cores, scaling_efficiency is the real
+        # weak-scaling number. On fewer cores the n host processes time-slice
+        # the same silicon and the honest quantity is aggregate_retention:
+        # how much total throughput survives n-fold oversubscription (1.0 =
+        # perfect work conservation). cpus is emitted so a reader can tell
+        # which regime a record is from.
         print(json.dumps({
             "hosts": n,
+            "cpus": os.cpu_count(),
             "tokens": tokens,
             "wall_s": round(wall, 3),
             "tokens_per_s": round(tps, 1),
             "scaling_efficiency_vs_1host": round(tps / (base * n), 3),
+            "aggregate_retention_vs_1host": round(tps / base, 3),
         }))
 
 
