@@ -89,6 +89,15 @@ CHAINS = {
     "softcap_poly": lambda t: 10.0 * _poly_tanh(t * 0.1),
 }
 
+if hasattr(pl, "reciprocal"):
+    # pl.reciprocal(approx=True) is the documented fast VPU reciprocal —
+    # candidate replacement for the divide in the exp-form tanh chain.
+    CHAINS["recip_approx"] = lambda t: pl.reciprocal(1.7 - t, approx=True)
+    CHAINS["softcap_expform_recip"] = lambda t: 10.0 * (
+        1.0 - 2.0 * pl.reciprocal(jnp.exp(2.0 * (t * 0.1)) + 1.0,
+                                  approx=True)
+    )
+
 
 def make_kernel(name):
     op = CHAINS[name]
