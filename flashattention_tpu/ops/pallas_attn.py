@@ -160,14 +160,16 @@ def _unpack_refs(refs, dropout_rate, segmented, alibi=False):
 
 
 def _mosaic_tanh(x):
-    """tanh for in-kernel use, via the Mosaic-fast natural exp:
+    """tanh for in-kernel use, via natural exp:
     tanh(x) = 1 - 2 / (exp(2x) + 1).
 
-    jnp.tanh lowers through a Mosaic slow path on v5e — measured 3.52x
-    WHOLE-KERNEL forward cost at N=4K with softcap
-    (benchmarks/results/queue5/verify_softcap.log, round 3), the same
-    transcendental-lowering class as the exp2 finding (CLAUDE.md). Natural
-    exp is the fast path every flash kernel already uses for the softmax.
+    History: softcap measured 3.52x WHOLE-KERNEL forward cost at N=4K with
+    jnp.tanh; this exp-form rewrite was landed on the hypothesis of a
+    Mosaic tanh-lowering slow path, but re-measurement AT this rev reads
+    3.49x (benchmarks/results/queue5/verify_softcap.log) — the cost is the
+    VPU arithmetic chain itself (exp + divide + muls per score element on
+    top of the softmax's own ops), not the lowering. Attribution and
+    cheaper-chain candidates: scripts/vpu_microbench.py.
     Stable at both tails: exp(2x) -> inf gives 1 - 0 = 1; exp(2x) -> 0
     gives 1 - 2 = -1. fp32 relative error vs jnp.tanh ~1e-7."""
     return 1.0 - 2.0 / (jnp.exp(2.0 * x) + 1.0)

@@ -98,10 +98,12 @@ assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in g)
 print("FP8-WINDOW PASS", flush=True)
 PYEOF
 
-# ---- 0b. softcap tanh fix: parity + cost ratio on REAL TPU -----------------
-# queue5 measured jnp.tanh at 3.52x whole-kernel forward cost (Mosaic slow
-# path); the kernels now use _mosaic_tanh = 1 - 2/(exp(2x)+1). Expect the
-# ratio to collapse toward ~1.0-1.3.
+# ---- 0b. softcap cost ratio re-measure on REAL TPU -------------------------
+# queue5 measured softcap at 3.5x whole-kernel forward cost at BOTH the
+# jnp.tanh and the exp-form (_mosaic_tanh) revs — the cost is the VPU
+# chain itself, not a tanh lowering bug. This step re-measures the ratio
+# at whatever chain is shipped (see scripts/vpu_microbench.py for the
+# per-op attribution used to pick it).
 step verify_softcap_fast 1500 python - <<'PYEOF'
 from flashattention_tpu.utils.profiling import enable_compile_cache
 enable_compile_cache()
