@@ -19,9 +19,16 @@ hide the transfer behind the (tiny) per-page compute. Design:
   block, and compute for slots past the sequence's page count is predicated
   off.
 - Quantized caches (int8 / float8_e4m3fn payloads with per-(page, slot) fp32
-  scales — layout in serving/paged_kv.py) are dequantized right after
-  landing in VMEM: payload · scale broadcasts per-sublane, one VPU pass. The
-  bandwidth win is the 1-byte payload on the wire; compute runs fp32.
+  scales — layout in serving/paged_kv.py) never see a per-element scale
+  multiply: payloads are CONVERTED (astype / fp8 bit surgery) on landing and
+  the per-slot scales fold into the score matrix (K) and the softmax weights
+  p (V) as (rows, slots) row-vector multiplies — width x g_pad elements
+  instead of width x D. Scales ride the pipeline lane-major ((H_kv, P, 1,
+  page), transposed once outside the kernel): the naive layout's (page, 1)
+  blocks put scales on a size-1 LANE dim, and the broadcast multiply from it
+  is a Mosaic slow path that made int8 and fp8 decode equally 2.3x SLOWER
+  than bf16 (decode_r03.json). The bandwidth win is the 1-byte payload on
+  the wire.
 - All KV heads of a page ride in ONE strided block fetch (block shape
   (H_kv, 1, page, D)) — fetch count is B x pages, not B x pages x H_kv;
   the kernel statically unrolls the per-head online-softmax update.
@@ -79,16 +86,12 @@ def _fp8_e4m3_to_bf16_bits(payload):
     return f.astype(jnp.bfloat16)
 
 
-def _dequant(ref, scale_ref, h, compute_dtype):
-    """Load head ``h`` of a page block and dequantize to compute_dtype."""
-    payload = ref[h, 0]
-    if scale_ref is None:
-        return payload.astype(compute_dtype)
+def _convert(payload, compute_dtype):
+    """Payload -> compute dtype (fp8 via bit surgery). NO scale multiply:
+    per-slot scales fold into scores/p as row vectors (module docstring)."""
     if payload.dtype == jnp.float8_e4m3fn and compute_dtype == jnp.bfloat16:
-        x = _fp8_e4m3_to_bf16_bits(payload)
-    else:
-        x = payload.astype(compute_dtype)
-    return x * scale_ref[h, 0].astype(compute_dtype)
+        return _fp8_e4m3_to_bf16_bits(payload)
+    return payload.astype(compute_dtype)
 
 
 def _decode_kernel(
@@ -191,14 +194,20 @@ def _decode_kernel(
                 q = q_ref[0, h].astype(compute_dtype) * compute_dtype(
                     softmax_scale
                 )
-                kf = _dequant(k_refs[s], ks_refs[s], h, compute_dtype)
-                vf = _dequant(v_refs[s], vs_refs[s], h, compute_dtype)
+                kf = _convert(k_refs[s][h, 0], compute_dtype)
+                vf = _convert(v_refs[s][h, 0], compute_dtype)
 
                 scores = jax.lax.dot_general(
                     q, kf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )  # (G, page)
+                if quantized:
+                    # K-scale fold: scores[g, slot] = (q . k_int[slot]) *
+                    # k_scale[slot] — (1, page) lane-major row, broadcast
+                    # over sublanes (cheap), replacing the per-element
+                    # (page, D) dequant multiply.
+                    scores = scores * ks_refs[s][h, 0]
                 if softcap is not None:
                     # Cap BEFORE masking (tanh saturates mask values).
                     scores = softcap * _mosaic_tanh(scores * (1.0 / softcap))
@@ -227,8 +236,14 @@ def _decode_kernel(
                     p, axis=1, keepdims=True
                 )
                 m_scr[r0:r1] = m_next
+                if quantized:
+                    # V-scale fold: acc += sum_slot p[slot] * (vs[slot] *
+                    # v_int[slot, :]) == (p * vs_row) @ v_int.
+                    pv = p * vs_refs[s][h, 0]
+                else:
+                    pv = p
                 acc_scr[r0:r1] = acc_scr[r0:r1] * alpha[:, :1] + jax.lax.dot(
-                    p.astype(compute_dtype), vf,
+                    pv.astype(compute_dtype), vf,
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )
@@ -242,20 +257,14 @@ def _decode_kernel(
             o_ref[0, h] = (acc_scr[r0:r1] / l_safe).astype(o_ref.dtype)
 
 
-def _dequant_block(ref, scale_ref, compute_dtype):
-    """Dequantize a WHOLE page block — all KV heads at once: (H_kv, page, D).
+def _convert_block(ref, compute_dtype):
+    """Convert a WHOLE page block — all KV heads at once: (H_kv, page, D).
 
-    One 3-D VPU pass per page instead of the per-head loads of _dequant;
-    feeds the merged kernel's contiguous K/V scratch.
+    One 3-D VPU pass per page (astype, or the fp8 bit surgery); feeds the
+    merged kernel's contiguous K/V scratch. Scales are NOT applied here —
+    they fold into scores/p as lane-major row vectors (module docstring).
     """
-    payload = ref[:, 0]
-    if scale_ref is None:
-        return payload.astype(compute_dtype)
-    if payload.dtype == jnp.float8_e4m3fn and compute_dtype == jnp.bfloat16:
-        x = _fp8_e4m3_to_bf16_bits(payload)
-    else:
-        x = payload.astype(compute_dtype)
-    return x * scale_ref[:, 0].astype(compute_dtype)
+    return _convert(ref[:, 0], compute_dtype)
 
 
 def _decode_kernel_merged(
@@ -324,11 +333,19 @@ def _decode_kernel_merged(
 
     # Land the step's pages contiguously: kc/vc hold S*page slots per head.
     for s in range(s_count):
-        kc_scr[:, s * page_size: (s + 1) * page_size, :] = _dequant_block(
-            k_refs[s], ks_refs[s], compute_dtype
+        kc_scr[:, s * page_size: (s + 1) * page_size, :] = _convert_block(
+            k_refs[s], compute_dtype
         )
-        vc_scr[:, s * page_size: (s + 1) * page_size, :] = _dequant_block(
-            v_refs[s], vs_refs[s], compute_dtype
+        vc_scr[:, s * page_size: (s + 1) * page_size, :] = _convert_block(
+            v_refs[s], compute_dtype
+        )
+    if quantized:
+        # Per-slot scale rows for the whole step, lane-major: (H_kv, width).
+        ks_row = jnp.concatenate(
+            [r[:, 0, 0, :] for r in ks_refs], axis=1
+        )
+        vs_row = jnp.concatenate(
+            [r[:, 0, 0, :] for r in vs_refs], axis=1
         )
 
     width = s_count * page_size
@@ -371,6 +388,10 @@ def _decode_kernel_merged(
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # (g_pad, width)
+        if quantized:
+            # K-scale fold (module docstring): (1, width) row broadcast
+            # over g_pad sublanes instead of a (width, D) dequant multiply.
+            scores = scores * ks_row[h:h + 1, :]
         if softcap is not None:
             scores = softcap * _mosaic_tanh(scores * (1.0 / softcap))
         # Unlike the flat kernel, a whole step CAN be past a short
@@ -389,8 +410,13 @@ def _decode_kernel_merged(
             p, axis=1, keepdims=True
         )
         m_scr[r0:r1] = m_next
+        if quantized:
+            # V-scale fold: (p * vs_row) @ v_int == p @ (vs * v_int).
+            pv = p * vs_row[h:h + 1, :]
+        else:
+            pv = p
         acc_scr[r0:r1] = acc_scr[r0:r1] * alpha[:, :1] + jax.lax.dot(
-            p.astype(compute_dtype), vc_scr[h],
+            pv.astype(compute_dtype), vc_scr[h],
             preferred_element_type=jnp.float32,
             precision=prec,
         )
@@ -587,7 +613,8 @@ def pallas_paged_attention(
         return pl.BlockSpec((h_kv, 1, page_size, d), idx_page(s))
 
     def scale_spec(s):
-        return pl.BlockSpec((h_kv, 1, page_size, 1), idx_page(s))
+        # Lane-major: page slots on the LANE dim (see module docstring).
+        return pl.BlockSpec((h_kv, 1, 1, page_size), idx_page(s))
 
     in_specs = [pl.BlockSpec((1, h_kv, g_pad, d), idx_q)]
     in_specs += [page_spec(s) for s in range(s_count)]
@@ -596,10 +623,16 @@ def pallas_paged_attention(
     args += [k_pages] * s_count
     args += [v_pages] * s_count
     if quantized:
+        # Public scale layout is (H_kv, P, page, 1); transpose ONCE here to
+        # lane-major (H_kv, P, 1, page) — 4 bytes/slot, ~us — so in-kernel
+        # scale rows never live on a size-1 lane dim (Mosaic slow path;
+        # decode_r03.json's 2.3x quantized slowdown).
+        ks_t = jnp.swapaxes(k_scales, 2, 3)
+        vs_t = jnp.swapaxes(v_scales, 2, 3)
         in_specs += [scale_spec(s) for s in range(s_count)]
         in_specs += [scale_spec(s) for s in range(s_count)]
-        args += [k_scales] * s_count
-        args += [v_scales] * s_count
+        args += [ks_t] * s_count
+        args += [vs_t] * s_count
 
     scratch_shapes = [
         pltpu.VMEM((h_kv * g_pad, 128), jnp.float32),

@@ -155,6 +155,48 @@ def main():
         kv_bytes = 2 * db * dh * dlen * dd * 2
         out["decode_kv_gbps"] = round(kv_bytes / t / 1e9, 1)
 
+    if "qdecode" in what:
+        # Quantized (fp8 cache) paged decode at the same shape as `decode`:
+        # 1-byte payloads + per-slot fp32 scales (A/B for the scale-fold,
+        # decode_r03.json's 2.3x quantized slowdown).
+        from flashattention_tpu.ops.pallas_paged import (
+            pallas_paged_attention,
+        )
+
+        db, dh, dlen, dd, dpage = 64, 8, 2048, 128, 64
+        npg = dlen // dpage
+        kp8 = jax.random.normal(
+            jax.random.key(10), (dh, db * npg + 1, dpage, dd), jnp.float32
+        ).astype(jnp.float8_e4m3fn)
+        vp8 = jax.random.normal(
+            jax.random.key(11), (dh, db * npg + 1, dpage, dd), jnp.float32
+        ).astype(jnp.float8_e4m3fn)
+        ksc = jax.random.uniform(
+            jax.random.key(13), (dh, db * npg + 1, dpage, 1), jnp.float32,
+            0.01, 0.02,
+        )
+        vsc = jax.random.uniform(
+            jax.random.key(14), (dh, db * npg + 1, dpage, 1), jnp.float32,
+            0.01, 0.02,
+        )
+        dpi = jnp.arange(db * npg, dtype=jnp.int32).reshape(db, npg)
+        dlens = jnp.full((db,), dlen, jnp.int32)
+        dq = jax.random.normal(jax.random.key(12), (db, dh, dd), jnp.bfloat16)
+
+        pps = os.environ.get("FAT_PAGED_PPS")
+        pps = int(pps) if pps else None
+
+        def qdec_one(q_, kp_, vp_, ks_, vs_, pi_, ln_):
+            return pallas_paged_attention(
+                q_, kp_, vp_, pi_, ln_, k_scales=ks_, v_scales=vs_,
+                pages_per_step=pps,
+            ).astype(q_.dtype)
+        t = two_point(qdec_one, dq, (kp8, vp8, ksc, vsc, dpi, dlens), 30, 330)
+        out["qdecode_ms"] = round(t * 1e3, 4)
+        out["qdecode_tokens_per_s"] = round(db / t, 1)
+        payload_bytes = 2 * db * dh * dlen * dd * 1
+        out["qdecode_payload_gbps"] = round(payload_bytes / t / 1e9, 1)
+
     if "sol" in what:
         m = 6144
         a0 = jax.random.normal(jax.random.key(7), (m, m), jnp.bfloat16)
