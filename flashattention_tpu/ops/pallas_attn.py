@@ -65,6 +65,9 @@ _BWD_STAGES = int(os.environ.get("FAT_BWD_STAGES", "2"))
 # (saves one VPU plane per tile; costs ~4e-3 bf16 LSE drift vs the
 # reference's 1e-3 LSE contract). See _fwd_kernel note.
 _FWD_SCALE_FOLD = os.environ.get("FAT_FWD_SCALE_FOLD", "1") == "1"
+# Lagged-max forward frame (off until the real-TPU A/B lands — see
+# _fwd_kernel's lagged branch and RESULTS.md round 3 "VPU roofline").
+_FWD_LAGGED_MAX = os.environ.get("FAT_FWD_LAGGED_MAX", "0") == "1"
 
 
 def _interpret_default() -> bool:
@@ -318,7 +321,12 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def _update(use_mask):
+    lagged_env = (
+        os.environ.get("FAT_FWD_LAGGED_MAX",
+                       "1" if _FWD_LAGGED_MAX else "0") == "1"
+    )
+
+    def _update(use_mask, lagged_tile=False):
         # NOTE: exp2-domain softmax was tried and reverted — Mosaic lowers
         # jnp.exp2 through a slow path on v5e (5-8x whole-kernel regression,
         # measured 2026-08-16). Natural exp it is.
@@ -361,6 +369,55 @@ def _fwd_kernel(
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
+        if lagged_env and lagged_tile:
+            # Lagged-max frame (VPU-roofline finding, RESULTS.md r3): the
+            # standard online softmax serializes MXU(s) -> rowmax reduce ->
+            # exp -> MXU(p@v). Computing p in the frame of the running max
+            # over PREVIOUS tiles removes the reduce from p's critical
+            # path — rowmax/l-sum/rebase co-issue with the p@v matmul.
+            # Mathematically identical (the frame cancels in o = acc/l and
+            # rebases into lse); fp-wise the rescaling rounds in a
+            # different order, same class as the standard alpha rescale.
+            # The first VISITED tile always takes the standard path (see
+            # the dispatch below), so the frame here is normally a true
+            # running rowmax. The frame must still be FINITE (an -inf
+            # frame makes p saturate and the rebase multiply by exp(-inf)
+            # zeroes the tile): rows whose first valid key appears late
+            # (segment packing) can still carry init -inf or
+            # DEFAULT_MASK_VALUE (< -1e30 both — real |scores| can't reach
+            # 1e30 from finite bf16 activations) and fall back to frame 0.
+            # The +60 clamp bounds p <= e^60 for ANY input: exact whenever
+            # one tile's rowmax exceeds the previous running max by < 60
+            # (everything non-degenerate); beyond that the saturated
+            # entries share weight (the softmax is a near-argmax there
+            # anyway) instead of overflowing to NaN.
+            frame = jnp.where(m_prev < -1e30, 0.0, m_prev)
+            p = jnp.exp(jnp.minimum(s - frame[:, :1], 60.0))
+            if mask is not None:
+                p = jnp.where(mask, p, 0.0)
+            sum_p = jnp.sum(p, axis=1, keepdims=True)  # l uses PRE-dropout p
+            if dropout_rate > 0.0:
+                bh = ib * pl.num_programs(1) + ih
+                keep = _keep_mask(
+                    seed_ref[0], bh, iq, ik, block_q, block_k, dropout_rate,
+                )
+                p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+            v = v_ref[0, 0]
+            acc_mid = acc_scr[...] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            m_curr = jnp.max(s, axis=1, keepdims=True)   # off p's path
+            m_next = jnp.maximum(m_prev, m_curr)
+            # Clamped like p's exponent: m_next can sit at
+            # DEFAULT_MASK_VALUE (all-masked row) or far below the frame
+            # (all-underflowed tile, l there already 0) — an unclamped
+            # exp overflows to inf and 0*inf poisons l with NaN.
+            alpha = jnp.exp(jnp.minimum(frame - m_next, 60.0))
+            l_scr[...] = (l_prev + sum_p) * alpha
+            acc_scr[...] = acc_mid * alpha[:, :1]
+            m_scr[...] = m_next
+            return
+
         m_curr = jnp.max(s, axis=1, keepdims=True)  # (bq, 1)
         m_next = jnp.maximum(m_prev, m_curr)        # (bq, LANES)
         alpha = jnp.exp(m_prev - m_next)
@@ -394,23 +451,69 @@ def _fwd_kernel(
         if kv_edge:
             needs_mask = needs_mask | (ik == n_kv_tiles - 1)
 
-        @pl.when(run & needs_mask)
-        def _masked():
-            _update(True)
+        if lagged_env:
+            # The FIRST visited tile takes the standard (exact, serialized)
+            # path so the lagged frame starts at a true rowmax — otherwise
+            # the frame-0 fallback's +60 clamp bites real data whose tile-0
+            # scores exceed 60 (test_lagged_max_extreme_scores_no_nan).
+            # Serializing 1/n_kv_tiles of the work is noise. With sinks the
+            # run set is non-contiguous and the first band tile re-flags as
+            # "first" — harmlessly exact. (run_prev is False at ik == 0.)
+            run_prev = (ik > 0) & _causal_should_run(
+                iq, jnp.maximum(ik - 1, 0), block_q, block_k, offset,
+                window, sinks,
+            )
+            first = jnp.logical_not(run_prev)
+            for use_mask in (True, False):
+                mask_pred = needs_mask if use_mask else (
+                    jnp.logical_not(needs_mask)
+                )
+                for is_first in (True, False):
+                    first_pred = first if is_first else (
+                        jnp.logical_not(first)
+                    )
 
-        @pl.when(run & jnp.logical_not(needs_mask))
-        def _unmasked():
-            _update(False)
+                    @pl.when(run & mask_pred & first_pred)
+                    def _br(use_mask=use_mask, is_first=is_first):
+                        _update(use_mask, lagged_tile=not is_first)
+        else:
+            @pl.when(run & needs_mask)
+            def _masked():
+                _update(True)
+
+            @pl.when(run & jnp.logical_not(needs_mask))
+            def _unmasked():
+                _update(False)
     elif kv_edge:
-        @pl.when(ik == n_kv_tiles - 1)
-        def _edge():
-            _update(True)
+        edge = ik == n_kv_tiles - 1
+        if lagged_env:
+            for use_mask in (True, False):
+                mask_pred = edge if use_mask else jnp.logical_not(edge)
+                for is_first in (True, False):
+                    first_pred = (ik == 0) if is_first else (ik != 0)
 
-        @pl.when(ik != n_kv_tiles - 1)
-        def _body():
-            _update(False)
+                    @pl.when(mask_pred & first_pred)
+                    def _br2(use_mask=use_mask, is_first=is_first):
+                        _update(use_mask, lagged_tile=not is_first)
+        else:
+            @pl.when(edge)
+            def _edge():
+                _update(True)
+
+            @pl.when(jnp.logical_not(edge))
+            def _body():
+                _update(False)
     else:
-        _update(False)
+        if lagged_env:
+            @pl.when(ik == 0)
+            def _first():
+                _update(False, lagged_tile=False)
+
+            @pl.when(ik != 0)
+            def _rest():
+                _update(False, lagged_tile=True)
+        else:
+            _update(False)
 
     @pl.when(ik == n_kv_tiles - 1)
     def _store():

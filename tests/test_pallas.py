@@ -856,3 +856,96 @@ def test_sinks_validation():
     q, k, v = make_qkv(1, 1, 128, 64)
     with pytest.raises(ValueError, match="sinks require window"):
         pallas_attention(q, k, v, causal=True, sinks=4)
+
+
+# ---------------------------------------------------------------------------
+# Lagged-max forward frame (FAT_FWD_LAGGED_MAX — pallas_attn._fwd_kernel).
+# Mathematically identical to the standard online softmax whenever one
+# tile's rowmax exceeds the previous running max by < 60; these tests pin
+# the exact domain AND the graceful (NaN-free) behavior outside it.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_lagged_max_matches_oracle(causal, monkeypatch):
+    monkeypatch.setenv("FAT_FWD_LAGGED_MAX", "1")
+    b, h, n, d = 1, 2, 384, 64
+    q, k, v = make_qkv(b, h, n, d)
+    o, lse = pallas_attention(q, k, v, causal=causal, block_q=BQ, block_k=BK)
+    o_ref, lse_ref = reference_attention(q, k, v, causal=causal)
+    assert_allclose(o, o_ref, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_ref, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+def test_lagged_max_extreme_scores_no_nan(monkeypatch):
+    """Adversarial score ranges: large positive (frame-0 overshoot), large
+    negative (upward rebase), and a big mid-sequence jump. Within the
+    +/-60-per-tile domain the outputs must still match the oracle; in all
+    cases they must be finite."""
+    monkeypatch.setenv("FAT_FWD_LAGGED_MAX", "1")
+    b, h, n, d = 1, 1, 384, 64
+    for scale_q, scale_k, jump in [(5.0, 5.0, 0.0), (-4.0, 4.0, 0.0),
+                                   (1.0, 1.0, 40.0)]:
+        q, k, v = make_qkv(b, h, n, d)
+        q = q * scale_q
+        k = k * scale_k
+        if jump:
+            # One late key made hugely attractive for every query: the
+            # running max jumps by ~jump at its tile.
+            k = k.at[:, :, 300, :].set(jnp.ones((d,), k.dtype) * jump / 8)
+            q = q + 0.1  # keep q . k_300 positive and large
+        o, lse = pallas_attention(q, k, v, block_q=BQ, block_k=BK)
+        o_ref, lse_ref = reference_attention(q, k, v)
+        assert np.isfinite(np.asarray(o, np.float32)).all()
+        assert np.isfinite(np.asarray(lse, np.float32)).all()
+        assert_allclose(o, o_ref, rtol=5e-4, atol=5e-4)
+        assert_allclose(lse, lse_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_lagged_max_windows_segments_dropout(monkeypatch):
+    monkeypatch.setenv("FAT_FWD_LAGGED_MAX", "1")
+    b, h, n, d = 1, 2, 384, 64
+    q, k, v = make_qkv(b, h, n, d)
+    o, lse = pallas_attention(q, k, v, causal=True, window=100,
+                              block_q=BQ, block_k=BK)
+    o_r, lse_r = reference_attention(q, k, v, causal=True, window=100)
+    assert_allclose(o, o_r, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_r, rtol=LSE_TOL, atol=LSE_TOL)
+
+    ids = jnp.asarray(np.repeat([0, 1, 2], [100, 150, 134])[None, :])
+    ids = jnp.tile(ids, (b, 1))
+    o, lse = pallas_attention(q, k, v, causal=True, segment_ids=ids,
+                              block_q=BQ, block_k=BK)
+    o_r, lse_r = reference_attention(
+        q, k, v, causal=True, mask=_seg_mask(ids, ids)
+    )
+    assert_allclose(o, o_r, rtol=1e-4, atol=1e-4)
+    assert_allclose(lse, lse_r, rtol=LSE_TOL, atol=LSE_TOL)
+
+    # dropout: same seed bit-identical, LSE unchanged vs no-dropout
+    o_a, lse_d = pallas_attention(q, k, v, block_q=BQ, block_k=BK,
+                                  dropout_rate=0.3, dropout_seed=1)
+    o_a2, _ = pallas_attention(q, k, v, block_q=BQ, block_k=BK,
+                               dropout_rate=0.3, dropout_seed=1)
+    o_nd, lse_nd = pallas_attention(q, k, v, block_q=BQ, block_k=BK)
+    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_a2))
+    assert_allclose(lse_d, lse_nd, rtol=LSE_TOL, atol=LSE_TOL)
+
+
+def test_lagged_max_grads(monkeypatch):
+    """The backward consumes only (o, lse) residuals — lagged forward must
+    compose with jax.grad exactly like the standard forward."""
+    monkeypatch.setenv("FAT_FWD_LAGGED_MAX", "1")
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = make_qkv(b, h, n, d)
+    do = jax.random.normal(jax.random.key(7), (b, h, n, d), dtype=jnp.float32)
+
+    def loss(q_, k_, v_):
+        o, _ = pallas_attention(q_, k_, v_, causal=True,
+                                block_q=BQ, block_k=BK)
+        return jnp.sum(o * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq_r, dk_r, dv_r = reference_attention_grads(q, k, v, do, causal=True)
+    assert_allclose(dq, dq_r, rtol=2e-3, atol=2e-3)
+    assert_allclose(dk, dk_r, rtol=2e-3, atol=2e-3)
+    assert_allclose(dv, dv_r, rtol=2e-3, atol=2e-3)
