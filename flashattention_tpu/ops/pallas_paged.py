@@ -61,14 +61,39 @@ def _fp8_e4m3_to_bf16_bits(payload):
     """float8_e4m3fn -> bfloat16 via integer bit surgery.
 
     v5e has no fast fp8 conversion path (measured: ``.astype`` on an fp8
-    payload runs ~2x slower end-to-end than int8). Both formats share a
-    (sign, 2^e, 1.m) layout, so re-biasing is pure integer work. TPU only
-    legalizes 32-bit shifts, so the surgery builds float32 bits
-    (sign<<31 | (e+120)<<23 | m<<20) and lets the cheap f32->bf16 cast
-    finish. Zero maps via the magnitude==0 select; e4m3 denormals decode
-    exactly via a mantissa-times-2^-9 select; e4m3fn NaN (0x7f) decodes to
-    a large finite value.
+    payload runs ~2x slower end-to-end than int8), and at decode shapes the
+    convert chain IS the quantized-cache bottleneck once the scale multiply
+    is folded out (queue7 A/B: int8 1.89x from the fold, fp8 only 1.08x) —
+    every integer op here costs real tokens/s.
+
+    Two chains, FAT_FP8_DECODE selects (read at trace time):
+
+    - ``magic``: place the e4m3 bits in a bf16's LOW exponent +
+      mantissa — bf16 = (s << 15) | (eeee mmm << 4) reads as
+      1.mmm x 2^(e - 127) — and multiply once by 2^120: exactly
+      1.mmm x 2^(e - 7), the e4m3 value. e4m3 denormals (e == 0) land on
+      bf16 denormals, which the x 2^120 rescales EXACTLY (m x 2^-129 x
+      2^120 = m x 2^-9) — provided the VPU doesn't flush bf16 denormal
+      multiplier inputs; the all-256-values probe in the TPU queue pins
+      this (MEASURED: XLA flushes them even on CPU — denormal payloads
+      decode to 0, an error < absmax/28672 of the tile, below e4m3's own
+      quantization noise but visible to exact-parity tests). e4m3fn NaN
+      (0x7f) decodes to +/-inf. ~8 integer/float ops per element.
+
+    - ``surgery`` (default — exact): the round-2 chain — build float32 bits
+      (sign<<31 | (e+120)<<23 | m<<20), select zero, select exact
+      denormals, cast to bf16. Exact everywhere incl. NaN -> large finite;
+      ~14 ops per element.
+
+    TPU only legalizes 32-bit shifts (uint16 shifts don't — CLAUDE.md), so
+    both chains compute in int32 and narrow at the end.
     """
+    if os.environ.get("FAT_FP8_DECODE", "surgery") == "magic":
+        bits = pltpu.bitcast(payload, jnp.uint8).astype(jnp.int32)
+        h16 = ((bits & 0x80) << 8) | ((bits & 0x7F) << 4)
+        return pltpu.bitcast(
+            h16.astype(jnp.uint16), jnp.bfloat16
+        ) * jnp.bfloat16(2.0 ** 120)
     bits = pltpu.bitcast(payload, jnp.uint8).astype(jnp.int32)
     mag = bits & 0x7F
     sign = (bits & 0x80) << 24
@@ -285,6 +310,7 @@ def _decode_kernel_merged(
     window=None,
     softcap=None,
     sinks=0,
+    int8_mxu=False,
 ):
     """Step-merged decode: one online-softmax update per (head, STEP).
 
@@ -332,13 +358,20 @@ def _decode_kernel_merged(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # Land the step's pages contiguously: kc/vc hold S*page slots per head.
+    # int8-MXU path: the scratch keeps the RAW int8 payloads (v5e's MXU is
+    # int8-native at 2x bf16 peak) — no per-element convert at all; q and p
+    # quantize per row instead (see the head loop).
     for s in range(s_count):
-        kc_scr[:, s * page_size: (s + 1) * page_size, :] = _convert_block(
-            k_refs[s], compute_dtype
-        )
-        vc_scr[:, s * page_size: (s + 1) * page_size, :] = _convert_block(
-            v_refs[s], compute_dtype
-        )
+        if int8_mxu:
+            kc_scr[:, s * page_size: (s + 1) * page_size, :] = k_refs[s][:, 0]
+            vc_scr[:, s * page_size: (s + 1) * page_size, :] = v_refs[s][:, 0]
+        else:
+            kc_scr[:, s * page_size: (s + 1) * page_size, :] = _convert_block(
+                k_refs[s], compute_dtype
+            )
+            vc_scr[:, s * page_size: (s + 1) * page_size, :] = _convert_block(
+                v_refs[s], compute_dtype
+            )
     if quantized:
         # Per-slot scale rows for the whole step, lane-major: (H_kv, width).
         ks_row = jnp.concatenate(
@@ -382,16 +415,35 @@ def _decode_kernel_merged(
     )
     for h in range(h_kv):
         r0, r1 = h * g_pad, (h + 1) * g_pad
-        q = q_ref[0, h].astype(compute_dtype) * compute_dtype(softmax_scale)
-        scores = jax.lax.dot_general(
-            q, kc_scr[h], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )  # (g_pad, width)
-        if quantized:
-            # K-scale fold (module docstring): (1, width) row broadcast
-            # over g_pad sublanes instead of a (width, D) dequant multiply.
-            scores = scores * ks_row[h:h + 1, :]
+        if int8_mxu:
+            # Quantize q per ROW (g_pad x d — tiny vs the width x d cache):
+            # q ~= q8 * qs; scores = (q8 . k8) * qs * ks * softmax_scale,
+            # all scale folds on (g_pad, width) planes. Noise added: ~0.4%
+            # per q element — same class the int8 CACHE already injects.
+            qf = q_ref[0, h].astype(jnp.float32)
+            qs = jnp.maximum(
+                jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-9
+            ) * (1.0 / 127.0)
+            q8 = jnp.round(qf / qs).astype(jnp.int8)
+            scores = jax.lax.dot_general(
+                q8, kc_scr[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            scores = scores * (qs * softmax_scale) * ks_row[h:h + 1, :]
+        else:
+            q = q_ref[0, h].astype(compute_dtype) * compute_dtype(
+                softmax_scale
+            )
+            scores = jax.lax.dot_general(
+                q, kc_scr[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (g_pad, width)
+            if quantized:
+                # K-scale fold (module docstring): (1, width) row broadcast
+                # over g_pad sublanes instead of a (width, D) dequant
+                # multiply.
+                scores = scores * ks_row[h:h + 1, :]
         if softcap is not None:
             scores = softcap * _mosaic_tanh(scores * (1.0 / softcap))
         # Unlike the flat kernel, a whole step CAN be past a short
@@ -410,16 +462,29 @@ def _decode_kernel_merged(
             p, axis=1, keepdims=True
         )
         m_scr[r0:r1] = m_next
-        if quantized:
-            # V-scale fold: (p * vs_row) @ v_int == p @ (vs * v_int).
+        if int8_mxu:
+            # pv >= 0; pv ~= p8 * ps per row, acc += (p8 . v8) * ps with
+            # the per-slot v scales already folded into pv.
             pv = p * vs_row[h:h + 1, :]
+            ps = jnp.maximum(
+                jnp.max(pv, axis=1, keepdims=True), 1e-30
+            ) * (1.0 / 127.0)
+            p8 = jnp.round(pv / ps).astype(jnp.int8)
+            contrib = jax.lax.dot(
+                p8, vc_scr[h], preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * ps
+            acc_scr[r0:r1] = acc_scr[r0:r1] * alpha[:, :1] + contrib
         else:
-            pv = p
-        acc_scr[r0:r1] = acc_scr[r0:r1] * alpha[:, :1] + jax.lax.dot(
-            pv.astype(compute_dtype), vc_scr[h],
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
+            if quantized:
+                # V-scale fold: (p * vs_row) @ v_int == p @ (vs * v_int).
+                pv = p * vs_row[h:h + 1, :]
+            else:
+                pv = p
+            acc_scr[r0:r1] = acc_scr[r0:r1] * alpha[:, :1] + jax.lax.dot(
+                pv.astype(compute_dtype), vc_scr[h],
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
 
     @pl.when(j == n_steps - 1)
     def _store():
@@ -558,6 +623,16 @@ def pallas_paged_attention(
         if est > 14 * 1024 * 1024:
             merged = False
 
+    # int8-MXU fast path (merged only): raw s8xs8->s32 matmuls on the
+    # int8-native v5e MXU; no per-element dequant (module docstring).
+    # Adds q/p row-quantization noise of the same class the int8 cache
+    # already carries (~9e-3 vs the gather oracle, pinned in
+    # tests/test_serving.py). Default OFF pending the real-TPU compile
+    # verify + A/B (queue8) — same discipline as FAT_FWD_LAGGED_MAX.
+    int8_mxu = (
+        merged and quantized and k_pages.dtype == jnp.int8
+        and os.environ.get("FAT_PAGED_INT8_MXU", "0") == "1"
+    )
     kernel = functools.partial(
         _decode_kernel_merged if merged else _decode_kernel,
         softmax_scale=float(softmax_scale),
@@ -571,6 +646,7 @@ def pallas_paged_attention(
         window=window,
         softcap=float(softcap) if softcap is not None else None,
         sinks=int(sinks),
+        **({"int8_mxu": True} if int8_mxu else {}),
     )
 
     def idx_q(b_, j, pi_, ln):
@@ -640,9 +716,10 @@ def pallas_paged_attention(
         pltpu.VMEM((h_kv * g_pad, d), jnp.float32),
     ]
     if merged:
+        scr_dtype = jnp.int8 if int8_mxu else compute_dtype
         scratch_shapes += [
-            pltpu.VMEM((h_kv, s_count * page_size, d), compute_dtype),
-            pltpu.VMEM((h_kv, s_count * page_size, d), compute_dtype),
+            pltpu.VMEM((h_kv, s_count * page_size, d), scr_dtype),
+            pltpu.VMEM((h_kv, s_count * page_size, d), scr_dtype),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

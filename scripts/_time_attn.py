@@ -156,21 +156,26 @@ def main():
         out["decode_kv_gbps"] = round(kv_bytes / t / 1e9, 1)
 
     if "qdecode" in what:
-        # Quantized (fp8 cache) paged decode at the same shape as `decode`:
-        # 1-byte payloads + per-slot fp32 scales (A/B for the scale-fold,
-        # decode_r03.json's 2.3x quantized slowdown).
+        # Quantized paged decode at the same shape as `decode`: 1-byte
+        # payloads + per-slot fp32 scales (A/B for the scale-fold,
+        # decode_r03.json's 2.3x quantized slowdown). FAT_QDECODE_QUANT
+        # picks the payload dtype (fp8 default; int8 for the MXU-path A/B).
         from flashattention_tpu.ops.pallas_paged import (
             pallas_paged_attention,
         )
 
+        qd_dtype = (
+            jnp.int8 if os.environ.get("FAT_QDECODE_QUANT") == "int8"
+            else jnp.float8_e4m3fn
+        )
         db, dh, dlen, dd, dpage = 64, 8, 2048, 128, 64
         npg = dlen // dpage
         kp8 = jax.random.normal(
             jax.random.key(10), (dh, db * npg + 1, dpage, dd), jnp.float32
-        ).astype(jnp.float8_e4m3fn)
+        ).astype(qd_dtype)
         vp8 = jax.random.normal(
             jax.random.key(11), (dh, db * npg + 1, dpage, dd), jnp.float32
-        ).astype(jnp.float8_e4m3fn)
+        ).astype(qd_dtype)
         ksc = jax.random.uniform(
             jax.random.key(13), (dh, db * npg + 1, dpage, 1), jnp.float32,
             0.01, 0.02,

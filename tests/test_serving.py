@@ -950,3 +950,49 @@ def test_engine_sinks_e2e_matches_uncapped_memory(params):
     assert out_big == out_small and len(out_big) == 40
     assert eng._evicted_prefix == {}  # no eviction happened
     assert eng.slots[0].request is None  # finished
+
+
+def test_int8_mxu_decode_path(monkeypatch):
+    """int8-MXU merged decode (FAT_PAGED_INT8_MXU): raw s8xs8->s32 matmuls
+    with q/p row quantization. The added noise is the same class the int8
+    cache itself injects (~0.4%/element), so parity vs the convert path and
+    vs the gather oracle is pinned at 2e-2 — and the path must be BIT-OFF
+    from the convert path (proves it actually engaged)."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h_kv, h_q, page, pps, d = 2, 2, 4, 16, 4, 64
+    maxlen = page * pps
+    lengths = jnp.asarray([maxlen, 23], jnp.int32)
+    pi = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps)
+    cache = init_paged_cache(h_kv, b * pps + 1, page, d, quant="int8")
+    ks = jax.random.normal(jax.random.key(0), (b, h_kv, maxlen, d))
+    vs = jax.random.normal(jax.random.key(1), (b, h_kv, maxlen, d))
+    cache = append_to_pages(cache, ks, vs, pi, jnp.zeros((b,), jnp.int32),
+                            valid_len=lengths)
+    q = jax.random.normal(jax.random.key(9), (b, h_q, d), jnp.float32)
+
+    def run(flag):
+        monkeypatch.setenv("FAT_PAGED_INT8_MXU", flag)
+        return np.asarray(pallas_paged_attention(
+            q, cache.k_pages, cache.v_pages, pi, lengths,
+            k_scales=cache.k_scales, v_scales=cache.v_scales,
+            compute_dtype=jnp.float32, merged=True,
+        ))
+
+    o_mxu, o_conv = run("1"), run("0")
+    o_ref = np.asarray(paged_attention_decode(q, cache, pi, lengths))
+    assert np.abs(o_mxu - o_conv).max() < 2e-2
+    assert np.abs(o_mxu - o_ref).max() < 2e-2
+    assert np.abs(o_mxu - o_conv).max() > 0  # the fast path engaged
+    # chunked prefill (q_len > 1) rides the same kernel
+    q4 = jax.random.normal(jax.random.key(11), (b, h_q, 8, d), jnp.float32)
+
+    def run4(flag):
+        monkeypatch.setenv("FAT_PAGED_INT8_MXU", flag)
+        return np.asarray(pallas_paged_attention(
+            q4, cache.k_pages, cache.v_pages, pi, lengths,
+            k_scales=cache.k_scales, v_scales=cache.v_scales,
+            compute_dtype=jnp.float32, merged=True,
+        ))
+
+    assert np.abs(run4("1") - run4("0")).max() < 2e-2
