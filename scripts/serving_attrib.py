@@ -1,0 +1,155 @@
+"""Serving decode-step attribution: where does the step time go?
+
+Times the SAME jitted decode loop as scripts/bench_serving.py but with the
+honest two-point method (traced-trip-count fori_loop, two lengths, min over
+trials, t_iter from the difference — cancels the 0.4-1.7 s per-dispatch
+tunnel overhead bench_serving's single-dispatch timing bakes in) across
+component-isolation variants:
+
+  full      the shipped step (merged paged kernel)
+  flat      FAT_PAGED_MERGED=0 (flat paged kernel)
+  xla       use_pallas=False (XLA gather executor)
+  noattn    paged attention replaced by identity (q passthrough)
+  noappend  append_to_pages replaced by identity (cache passthrough)
+
+full-noattn ~= attention cost; full-noappend ~= append (scatter) cost.
+Context: queue7's old-rev A/B confirmed VERDICT r2 weak #5 — f216024 steps
+in 3.17-3.35 ms where HEAD takes 4.28-4.33 ms, while the XLA-path cost
+analysis says HEAD is strictly cheaper (6.5e9 vs 17.5e9 flops) — so the
+regression lives in the TPU-only Pallas/append path this probe isolates.
+
+    python scripts/serving_attrib.py [--batch 16] [--variants full,flat,...]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--d-model", type=int, default=1024)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--page", type=int, default=256)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--i1", type=int, default=8)
+    ap.add_argument("--i2", type=int, default=40)
+    ap.add_argument("--variants",
+                    default="full,flat,xla,noattn,noappend")
+    ns = ap.parse_args()
+
+    from flashattention_tpu.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import flashattention_tpu.serving.engine as engine_mod
+    import flashattention_tpu.ops.pallas_paged as paged_mod
+    from flashattention_tpu.models.transformer import (
+        TransformerConfig, init_transformer,
+    )
+    from flashattention_tpu.serving.paged_kv import init_paged_cache
+
+    cfg = TransformerConfig(
+        vocab_size=32000, d_model=ns.d_model, n_layers=ns.layers,
+        n_heads=ns.heads, n_kv_heads=ns.heads, d_ff=4 * ns.d_model,
+        max_seq_len=ns.ctx + 2 * ns.i2 * ns.trials + 64, block_size=128,
+        dropout_rate=0.0, dtype=jnp.bfloat16,
+    )
+    b = ns.batch
+    pps = -(-cfg.max_seq_len // ns.page)
+    params = init_transformer(jax.random.key(0), cfg)
+    pi = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps) + 1
+    tokens0 = jnp.zeros((b, 1), jnp.int32)
+    lengths0 = jnp.full((b,), ns.ctx, jnp.int32)
+
+    def fresh_caches():
+        return [
+            init_paged_cache(cfg.kv_heads, b * pps + 1, ns.page, cfg.d_head,
+                             dtype=cfg.dtype)
+            for _ in range(cfg.n_layers)
+        ]
+
+    real_append = engine_mod.append_to_pages
+    real_paged = paged_mod.pallas_paged_attention
+
+    def setup(variant):
+        """Returns (restore_fn, use_pallas) after installing the variant."""
+        os.environ.pop("FAT_PAGED_MERGED", None)
+        engine_mod.append_to_pages = real_append
+        paged_mod.pallas_paged_attention = real_paged
+        use_pallas = True
+        if variant == "flat":
+            os.environ["FAT_PAGED_MERGED"] = "0"
+        elif variant == "xla":
+            use_pallas = False
+        elif variant == "noattn":
+            def fake_paged(q, k_pages, v_pages, page_indices, lengths,
+                           **kw):
+                return q
+            paged_mod.pallas_paged_attention = fake_paged
+        elif variant == "noappend":
+            def fake_append(cache, k_new, v_new, page_indices, lengths,
+                            **kw):
+                return cache
+            engine_mod.append_to_pages = fake_append
+        return use_pallas
+
+    results = {}
+    for variant in ns.variants.split(","):
+        use_pallas = setup(variant)
+        decode_raw = engine_mod.make_decode_fn(
+            cfg, use_pallas=use_pallas
+        ).__wrapped__
+
+        @jax.jit
+        def loop(n_, params_, pi_, tokens, caches, lengths):
+            def body(i, carry):
+                toks, cch, lens = carry
+                nxt, cch = decode_raw(params_, cch, toks, pi_, lens)
+                return nxt[:, None], cch, lens + 1
+            return lax.fori_loop(0, n_, body, (tokens, caches, lengths))
+
+        caches = fresh_caches()
+        out = loop(jnp.int32(2), params, pi, tokens0, caches, lengths0)
+        _ = np.asarray(out[0]).ravel()[:8]
+        best = {ns.i1: float("inf"), ns.i2: float("inf")}
+        for _ in range(ns.trials):
+            for iters in (ns.i1, ns.i2):
+                caches = fresh_caches()
+                t0 = time.perf_counter()
+                out = loop(jnp.int32(iters), params, pi, tokens0, caches,
+                           lengths0)
+                _ = np.asarray(out[0]).ravel()[:8]
+                best[iters] = min(best[iters], time.perf_counter() - t0)
+        t_iter = (best[ns.i2] - best[ns.i1]) / (ns.i2 - ns.i1)
+        results[variant] = round(t_iter * 1e3, 3)
+        print(f"{variant}: {t_iter * 1e3:.3f} ms/step "
+              f"(loops {best[ns.i1] * 1e3:.0f} / {best[ns.i2] * 1e3:.0f} ms)",
+              flush=True)
+
+    print(json.dumps({
+        "metric": "serving_step_attribution_ms",
+        "value": results.get("full"),
+        "unit": "ms/step",
+        "detail": {
+            "variants": results, "batch": b, "layers": cfg.n_layers,
+            "d_model": cfg.d_model, "ctx": ns.ctx, "page": ns.page,
+            "backend": jax.default_backend(),
+        },
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
