@@ -286,7 +286,7 @@ def fa2_attention(
 def fa3_attention(
     q, k, v, causal: bool = False, softmax_scale=None, backend: str = "auto",
     fp8: bool = False, fp8_seed: int = 0, dropout_rate: float = 0.0,
-    dropout_key=None,
+    dropout_key=None, fp8_fmt: str = "fp8",
 ):
     """FA3 generation (reference src/fa3/op.py:7): FA2 schedule + optional FP8.
 
@@ -297,6 +297,11 @@ def fa3_attention(
     (bug B5 fixed; see ops/quant.py). GQA and dropout compose with fp8 on
     every backend (the fused kernel shares KV tiles/descales per head group
     and replays the bf16 kernels' counter-based dropout mask).
+
+    fp8_fmt="int8" (pallas backend): int8 payloads instead of e4m3 — raw
+    s8xs8->s32 matmuls on v5e's int8-native MXU with zero in-kernel convert
+    work (ops/pallas_fp8.pallas_fp8_attention fmt= docstring). On other
+    backends the fmt is ignored (fake-quant stays e4m3-faithful).
     """
     spec = pick_fa3_spec(q.shape[-1], q.shape[-2])
     if not fp8:
@@ -326,6 +331,7 @@ def fa3_attention(
             block_q=min(spec.block_q, 512), block_k=spec.block_k,
             stages=spec.stages,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            fmt=fp8_fmt,
         )
     blk_q = _fp8_block(q.shape[-2], spec.block_q)
     blk_k = _fp8_block(k.shape[-2], spec.block_k)

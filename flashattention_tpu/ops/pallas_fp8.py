@@ -47,13 +47,17 @@ from flashattention_tpu.ops.quant import FP8_DTYPE, FP8_MAX, SCALE_EPS
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
 
-def quantize_tiles(x: jax.Array, block: int):
-    """(B, H, N, D) fp -> (payload fp8, scales fp32 (B, H, N // block)).
+def quantize_tiles(x: jax.Array, block: int, fmt: str = "fp8"):
+    """(B, H, N, D) fp -> (payload fp8|int8, scales fp32 (B, H, N//block)).
     N must already be padded to a multiple of ``block``. Thin alias of
-    quant.quantize_fp8_blocks so the kernel path and the parity-test path
-    share one quantization definition."""
-    from flashattention_tpu.ops.quant import quantize_fp8_blocks
+    quant.quantize_{fp8,int8}_blocks so the kernel path and the
+    parity-test path share one quantization definition."""
+    from flashattention_tpu.ops.quant import (
+        quantize_fp8_blocks, quantize_int8_blocks,
+    )
 
+    if fmt == "int8":
+        return quantize_int8_blocks(x, block)
     return quantize_fp8_blocks(x, block)
 
 
@@ -62,7 +66,7 @@ def _fp8_fwd_kernel(
     q_ref, k_ref, v_ref,
     o_ref, lse_ref, m_scr, l_scr, acc_scr,
     *, softmax_scale, causal, n_q, n_k, block_q, block_k, groups,
-    dropout_rate, window=None, sinks=0,
+    dropout_rate, window=None, sinks=0, int8_payload=False,
 ):
     bi = pl.program_id(0)
     hi = pl.program_id(1)
@@ -80,16 +84,26 @@ def _fp8_fwd_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     def _update(use_mask):
-        # Upcast fp8 tiles in VMEM via integer bit surgery (v5e has no fp8
-        # MXU and its native fp8 cast is slow — see pallas_paged); the FP8
-        # win here is halved HBM traffic, MXU runs bf16.
         from flashattention_tpu.ops.pallas_paged import _fp8_e4m3_to_bf16_bits
 
-        q = _fp8_e4m3_to_bf16_bits(q_ref[0, 0])
-        k = _fp8_e4m3_to_bf16_bits(k_ref[0, 0])
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        if int8_payload:
+            # int8 payloads hit the MXU RAW: s8xs8->s32 is native on v5e
+            # (394 TOPS = 2x bf16 peak) and EXACT — no convert chain at
+            # all, the descale scalar folds into the score scaling.
+            s = jax.lax.dot_general(
+                q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            # Upcast fp8 tiles in VMEM via integer bit surgery (v5e has no
+            # fp8 MXU and its native fp8 cast is slow — see pallas_paged);
+            # the FP8 win here is halved HBM traffic, MXU runs bf16.
+            q = _fp8_e4m3_to_bf16_bits(q_ref[0, 0])
+            k = _fp8_e4m3_to_bf16_bits(k_ref[0, 0])
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         # Fused descale: sq * sk folds into the softmax scale multiply.
         descale = sq_ref[bi, hi, iq] * sk_ref[bi, hk, ik]
         s = s * (descale * softmax_scale)
@@ -121,10 +135,22 @@ def _fp8_fwd_kernel(
             )
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
 
-        v = _fp8_e4m3_to_bf16_bits(v_ref[0, 0])
-        pv = jax.lax.dot(
-            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
-        )
+        if int8_payload:
+            # Quantize p per ROW (p >= 0, rows O(1)): pv = (p8 . v8) * ps,
+            # v's per-tile descale folds below with ps. Noise ~0.4% per p
+            # element — the same class the int8 payloads already carry.
+            ps = jnp.maximum(
+                jnp.max(p, axis=1, keepdims=True), 1e-30
+            ) * (1.0 / 127.0)
+            p8 = jnp.round(p / ps).astype(jnp.int8)
+            pv = jax.lax.dot(
+                p8, v_ref[0, 0], preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * ps
+        else:
+            v = _fp8_e4m3_to_bf16_bits(v_ref[0, 0])
+            pv = jax.lax.dot(
+                p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+            )
         # v descale: one scalar multiply on the (bq, d) tile contribution.
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * sv_ref[bi, hk, ik]
 
@@ -185,6 +211,7 @@ def _fp8_fwd(
         softmax_scale=softmax_scale, causal=causal,
         n_q=n_q, n_k=n_k, block_q=block_q, block_k=block_k, groups=groups,
         dropout_rate=dropout_rate, window=window, sinks=sinks,
+        int8_payload=q8.dtype == jnp.int8,
     )
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
@@ -267,9 +294,14 @@ def _fp8_to_f32_xla(payload):
 
 
 def _dequant_bf16(payload, scales, block):
-    """Dequantize to bf16 in one fused XLA pass (decode * scale -> bf16)."""
+    """Dequantize to bf16 in one fused XLA pass (decode * scale -> bf16).
+    int8 payloads convert with a plain astype (exact, no surgery needed)."""
     b, h, n, d = payload.shape
-    xb = _fp8_to_f32_xla(payload).reshape(b, h, n // block, block, d)
+    xf = (
+        payload.astype(jnp.float32) if payload.dtype == jnp.int8
+        else _fp8_to_f32_xla(payload)
+    )
+    xb = xf.reshape(b, h, n // block, block, d)
     return (
         (xb * scales[..., None, None]).astype(jnp.bfloat16)
     ).reshape(b, h, n, d)
@@ -277,19 +309,19 @@ def _dequant_bf16(payload, scales, block):
 
 @functools.partial(
     jax.custom_vjp,
-    nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18),
+    nondiff_argnums=(7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19),
 )
 def _fp8_attention(q, k, v, seed, q_ids, kv_ids, slopes, causal,
                    softmax_scale, block_q, block_k, interpret, out_dtype,
-                   stages, dropout_rate, mode, softcap, window, sinks):
+                   stages, dropout_rate, mode, softcap, window, sinks, fmt):
     return _fp8_attention_fwd_rule(
         q, k, v, seed, q_ids, kv_ids, slopes, causal, softmax_scale,
         block_q, block_k, interpret, out_dtype, stages, dropout_rate, mode,
-        softcap, window, sinks,
+        softcap, window, sinks, fmt,
     )[0]
 
 
-def _prepare_fp8(q, k, v, block_q, block_k):
+def _prepare_fp8(q, k, v, block_q, block_k, fmt="fp8"):
     n_q, n_k = q.shape[2], k.shape[2]
     d = q.shape[3]
     bq = min(block_q, max(128, ((n_q + 31) // 32) * 32))
@@ -303,18 +335,18 @@ def _prepare_fp8(q, k, v, block_q, block_k):
         q = _pad_dim(q, 3, LANES)
         k = _pad_dim(k, 3, LANES)
         v = _pad_dim(v, 3, LANES)
-    q8, sq = quantize_tiles(q, bq)
-    k8, sk = quantize_tiles(k, bk)
-    v8, sv = quantize_tiles(v, bk)
+    q8, sq = quantize_tiles(q, bq, fmt)
+    k8, sk = quantize_tiles(k, bk, fmt)
+    v8, sv = quantize_tiles(v, bk, fmt)
     return q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d
 
 
 def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
                             softmax_scale, block_q, block_k, interpret,
                             out_dtype, stages, dropout_rate, mode, softcap,
-                            window, sinks):
+                            window, sinks, fmt="fp8"):
     q8, k8, v8, sq, sk, sv, bq, bk, n_q, n_k, d = _prepare_fp8(
-        q, k, v, block_q, block_k
+        q, k, v, block_q, block_k, fmt
     )
     q_seg = kv_seg = None
     if q_ids is not None:
@@ -362,7 +394,7 @@ def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
 
 def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
                             interpret, out_dtype, stages, dropout_rate,
-                            mode, softcap, window, sinks, residuals,
+                            mode, softcap, window, sinks, fmt, residuals,
                             cotangents):
     """STE backward: run the bf16 backward kernels on the dequantized
     payloads (reference fa3_bwd.cu:134-146 semantics). With dropout, the
@@ -454,10 +486,22 @@ def pallas_fp8_attention(
     alibi_slopes: jax.Array | None = None,
     window: int | None = None,
     sinks: int = 0,
+    fmt: str = "fp8",
 ) -> tuple[jax.Array, jax.Array]:
     """FA3 fused-FP8 flash attention: quantizes q/k/v to float8_e4m3fn with
     per-tile scales, streams 1-byte payloads through the kernel, descales in
     the score/output scaling. ``stages`` = K/V pipeline buffer depth.
+
+    ``fmt="int8"`` swaps the payload format for int8 — the TPU-native
+    choice: v5e's MXU is int8-native (s8xs8->s32 at 2x bf16 peak), so the
+    fused kernel runs raw s8 matmuls with NO per-element convert chain
+    (e4m3's 8-14-op bit surgery is the measured bottleneck of the fp8
+    bandwidth story, RESULTS.md round 3). Scores are exact int32 products
+    descaled by the same per-tile scalars; softmax weights p re-quantize
+    per row (~0.4%/element noise, the class the payloads already carry).
+    The STE backward is identical (bf16 kernels on dequantized payloads).
+    Extension beyond the reference, whose fp8 targets H100 tensor cores
+    (src/fa3/torch/impl.py:118-133).
 
     ``mode`` picks the execution strategy for the quantized math:
       - "fused": in-kernel bit decode of the fp8 payloads — halves the K/V
@@ -512,12 +556,18 @@ def pallas_fp8_attention(
             raise ValueError("sinks require window= (StreamingLLM band)")
         if sinks < 0:
             raise ValueError(f"sinks must be >= 0, got {sinks}")
+    if fmt not in ("fp8", "int8"):
+        raise ValueError(f"fmt must be fp8|int8, got {fmt!r}")
     features = (softcap is not None or segment_ids is not None
                 or alibi_slopes is not None)
     if mode == "auto":
-        mode = (
-            "predecode" if (features or q.shape[2] > block_q) else "fused"
-        )
+        # fp8's fused kernel re-decodes K/V once per q tile (~20% VPU tax
+        # at N=8K), so multi-q-tile shapes predecode. int8 payloads have
+        # NO decode chain — the raw s8 tiles feed the MXU directly — so
+        # fused is optimal at every shape (features still need the bf16
+        # kernel).
+        fused_ok = not features and (fmt == "int8" or q.shape[2] <= block_q)
+        mode = "fused" if fused_ok else "predecode"
     if features and mode == "fused":
         raise ValueError(
             "softcap/segment_ids/alibi_slopes run via mode='predecode' "
@@ -545,5 +595,5 @@ def pallas_fp8_attention(
         int(block_q), int(block_k), bool(interpret), q.dtype, int(stages),
         float(dropout_rate), mode,
         float(softcap) if softcap is not None else None,
-        int(window) if window is not None else None, int(sinks),
+        int(window) if window is not None else None, int(sinks), fmt,
     )

@@ -111,6 +111,28 @@ def dequantize_fp8_blocks(payload: jax.Array, scales: jax.Array, block: int):
     return (xb * scales[..., None, None]).reshape(*lead, n, d)
 
 
+INT8_MAX = 127.0
+
+
+def quantize_int8_blocks(x: jax.Array, block: int):
+    """Quantize (..., N, D) to int8 with per-seq-block fp32 scales.
+
+    The TPU-native payload format: v5e's MXU is int8-native (s8xs8->s32 at
+    2x bf16 peak), so int8 payloads need NO in-kernel convert chain at all
+    — unlike e4m3, whose 8-14-op bit-surgery decode is the measured
+    bottleneck of the fp8 paths (RESULTS.md round 3). Extension beyond the
+    reference (whose fp8 targets H100 tensor cores, src/fa3/torch/impl.py);
+    dequantize via dequantize_fp8_blocks (payload-dtype generic).
+
+    Returns (payload int8, scales fp32 (..., N//block)).
+    """
+    *lead, n, d = x.shape
+    scales = block_absmax_scale(x, block, amax=INT8_MAX)
+    xb = x.astype(jnp.float32).reshape(*lead, n // block, block, d)
+    q = jnp.clip(jnp.round(xb / scales[..., None, None]), -127.0, 127.0)
+    return q.astype(jnp.int8).reshape(*lead, n, d), scales
+
+
 @functools.partial(jax.jit, static_argnames=("block",))
 def fake_quant_fp8(x: jax.Array, block: int) -> jax.Array:
     """Quant→dequant round trip (the parity-testing analogue of the

@@ -314,3 +314,120 @@ def test_fp8_window_validation():
         pallas_fp8_attention(q, k, v, causal=False, window=64)
     with pytest.raises(ValueError, match="sinks require"):
         pallas_fp8_attention(q, k, v, causal=True, sinks=16)
+
+
+# ---------------------------------------------------------------------------
+# int8 payload format (fmt="int8"): the TPU-native FA3 extension — raw
+# s8xs8->s32 MXU matmuls, no convert chain (pallas_fp8 fmt= docstring).
+# ---------------------------------------------------------------------------
+
+
+def _quantized_oracle_int8(q, k, v, bq, bk, causal):
+    q8, sq = quantize_tiles(q, bq, "int8")
+    k8, sk = quantize_tiles(k, bk, "int8")
+    v8, sv = quantize_tiles(v, bk, "int8")
+    return reference_attention(
+        _dequant(q8, sq, bq).astype(q.dtype),
+        _dequant(k8, sk, bk).astype(q.dtype),
+        _dequant(v8, sv, bk).astype(q.dtype),
+        causal=causal,
+    )
+
+
+@pytest.mark.parametrize("shape", [(1, 2, 256, 64), (2, 1, 384, 128)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_int8_fused_vs_quantized_oracle(shape, causal):
+    """Fused int8 vs the oracle on the SAME int8-quantized inputs: the only
+    extra noise is the per-row p re-quantization (~0.4%/element) plus
+    accumulation order, so 1e-2; and FP8_O_TOL vs the exact oracle."""
+    b, h, n, d = shape
+    q, k, v = make_qkv(b, h, n, d)
+    o, lse = pallas_fp8_attention(
+        q, k, v, causal=causal, block_q=BQ, block_k=BK, mode="fused",
+        fmt="int8",
+    )
+    o_qref, lse_qref = _quantized_oracle_int8(q, k, v, BQ, BK, causal)
+    # p re-quantization noise: 2.5e-2, the repo's established int8 class
+    assert_allclose(o, o_qref, rtol=2.5e-2, atol=2.5e-2)
+    assert_allclose(lse, lse_qref, rtol=LSE_TOL, atol=LSE_TOL)
+    o_ref, _ = reference_attention(q, k, v, causal=causal)
+    assert_allclose(o, o_ref, rtol=FP8_O_TOL, atol=FP8_O_TOL)
+
+
+def test_int8_auto_mode_stays_fused_multi_qtile():
+    """int8 has no decode chain, so auto resolves to fused even when the q
+    length spans multiple q tiles (fp8 would predecode there); the fused
+    multi-tile output must match the quantized oracle."""
+    q, k, v = make_qkv(1, 2, 512, 64)
+    o_auto, _ = pallas_fp8_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK, mode="auto",
+        fmt="int8",
+    )
+    o_fused, _ = pallas_fp8_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK, mode="fused",
+        fmt="int8",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(o_auto, np.float32), np.asarray(o_fused, np.float32)
+    )
+    o_qref, _ = _quantized_oracle_int8(q, k, v, BQ, BK, True)
+    assert_allclose(o_auto, o_qref, rtol=2.5e-2, atol=2.5e-2)
+
+
+def test_int8_gqa_backward_ste():
+    """GQA int8 forward parity + STE backward: grads finite and equal to
+    grads of the dense oracle on the dequantized payloads (bf16 class)."""
+    q, _, _ = make_qkv(1, 4, 256, 64)
+    _, k, v = make_qkv(1, 2, 256, 64, seed=5)
+    o, _ = pallas_fp8_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK, fmt="int8"
+    )
+    kr = jnp.repeat(k, 2, axis=1)
+    vr = jnp.repeat(v, 2, axis=1)
+    o_qref, _ = _quantized_oracle_int8(q, kr, vr, BQ, BK, True)
+    assert_allclose(o, o_qref, rtol=2.5e-2, atol=2.5e-2)
+
+    def loss(t):
+        o_, _ = pallas_fp8_attention(
+            t[0], t[1], t[2], causal=True, block_q=BQ, block_k=BK,
+            fmt="int8",
+        )
+        return jnp.sum(o_.astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss)((q, k, v))
+    assert all(np.isfinite(np.asarray(g, np.float32)).all() for g in grads)
+    # STE contract: same loss on the dequantized int8 payloads, dense path
+    from flashattention_tpu.ops.pallas_fp8 import _prepare_fp8
+
+    q8, k8, v8, sq, sk, sv, bq, bk, *_ = _prepare_fp8(q, k, v, BQ, BK, "int8")
+
+    def loss_deq(t):
+        o_, _ = reference_attention(
+            t[0].astype(jnp.float32), t[1].astype(jnp.float32),
+            t[2].astype(jnp.float32), causal=True,
+        )
+        return jnp.sum(o_ ** 2)
+
+    g_ref = jax.grad(loss_deq)((
+        _dequant(q8, sq, bq).astype(jnp.bfloat16),
+        jnp.repeat(_dequant(k8, sk, bk), 2, axis=1).astype(jnp.bfloat16),
+        jnp.repeat(_dequant(v8, sv, bk), 2, axis=1).astype(jnp.bfloat16),
+    ))
+    gq = np.asarray(grads[0], np.float32)
+    assert np.abs(gq - np.asarray(g_ref[0], np.float32)).max() < 0.35
+
+
+def test_fa3_int8_through_api():
+    from flashattention_tpu import fa3_attention as fa3
+
+    q, k, v = make_qkv(1, 2, 256, 64)
+    o, lse = fa3(q, k, v, causal=True, fp8=True, fp8_fmt="int8",
+                 backend="pallas")
+    assert o.shape == q.shape and np.isfinite(
+        np.asarray(o, np.float32)).all()
+
+
+def test_int8_fmt_validation():
+    q, k, v = make_qkv(1, 1, 128, 64)
+    with pytest.raises(ValueError, match="fmt"):
+        pallas_fp8_attention(q, k, v, fmt="int4")
