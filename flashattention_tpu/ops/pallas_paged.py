@@ -66,9 +66,12 @@ def _fp8_e4m3_to_bf16_bits(payload):
     is folded out (queue7 A/B: int8 1.89x from the fold, fp8 only 1.08x) —
     every integer op here costs real tokens/s.
 
-    Two chains, FAT_FP8_DECODE selects (read at trace time):
+    Two chains, FAT_FP8_DECODE selects (read at trace time); ``magic`` is
+    the default since the queue8 A/B measured it **1.29x faster** end-to-end
+    at the decode shape (1.27 vs 1.63 ms/step) with observed parity 1.1e-6
+    (benchmarks/results/queue8/ab_fp8_magic.log):
 
-    - ``magic``: place the e4m3 bits in a bf16's LOW exponent +
+    - ``magic`` (default): place the e4m3 bits in a bf16's LOW exponent +
       mantissa — bf16 = (s << 15) | (eeee mmm << 4) reads as
       1.mmm x 2^(e - 127) — and multiply once by 2^120: exactly
       1.mmm x 2^(e - 7), the e4m3 value. e4m3 denormals (e == 0) land on
@@ -80,7 +83,7 @@ def _fp8_e4m3_to_bf16_bits(payload):
       quantization noise but visible to exact-parity tests). e4m3fn NaN
       (0x7f) decodes to +/-inf. ~8 integer/float ops per element.
 
-    - ``surgery`` (default — exact): the round-2 chain — build float32 bits
+    - ``surgery`` (exact): the round-2 chain — build float32 bits
       (sign<<31 | (e+120)<<23 | m<<20), select zero, select exact
       denormals, cast to bf16. Exact everywhere incl. NaN -> large finite;
       ~14 ops per element.
@@ -88,7 +91,7 @@ def _fp8_e4m3_to_bf16_bits(payload):
     TPU only legalizes 32-bit shifts (uint16 shifts don't — CLAUDE.md), so
     both chains compute in int32 and narrow at the end.
     """
-    if os.environ.get("FAT_FP8_DECODE", "surgery") == "magic":
+    if os.environ.get("FAT_FP8_DECODE", "magic") != "surgery":
         bits = pltpu.bitcast(payload, jnp.uint8).astype(jnp.int32)
         h16 = ((bits & 0x80) << 8) | ((bits & 0x7F) << 4)
         return pltpu.bitcast(
@@ -623,12 +626,16 @@ def pallas_paged_attention(
         if est > 14 * 1024 * 1024:
             merged = False
 
-    # int8-MXU fast path (merged only): raw s8xs8->s32 matmuls on the
+    # int8-MXU path (merged only): raw s8xs8->s32 matmuls on the
     # int8-native v5e MXU; no per-element dequant (module docstring).
     # Adds q/p row-quantization noise of the same class the int8 cache
     # already carries (~9e-3 vs the gather oracle, pinned in
-    # tests/test_serving.py). Default OFF pending the real-TPU compile
-    # verify + A/B (queue8) — same discipline as FAT_FWD_LAGGED_MAX.
+    # tests/test_serving.py). MEASURED SLOWER at decode shapes — queue8
+    # A/B: 1.137 vs 0.910 ms (the g_pad=8-row matmuls underutilize the
+    # MXU, and the q/p row-quant VPU work costs more than int8->f32
+    # astype) — so the convert path stays default; the env knob remains
+    # for re-measurement at wider GQA/prefill shapes where the MXU side
+    # has real sublane occupancy.
     int8_mxu = (
         merged and quantized and k_pages.dtype == jnp.int8
         and os.environ.get("FAT_PAGED_INT8_MXU", "0") == "1"

@@ -121,6 +121,19 @@ def main():
         out["fp8_ms"] = round(t * 1e3, 4)
         out["fp8_tflops"] = round(fwd_flops / t / 1e12, 2)
 
+    if "int8" in what:
+        # FA3 int8 payload format: full call incl. the quantize pre-pass
+        # (mirrors the fp8 leg), fused at every shape (no decode chain).
+        from flashattention_tpu.ops.pallas_fp8 import pallas_fp8_attention
+
+        def int8_one(q_, k_, v_):
+            return pallas_fp8_attention(
+                q_, k_, v_, fmt="int8"
+            )[0].astype(q_.dtype)
+        t = two_point(int8_one, q, (k, v), 30, 30 + 300 * scale)
+        out["int8_ms"] = round(t * 1e3, 4)
+        out["int8_tflops"] = round(fwd_flops / t / 1e12, 2)
+
     if "decode" in what:
         # Paged decode at the decode_r02.json shape (B=64, H=H_kv=8,
         # len 2048, d=128, page 64, bf16 cache). Chained: the step's output

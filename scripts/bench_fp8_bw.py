@@ -67,6 +67,13 @@ def main():
     q8, sq = quantize_tiles(q, bq)
     k8, sk = quantize_tiles(k, bk)
     v8, sv = quantize_tiles(v, bk)
+    # int8 payload leg (fmt="int8"): same prequant kernel family — the
+    # kernel flips to raw s8xs8->s32 MXU matmuls on the payload dtype,
+    # removing the e4m3 convert chain this bench showed to be the
+    # bottleneck (fp8 0.712x at this shape, RESULTS.md round 3).
+    q8i, sqi = quantize_tiles(q, bq, "int8")
+    k8i, ski = quantize_tiles(k, bk, "int8")
+    v8i, svi = quantize_tiles(v, bk, "int8")
 
     def bf16_one(q_, k_, v_):
         o, _ = pallas_attention(q_, k_, v_, block_q=bq, block_k=bk)
@@ -105,6 +112,9 @@ def main():
     t_fp8 = two_point(
         make_loop(fp8_one), (sq, q8, k8, v8, sk, sv)
     )
+    t_int8 = two_point(
+        make_loop(fp8_one), (sqi, q8i, k8i, v8i, ski, svi)
+    )
 
     flops = 4 * b * h * nq * nk * d
     kv_bf16 = 2 * b * h * nk * d * 2
@@ -117,10 +127,13 @@ def main():
             "shape": [b, h, nq, nk, d],
             "bf16_ms": round(t_bf16 * 1e3, 4),
             "fp8_ms": round(t_fp8 * 1e3, 4),
+            "int8_ms": round(t_int8 * 1e3, 4),
+            "int8_win_x": round(t_bf16 / t_int8, 3),
             "bf16_tflops": round(flops / t_bf16 / 1e12, 1),
             "fp8_tflops": round(flops / t_fp8 / 1e12, 1),
             "bf16_kv_gbps": round(kv_bf16 / t_bf16 / 1e9, 1),
             "fp8_kv_gbps_payload": round(kv_fp8 / t_fp8 / 1e9, 1),
+            "int8_kv_gbps_payload": round(kv_fp8 / t_int8 / 1e9, 1),
             "arithmetic_intensity_flop_per_kv_byte_bf16": round(
                 flops / kv_bf16, 1
             ),

@@ -11,6 +11,14 @@ component-isolation variants:
   xla       use_pallas=False (XLA gather executor)
   noattn    paged attention replaced by identity (q passthrough)
   noappend  append_to_pages replaced by identity (cache passthrough)
+  dus       append via per-batch dynamic_update_slice (T=1 fast path)
+  uniq      append scatter with unique_indices + promise_in_bounds
+
+dus/uniq test the queue8 finding: scatter-append alone costs ~0 (noattn
+0.33 ms) and attention alone ~1.1 ms (noappend 1.44), but together the
+step reads 4.21 ms — the scatter + pallas-consumer combination induces a
+~2.8 ms/step penalty (a per-iteration cache copy by the look of the
+byte math: ~671 MB of caches ~ 0.84 ms at line rate).
 
 full-noattn ~= attention cost; full-noappend ~= append (scatter) cost.
 Context: queue7's old-rev A/B confirmed VERDICT r2 weak #5 — f216024 steps
@@ -84,6 +92,53 @@ def main():
     real_append = engine_mod.append_to_pages
     real_paged = paged_mod.pallas_paged_attention
 
+    import dataclasses
+
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+
+    def dus_append(cache, k_new, v_new, page_indices, lengths, **kw):
+        """T=1 decode append as B dynamic_update_slices inside a fori_loop
+        (in-place friendly for XLA, unlike scatter?). Bench-only: no quant,
+        no valid_len, no capacity mask."""
+        page = cache.page_size
+        pps = page_indices.shape[1]
+        logical = _jnp.minimum(lengths // page, pps - 1)
+        slot = lengths % page
+        phys = _jnp.take_along_axis(
+            page_indices, logical[:, None], axis=1)[:, 0]
+        kt = k_new[:, :, 0, :].astype(cache.k_pages.dtype)  # (B, H, D)
+        vt = v_new[:, :, 0, :].astype(cache.v_pages.dtype)
+
+        def body(i, pages):
+            kp, vp = pages
+            kp = _lax.dynamic_update_slice(
+                kp, kt[i][:, None, None, :], (0, phys[i], slot[i], 0))
+            vp = _lax.dynamic_update_slice(
+                vp, vt[i][:, None, None, :], (0, phys[i], slot[i], 0))
+            return kp, vp
+
+        kp, vp = _lax.fori_loop(
+            0, k_new.shape[0], body, (cache.k_pages, cache.v_pages))
+        return dataclasses.replace(cache, k_pages=kp, v_pages=vp)
+
+    def uniq_append(cache, k_new, v_new, page_indices, lengths, **kw):
+        """Scatter append with unique_indices + promise_in_bounds (bench-
+        only: decode writes ARE unique and in range here)."""
+        page = cache.page_size
+        pps = page_indices.shape[1]
+        logical = _jnp.minimum(lengths // page, pps - 1)
+        slot = lengths % page
+        phys = _jnp.take_along_axis(
+            page_indices, logical[:, None], axis=1)[:, 0]
+        kt = k_new[:, :, 0, :].astype(cache.k_pages.dtype).transpose(1, 0, 2)
+        vt = v_new[:, :, 0, :].astype(cache.v_pages.dtype).transpose(1, 0, 2)
+        kp = cache.k_pages.at[:, phys, slot, :].set(
+            kt, mode="promise_in_bounds", unique_indices=True)
+        vp = cache.v_pages.at[:, phys, slot, :].set(
+            vt, mode="promise_in_bounds", unique_indices=True)
+        return dataclasses.replace(cache, k_pages=kp, v_pages=vp)
+
     def setup(variant):
         """Returns (restore_fn, use_pallas) after installing the variant."""
         os.environ.pop("FAT_PAGED_MERGED", None)
@@ -104,6 +159,10 @@ def main():
                             **kw):
                 return cache
             engine_mod.append_to_pages = fake_append
+        elif variant == "dus":
+            engine_mod.append_to_pages = dus_append
+        elif variant == "uniq":
+            engine_mod.append_to_pages = uniq_append
         return use_pallas
 
     results = {}

@@ -12,6 +12,12 @@
 #
 # Usage: scripts/tpu_queue6.sh <sha> [max_wait_minutes]
 set -u
+# Sequencing guard: another queue owns the chip while this sentinel exists
+# (tpu_queue9.sh removes it when done). Never run two queues concurrently —
+# interleaved dispatches poison both sides' timings.
+while [ -e /tmp/fat_queue_defer6 ]; do
+  echo "deferred: /tmp/fat_queue_defer6 present $(date +%H:%M:%S)"; sleep 60
+done
 REPO=/root/repo
 SHA=${1:?usage: tpu_queue6.sh <sha> [max_wait_minutes]}
 WT=/tmp/fat_q5_$SHA   # share queue5's worktree when present
