@@ -21,6 +21,7 @@ top in ops/pallas_paged.py.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any
 
@@ -116,6 +117,11 @@ def append_to_pages(
     page = cache.page_size
     pps = page_indices.shape[1]
 
+    if t == 1 and os.environ.get("FAT_APPEND_DUS", "0") == "1":
+        return _append_decode_dus(
+            cache, k_new, v_new, page_indices, lengths, valid_len
+        )
+
     pos = lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # (B, T)
     ok = pos < pps * page
     if valid_len is not None:
@@ -148,6 +154,76 @@ def append_to_pages(
     return dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages,
         k_scales=k_scales, v_scales=v_scales,
+    )
+
+
+def _append_decode_dus(cache, k_new, v_new, page_indices, lengths, valid_len):
+    """T=1 decode append as B sequential dynamic_update_slices (FAT_APPEND_DUS).
+
+    queue8's serving attribution localized a ~2.8 ms/step penalty to the
+    scatter append feeding the Pallas paged kernel inside one jitted step
+    (append alone ~0, attention alone ~1.1 ms, together 4.2 ms — a
+    per-iteration cache copy); XLA provably updates in-loop
+    dynamic_update_slice chains in place. O(B) sequential trace is fine at
+    decode (B slices of (H,1,1,D)); the prefill path (T>1) keeps the
+    vectorized scatter, whose one-shot write amortizes any copy.
+
+    Masked writes (position past page capacity, or valid_len == 0) use
+    read-modify-write: the target's CURRENT value writes back. Unlike the
+    scatter path — where a stale write-back could clobber a concurrent
+    in-range write at a duplicate (phys, slot) under XLA's unspecified
+    scatter order — the fori_loop is SEQUENTIAL, so iteration i's
+    read sees every earlier write and clobbering is impossible.
+    """
+    b, h, _, d = k_new.shape
+    page = cache.page_size
+    pps = page_indices.shape[1]
+    ok = lengths < pps * page
+    if valid_len is not None:
+        ok = ok & (valid_len > 0)
+    logical = jnp.minimum(lengths // page, pps - 1)
+    slot = lengths % page
+    phys = jnp.take_along_axis(page_indices, logical[:, None], axis=1)[:, 0]
+
+    def prep(new, pages_dtype):
+        tok = new[:, :, 0, :].astype(jnp.float32)  # (B, H, D)
+        if cache.quant:
+            return _quantize_tokens(tok, cache.quant, pages_dtype)
+        return tok.astype(pages_dtype), None
+
+    kp_new, ks_new = prep(k_new, cache.k_pages.dtype)
+    vp_new, vs_new = prep(v_new, cache.v_pages.dtype)
+
+    def body(i, bufs):
+        kp, ks, vp, vs = bufs
+        at = (0, phys[i], slot[i], 0)
+
+        def upd(pages, payload):
+            cur = jax.lax.dynamic_slice(pages, at, (h, 1, 1, d))
+            val = jnp.where(
+                ok[i], payload[i][:, None, None, :].astype(pages.dtype), cur
+            )
+            return jax.lax.dynamic_update_slice(pages, val, at)
+
+        kp = upd(kp, kp_new)
+        vp = upd(vp, vp_new)
+        if ks is not None:
+
+            def upds(scales, scale):
+                cur = jax.lax.dynamic_slice(scales, at, (h, 1, 1, 1))
+                val = jnp.where(ok[i], scale[i][:, None, None, None], cur)
+                return jax.lax.dynamic_update_slice(scales, val, at)
+
+            ks = upds(ks, ks_new)
+            vs = upds(vs, vs_new)
+        return kp, ks, vp, vs
+
+    kp, ks, vp, vs = jax.lax.fori_loop(
+        0, b, body,
+        (cache.k_pages, cache.k_scales, cache.v_pages, cache.v_scales),
+    )
+    return dataclasses.replace(
+        cache, k_pages=kp, v_pages=vp, k_scales=ks, v_scales=vs
     )
 
 

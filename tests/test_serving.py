@@ -996,3 +996,43 @@ def test_int8_mxu_decode_path(monkeypatch):
         ))
 
     assert np.abs(run4("1") - run4("0")).max() < 2e-2
+
+
+@pytest.mark.parametrize("quant", [None, "int8", "fp8"])
+def test_append_dus_matches_scatter(monkeypatch, quant):
+    """FAT_APPEND_DUS=1 (T=1 per-batch dynamic_update_slice path) writes
+    bit-identical caches to the scatter path, including masked writes:
+    a full sequence (position past page capacity) and valid_len == 0."""
+    from flashattention_tpu.serving.paged_kv import (
+        append_to_pages, init_paged_cache,
+    )
+
+    b, h, page, pps, d = 4, 2, 16, 4, 32
+    pi = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps) + 1
+    # row 2: at capacity (write must drop); row 3: valid_len 0 (drop)
+    lengths = jnp.asarray([0, 37, pps * page, 5], jnp.int32)
+    valid = jnp.asarray([1, 1, 1, 0], jnp.int32)
+    k = jax.random.normal(jax.random.key(0), (b, h, 1, d))
+    v = jax.random.normal(jax.random.key(1), (b, h, 1, d))
+
+    def run(flag):
+        monkeypatch.setenv("FAT_APPEND_DUS", flag)
+        cache = init_paged_cache(h, b * pps + 2, page, d, quant=quant)
+        # pre-fill so masked RMW has non-trivial current values to keep
+        cache = append_to_pages(
+            cache, jax.random.normal(jax.random.key(7), (b, h, 8, d)),
+            jax.random.normal(jax.random.key(8), (b, h, 8, d)),
+            pi, jnp.zeros((b,), jnp.int32),
+        )
+        return append_to_pages(cache, k, v, pi, lengths, valid_len=valid)
+
+    got, ref = run("1"), run("0")
+    for name in ("k_pages", "v_pages", "k_scales", "v_scales"):
+        a, r = getattr(got, name), getattr(ref, name)
+        if a is None:
+            assert r is None
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(r, np.float32),
+            err_msg=f"{quant} {name}",
+        )
