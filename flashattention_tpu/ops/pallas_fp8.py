@@ -46,6 +46,18 @@ from flashattention_tpu.ops.pallas_attn import (
 from flashattention_tpu.ops.quant import FP8_DTYPE, FP8_MAX, SCALE_EPS
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
+def _int8_pv_s8() -> bool:
+    """int8 PV strategy (FAT_INT8_PV, read at trace time): "bf16" (default)
+    converts the v tile with a single cheap s8->bf16 astype and keeps p in
+    bf16 — no p re-quantization chain; "s8" re-quantizes p per row and runs
+    the PV matmul on the int8 MXU. queue9 measured the s8 PV fused kernel
+    at 112.9 TF vs bf16's 137.3 at the compute-bound headline shape — the
+    p-requant VPU chain serializes against the MXU exactly like the softmax
+    max chain the VPU-roofline ablation identified (RESULTS.md round 3)."""
+    import os
+
+    return os.environ.get("FAT_INT8_PV", "bf16") == "s8"
+
 
 def quantize_tiles(x: jax.Array, block: int, fmt: str = "fp8"):
     """(B, H, N, D) fp -> (payload fp8|int8, scales fp32 (B, H, N//block)).
@@ -135,7 +147,7 @@ def _fp8_fwd_kernel(
             )
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
 
-        if int8_payload:
+        if int8_payload and _int8_pv_s8():
             # Quantize p per ROW (p >= 0, rows O(1)): pv = (p8 . v8) * ps,
             # v's per-tile descale folds below with ps. Noise ~0.4% per p
             # element — the same class the int8 payloads already carry.
@@ -146,6 +158,14 @@ def _fp8_fwd_kernel(
             pv = jax.lax.dot(
                 p8, v_ref[0, 0], preferred_element_type=jnp.int32
             ).astype(jnp.float32) * ps
+        elif int8_payload:
+            # Hybrid PV (FAT_INT8_PV=bf16, default): int8->bf16 astype is
+            # ONE cheap pass (unlike e4m3's bit surgery) and drops the
+            # 3-pass p re-quant chain + its ~0.4% noise; QK stays raw s8.
+            pv = jax.lax.dot(
+                p.astype(jnp.bfloat16), v_ref[0, 0].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
         else:
             v = _fp8_e4m3_to_bf16_bits(v_ref[0, 0])
             pv = jax.lax.dot(
