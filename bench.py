@@ -137,7 +137,12 @@ def emit_from_state(state):
     # long-KV single-q-tile forward).
     detail["fp8_roofline"] = {
         "fp8_peak_tflops": V5E_BF16_PEAK_TFLOPS,
-        "why": "v5e MXU is bf16; fp8 wins only where HBM-bound",
+        "why": (
+            "v5e MXU is bf16; 8-bit payloads win only where HBM-bound — "
+            "measured: int8 payloads (raw s8 MXU matmuls, fmt='int8') beat "
+            "bf16 1.21x at q=128/KV=32K while e4m3 still pays its decode "
+            "chain (0.89x) — see bandwidth_win_artifact"
+        ),
         "bandwidth_win_artifact": sorted(
             glob.glob("benchmarks/results/fp8_bandwidth_*.json")
         )[-1:] or None,
