@@ -121,6 +121,11 @@ def append_to_pages(
         return _append_decode_dus(
             cache, k_new, v_new, page_indices, lengths, valid_len
         )
+    if (t == 1 and cache.quant is None
+            and os.environ.get("FAT_APPEND_PALLAS", "0") == "1"):
+        return _append_decode_pallas(
+            cache, k_new, v_new, page_indices, lengths, valid_len
+        )
 
     pos = lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]  # (B, T)
     ok = pos < pps * page
@@ -155,6 +160,33 @@ def append_to_pages(
         cache, k_pages=k_pages, v_pages=v_pages,
         k_scales=k_scales, v_scales=v_scales,
     )
+
+
+def _append_decode_pallas(cache, k_new, v_new, page_indices, lengths,
+                          valid_len):
+    """T=1 bf16 decode append via the in-place Pallas kernel
+    (FAT_APPEND_PALLAS; ops/pallas_append.py has the full rationale:
+    scatter + Pallas-consumer composition costs ~2.9 ms/step in XLA
+    defensive copies — queue9/serving_attrib2.log)."""
+    import jax  # local: keep module import light
+
+    from flashattention_tpu.ops.pallas_append import pallas_append_decode
+    from flashattention_tpu.ops.pallas_attn import _interpret_default
+
+    page = cache.page_size
+    pps = page_indices.shape[1]
+    ok = lengths < pps * page
+    if valid_len is not None:
+        ok = ok & (valid_len > 0)
+    logical = jnp.minimum(lengths // page, pps - 1)
+    slot = lengths % page
+    phys = jnp.take_along_axis(page_indices, logical[:, None], axis=1)[:, 0]
+    kp, vp = pallas_append_decode(
+        cache.k_pages, cache.v_pages,
+        k_new[:, :, 0, :], v_new[:, :, 0, :],
+        phys, slot, ok, interpret=_interpret_default(),
+    )
+    return dataclasses.replace(cache, k_pages=kp, v_pages=vp)
 
 
 def _append_decode_dus(cache, k_new, v_new, page_indices, lengths, valid_len):

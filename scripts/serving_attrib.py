@@ -13,6 +13,7 @@ component-isolation variants:
   noappend  append_to_pages replaced by identity (cache passthrough)
   dus       append via per-batch dynamic_update_slice (T=1 fast path)
   uniq      append scatter with unique_indices + promise_in_bounds
+  pallas    in-place Pallas append kernel (FAT_APPEND_PALLAS=1)
 
 dus/uniq test the queue8 finding: scatter-append alone costs ~0 (noattn
 0.33 ms) and attention alone ~1.1 ms (noappend 1.44), but together the
@@ -142,6 +143,7 @@ def main():
     def setup(variant):
         """Returns (restore_fn, use_pallas) after installing the variant."""
         os.environ.pop("FAT_PAGED_MERGED", None)
+        os.environ.pop("FAT_APPEND_PALLAS", None)
         engine_mod.append_to_pages = real_append
         paged_mod.pallas_paged_attention = real_paged
         use_pallas = True
@@ -163,6 +165,11 @@ def main():
             engine_mod.append_to_pages = dus_append
         elif variant == "uniq":
             engine_mod.append_to_pages = uniq_append
+        elif variant == "pallas":
+            # In-place Pallas append kernel (ops/pallas_append.py), the
+            # real gated path: input_output_aliases pins the cache buffers
+            # so XLA cannot interpose a defensive copy.
+            os.environ["FAT_APPEND_PALLAS"] = "1"
         return use_pallas
 
     results = {}

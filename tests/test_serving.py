@@ -111,6 +111,43 @@ def test_paged_roundtrip(quant):
     )
 
 
+def test_pallas_append_matches_scatter(monkeypatch):
+    """The in-place Pallas decode append (FAT_APPEND_PALLAS,
+    ops/pallas_append.py) writes exactly what the scatter path writes —
+    including a mid-page slot, a page-boundary slot, a capacity-masked
+    row, and a valid_len-masked row."""
+    b, h, pages, psize, d = 4, 2, 8, 4, 16
+    pi = jnp.asarray([[3, 1], [0, 2], [5, 6], [7, 4]])
+    # row0 mid-page, row1 at a page boundary, row2 AT capacity (masked),
+    # row3 masked by valid_len.
+    lengths = jnp.asarray([1, 4, 8, 2], jnp.int32)
+    valid = jnp.asarray([1, 1, 1, 0], jnp.int32)
+    k_new = jax.random.normal(jax.random.key(0), (b, h, 1, d))
+    v_new = jax.random.normal(jax.random.key(1), (b, h, 1, d))
+    def mk():
+        # Fresh arrays per path: the Pallas path's input_output_aliases
+        # DONATES the page buffers (that's the point — the engine's cache
+        # flows linearly through the step), so they can't be reused.
+        base = init_paged_cache(h, pages, psize, d, dtype=jnp.float32)
+        return dataclasses.replace(
+            base,
+            k_pages=jax.random.normal(jax.random.key(2), base.k_pages.shape),
+            v_pages=jax.random.normal(jax.random.key(3), base.v_pages.shape),
+        )
+
+    monkeypatch.delenv("FAT_APPEND_PALLAS", raising=False)
+    want = append_to_pages(mk(), k_new, v_new, pi, lengths, valid_len=valid)
+    monkeypatch.setenv("FAT_APPEND_PALLAS", "1")
+    got = append_to_pages(mk(), k_new, v_new, pi, lengths, valid_len=valid)
+
+    np.testing.assert_array_equal(
+        np.asarray(want.k_pages), np.asarray(got.k_pages)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(want.v_pages), np.asarray(got.v_pages)
+    )
+
+
 def test_paged_append_valid_len_masks_padding():
     h, pages, psize, d = 1, 4, 4, 8
     cache = init_paged_cache(h, pages, psize, d, dtype=jnp.float32)
