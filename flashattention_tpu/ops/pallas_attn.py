@@ -1088,26 +1088,34 @@ def _flash_bwd(
     # stays exact.
     dkv_dtype = k.dtype if groups == 1 else jnp.float32
 
-    if fused:
-        # dQ residency: keep the whole (N_q_pad, D) fp32 dQ in VMEM scratch
-        # when the kernel's TOTAL VMEM footprint fits — zero partial-buffer
-        # HBM traffic. The budget must count the tile pipeline too, not just
-        # the scratch: dQ scratch + dk/dv scratch + double-buffered in/out
-        # blocks. (At N=8K d=256 the old "dQ <= 8 MB" gate passed exactly at
-        # the boundary and Mosaic OOM'd scoped vmem by 512 KB: 16.5 MB vs
-        # the 16 MB limit, measured 2026-08-17.)
-        isz = q.dtype.itemsize
-        osz = jnp.dtype(dkv_dtype).itemsize
-        vmem_est = (
-            n_q_pad * d * 4                  # resident dQ scratch (fp32)
-            + 2 * block_k * d * 4            # dk/dv fp32 scratch
-            + 2 * 2 * (block_q * d * isz)    # q, do in-blocks (x2 buffers)
-            + 2 * 2 * (block_k * d * isz)    # k, v in-blocks
-            + 2 * 2 * (block_k * d * osz)    # dk, dv out-blocks
-            + 2 * (block_q * d * isz)        # dq out-block (input dtype)
-        )
-        resident = vmem_est <= 14 * 1024 * 1024
+    # dQ residency: keep the whole (N_q_pad, D) fp32 dQ in VMEM scratch
+    # when the kernel's TOTAL VMEM footprint fits — zero partial-buffer
+    # HBM traffic. The budget must count the tile pipeline too, not just
+    # the scratch: dQ scratch + dk/dv scratch + double-buffered in/out
+    # blocks. (At N=8K d=256 the old "dQ <= 8 MB" gate passed exactly at
+    # the boundary and Mosaic OOM'd scoped vmem by 512 KB: 16.5 MB vs
+    # the 16 MB limit, measured 2026-08-17.)
+    isz = q.dtype.itemsize
+    osz = jnp.dtype(dkv_dtype).itemsize
+    vmem_est = (
+        n_q_pad * d * 4                  # resident dQ scratch (fp32)
+        + 2 * block_k * d * 4            # dk/dv fp32 scratch
+        + 2 * 2 * (block_q * d * isz)    # q, do in-blocks (x2 buffers)
+        + 2 * 2 * (block_k * d * isz)    # k, v in-blocks
+        + 2 * 2 * (block_k * d * osz)    # dk, dv out-blocks
+        + 2 * (block_q * d * isz)        # dq out-block (input dtype)
+    )
+    resident = vmem_est <= 14 * 1024 * 1024
+    # When resident dQ does not fit (N*d > ~3.6M: d=128 beyond 28K, d=256
+    # beyond 14K), the fused fallback is a (b, h, n_k_tiles, N_q, d) fp32
+    # dQ-partial buffer — O(N^2/block_k) HBM, measured 4.9 GB peak at
+    # N=32K d=128 (memory_r03.json; VERDICT r3 item 6) plus its write+read
+    # traffic. The split pair stays O(N): route non-resident shapes to
+    # split unless FAT_BWD_PARTIAL=1 forces the partial path for A/Bs.
+    if fused and not resident:
+        fused = os.environ.get("FAT_BWD_PARTIAL", "0") == "1"
 
+    if fused:
         if resident:
             # Earlier KV sweeps park the dq output block on index 0; the
             # index only CHANGES at the final sweep, so Mosaic never flushes
