@@ -65,11 +65,13 @@ def quantize_tiles(x: jax.Array, block: int, fmt: str = "fp8"):
     quant.quantize_{fp8,int8}_blocks so the kernel path and the
     parity-test path share one quantization definition."""
     from flashattention_tpu.ops.quant import (
-        quantize_fp8_blocks, quantize_int8_blocks,
+        quantize_e5m2_blocks, quantize_fp8_blocks, quantize_int8_blocks,
     )
 
     if fmt == "int8":
         return quantize_int8_blocks(x, block)
+    if fmt == "e5m2":
+        return quantize_e5m2_blocks(x, block)
     return quantize_fp8_blocks(x, block)
 
 
@@ -96,7 +98,15 @@ def _fp8_fwd_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     def _update(use_mask):
-        from flashattention_tpu.ops.pallas_paged import _fp8_e4m3_to_bf16_bits
+        from flashattention_tpu.ops.pallas_paged import (
+            _fp8_e4m3_to_bf16_bits,
+            _fp8_e5m2_to_bf16_bits,
+        )
+
+        def _decode(ref_val):
+            if ref_val.dtype == jnp.float8_e5m2:
+                return _fp8_e5m2_to_bf16_bits(ref_val)
+            return _fp8_e4m3_to_bf16_bits(ref_val)
 
         if int8_payload:
             # int8 payloads hit the MXU RAW: s8xs8->s32 is native on v5e
@@ -110,8 +120,8 @@ def _fp8_fwd_kernel(
             # Upcast fp8 tiles in VMEM via integer bit surgery (v5e has no
             # fp8 MXU and its native fp8 cast is slow — see pallas_paged);
             # the FP8 win here is halved HBM traffic, MXU runs bf16.
-            q = _fp8_e4m3_to_bf16_bits(q_ref[0, 0])
-            k = _fp8_e4m3_to_bf16_bits(k_ref[0, 0])
+            q = _decode(q_ref[0, 0])
+            k = _decode(k_ref[0, 0])
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -167,7 +177,7 @@ def _fp8_fwd_kernel(
                 preferred_element_type=jnp.float32,
             )
         else:
-            v = _fp8_e4m3_to_bf16_bits(v_ref[0, 0])
+            v = _decode(v_ref[0, 0])
             pv = jax.lax.dot(
                 p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
             )
@@ -301,14 +311,23 @@ def _fp8_to_f32_xla(payload):
     bits = jax.lax.bitcast_convert_type(payload, jnp.uint8).astype(jnp.int32)
     mag = bits & 0x7F
     sign = (bits & 0x80) << 24
-    out = sign | ((mag << 20) + (120 << 23))
-    out = jnp.where(mag == 0, sign, out)
-    f = jax.lax.bitcast_convert_type(out, jnp.float32)
-    denorm = mag < 8
+    if payload.dtype == jnp.float8_e5m2:
+        # e5m2: 1.mm x 2^(e-15) -> f32 exp e+112, mantissa m << 21;
+        # denormals (e == 0) are m x 2^-16 exactly.
+        out = sign | ((mag << 21) + (112 << 23))
+        out = jnp.where(mag == 0, sign, out)
+        f = jax.lax.bitcast_convert_type(out, jnp.float32)
+        denorm = mag < 4
+        unit = 2.0 ** -16
+    else:
+        out = sign | ((mag << 20) + (120 << 23))
+        out = jnp.where(mag == 0, sign, out)
+        f = jax.lax.bitcast_convert_type(out, jnp.float32)
+        denorm = mag < 8
+        unit = 2.0 ** -9
     return jnp.where(
         denorm,
-        mag.astype(jnp.float32)
-        * jnp.where(sign != 0, -(2.0 ** -9), 2.0 ** -9),
+        mag.astype(jnp.float32) * jnp.where(sign != 0, -unit, unit),
         f,
     )
 
@@ -576,8 +595,8 @@ def pallas_fp8_attention(
             raise ValueError("sinks require window= (StreamingLLM band)")
         if sinks < 0:
             raise ValueError(f"sinks must be >= 0, got {sinks}")
-    if fmt not in ("fp8", "int8"):
-        raise ValueError(f"fmt must be fp8|int8, got {fmt!r}")
+    if fmt not in ("fp8", "int8", "e5m2"):
+        raise ValueError(f"fmt must be fp8|int8|e5m2, got {fmt!r}")
     features = (softcap is not None or segment_ids is not None
                 or alibi_slopes is not None)
     if mode == "auto":

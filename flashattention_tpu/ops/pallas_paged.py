@@ -114,11 +114,35 @@ def _fp8_e4m3_to_bf16_bits(payload):
     return f.astype(jnp.bfloat16)
 
 
+def _fp8_e5m2_to_bf16_bits(payload):
+    """float8_e5m2 -> bfloat16: shift-only magic chain.
+
+    e5m2 is bf16's low byte in all but exponent bias: place the 7 magnitude
+    bits at bf16 bit 5 — the 5 exponent bits land exactly on bf16's low
+    exponent field — and rescale by 2^112 to rebias (e5m2 bias 15, bf16
+    bias 127). Exact for normals AND denormals (m x 2^-16 lands on bf16
+    denormals the x2^112 rescales exactly, modulo the same VPU
+    denormal-flush the e4m3 chain documents). e5m2 inf/NaN (exp 31) decode
+    to ~2^16-class finite values — quantized payloads never contain them
+    (quant.py clamps to +-57344). ~6 integer ops per element vs e4m3
+    magic's ~8 (no denormal select needed at all).
+    Reference analogue: SURVEY §2.2 N4 names float8_e4m3/e5m2 as the FA3
+    TPU payload plan (src/fa3/torch/impl.py:118-133 is fp16 fake-quant).
+    """
+    bits = pltpu.bitcast(payload, jnp.uint8).astype(jnp.int32)
+    h16 = ((bits & 0x80) << 8) | ((bits & 0x7F) << 5)
+    return pltpu.bitcast(
+        h16.astype(jnp.uint16), jnp.bfloat16
+    ) * jnp.bfloat16(2.0 ** 112)
+
+
 def _convert(payload, compute_dtype):
     """Payload -> compute dtype (fp8 via bit surgery). NO scale multiply:
     per-slot scales fold into scores/p as row vectors (module docstring)."""
     if payload.dtype == jnp.float8_e4m3fn and compute_dtype == jnp.bfloat16:
         return _fp8_e4m3_to_bf16_bits(payload)
+    if payload.dtype == jnp.float8_e5m2 and compute_dtype == jnp.bfloat16:
+        return _fp8_e5m2_to_bf16_bits(payload)
     return payload.astype(compute_dtype)
 
 
@@ -313,7 +337,7 @@ def _decode_kernel_merged(
     window=None,
     softcap=None,
     sinks=0,
-    int8_mxu=False,
+    int8_mxu=None,
 ):
     """Step-merged decode: one online-softmax update per (head, STEP).
 
@@ -361,17 +385,23 @@ def _decode_kernel_merged(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     # Land the step's pages contiguously: kc/vc hold S*page slots per head.
-    # int8-MXU path: the scratch keeps the RAW int8 payloads (v5e's MXU is
-    # int8-native at 2x bf16 peak) — no per-element convert at all; q and p
-    # quantize per row instead (see the head loop).
+    # int8-MXU paths (int8_mxu in {None, "full", "qk"}): the K scratch keeps
+    # the RAW int8 payloads (v5e's MXU is int8-native at 2x bf16 peak) — no
+    # per-element K convert at all; q quantizes per row instead (head loop).
+    # "full" also keeps V raw (p re-quantizes per row); "qk" converts V with
+    # ONE cheap s8->bf16 astype and keeps p in bf16 — the decode analogue of
+    # the FA3 hybrid-PV verdict (pallas_fp8._int8_pv_s8: the p-requant VPU
+    # chain serializes against the MXU and measured slower).
     for s in range(s_count):
         if int8_mxu:
             kc_scr[:, s * page_size: (s + 1) * page_size, :] = k_refs[s][:, 0]
-            vc_scr[:, s * page_size: (s + 1) * page_size, :] = v_refs[s][:, 0]
         else:
             kc_scr[:, s * page_size: (s + 1) * page_size, :] = _convert_block(
                 k_refs[s], compute_dtype
             )
+        if int8_mxu == "full":
+            vc_scr[:, s * page_size: (s + 1) * page_size, :] = v_refs[s][:, 0]
+        else:
             vc_scr[:, s * page_size: (s + 1) * page_size, :] = _convert_block(
                 v_refs[s], compute_dtype
             )
@@ -465,7 +495,7 @@ def _decode_kernel_merged(
             p, axis=1, keepdims=True
         )
         m_scr[r0:r1] = m_next
-        if int8_mxu:
+        if int8_mxu == "full":
             # pv >= 0; pv ~= p8 * ps per row, acc += (p8 . v8) * ps with
             # the per-slot v scales already folded into pv.
             pv = p * vs_row[h:h + 1, :]
@@ -626,20 +656,23 @@ def pallas_paged_attention(
         if est > 14 * 1024 * 1024:
             merged = False
 
-    # int8-MXU path (merged only): raw s8xs8->s32 matmuls on the
-    # int8-native v5e MXU; no per-element dequant (module docstring).
-    # Adds q/p row-quantization noise of the same class the int8 cache
+    # int8-MXU paths (merged only): raw s8xs8->s32 matmuls on the
+    # int8-native v5e MXU; no per-element K dequant (module docstring).
+    # Modes (FAT_PAGED_INT8_MXU): "0" off (convert path), "full" (or the
+    # legacy "1") runs BOTH matmuls in s8 (p re-quantizes per row), "qk"
+    # runs only QK in s8 and converts V once for a bf16 PV (no p-requant
+    # chain — the hybrid the FA3 int8 kernel defaulted to, pallas_fp8).
+    # Adds q(/p) row-quantization noise of the same class the int8 cache
     # already carries (~9e-3 vs the gather oracle, pinned in
-    # tests/test_serving.py). MEASURED SLOWER at decode shapes — queue8
-    # A/B: 1.137 vs 0.910 ms (the g_pad=8-row matmuls underutilize the
-    # MXU, and the q/p row-quant VPU work costs more than int8->f32
-    # astype) — so the convert path stays default; the env knob remains
-    # for re-measurement at wider GQA/prefill shapes where the MXU side
-    # has real sublane occupancy.
-    int8_mxu = (
-        merged and quantized and k_pages.dtype == jnp.int8
-        and os.environ.get("FAT_PAGED_INT8_MXU", "0") == "1"
-    )
+    # tests/test_serving.py). "full" MEASURED SLOWER at decode shapes —
+    # queue8 A/B: 1.137 vs 0.910 ms (the g_pad=8-row matmuls underutilize
+    # the MXU, and the q/p row-quant VPU work costs more than int8->f32
+    # astype); "qk" is the round-4 candidate (VERDICT item 1) pending its
+    # TPU A/B.
+    int8_mxu = None
+    if merged and quantized and k_pages.dtype == jnp.int8:
+        _mxu_env = os.environ.get("FAT_PAGED_INT8_MXU", "0")
+        int8_mxu = {"1": "full", "full": "full", "qk": "qk"}.get(_mxu_env)
     kernel = functools.partial(
         _decode_kernel_merged if merged else _decode_kernel,
         softmax_scale=float(softmax_scale),
@@ -653,7 +686,7 @@ def pallas_paged_attention(
         window=window,
         softcap=float(softcap) if softcap is not None else None,
         sinks=int(sinks),
-        **({"int8_mxu": True} if int8_mxu else {}),
+        **({"int8_mxu": int8_mxu} if int8_mxu else {}),
     )
 
     def idx_q(b_, j, pi_, ln):
@@ -723,10 +756,11 @@ def pallas_paged_attention(
         pltpu.VMEM((h_kv * g_pad, d), jnp.float32),
     ]
     if merged:
-        scr_dtype = jnp.int8 if int8_mxu else compute_dtype
+        k_scr_dtype = jnp.int8 if int8_mxu else compute_dtype
+        v_scr_dtype = jnp.int8 if int8_mxu == "full" else compute_dtype
         scratch_shapes += [
-            pltpu.VMEM((h_kv, s_count * page_size, d), scr_dtype),
-            pltpu.VMEM((h_kv, s_count * page_size, d), scr_dtype),
+            pltpu.VMEM((h_kv, s_count * page_size, d), k_scr_dtype),
+            pltpu.VMEM((h_kv, s_count * page_size, d), v_scr_dtype),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

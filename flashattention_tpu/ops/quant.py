@@ -112,6 +112,24 @@ def dequantize_fp8_blocks(payload: jax.Array, scales: jax.Array, block: int):
 
 
 INT8_MAX = 127.0
+E5M2_MAX = 57344.0  # float8_e5m2 max normal
+E5M2_DTYPE = jnp.float8_e5m2
+
+
+def quantize_e5m2_blocks(x: jax.Array, block: int):
+    """Quantize (..., N, D) to float8_e5m2 with per-seq-block fp32 scales.
+
+    e5m2 trades one mantissa bit of e4m3 for 2^5 more exponent range —
+    the better payload when a block mixes magnitudes (outliers cost e4m3
+    whole blocks of resolution via the shared absmax scale). The decode
+    chain is shift-only (pallas_paged._fp8_e5m2_to_bf16_bits), cheaper than
+    e4m3's. SURVEY §2.2 N4 names e4m3/e5m2 as the FA3 TPU payload plan.
+    """
+    *lead, n, d = x.shape
+    scales = block_absmax_scale(x, block, amax=E5M2_MAX)
+    xb = x.astype(jnp.float32).reshape(*lead, n // block, block, d)
+    q = jnp.clip(xb / scales[..., None, None], -E5M2_MAX, E5M2_MAX)
+    return q.astype(E5M2_DTYPE).reshape(*lead, n, d), scales
 
 
 def quantize_int8_blocks(x: jax.Array, block: int):

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 INT8_MAX = 127.0
-FP8_MAX = 448.0
+FP8_MAX = 448.0      # float8_e4m3fn max normal
+E5M2_MAX = 57344.0   # float8_e5m2 max normal (wider range, 2 mantissa bits)
 
 
 @jax.tree_util.register_dataclass
@@ -65,10 +66,17 @@ def init_paged_cache(
         payload_dtype = jnp.int8
     elif quant == "fp8":
         payload_dtype = jnp.float8_e4m3fn
+    elif quant == "e5m2":
+        # Range-heavy fp8 variant (SURVEY §2.2 N4 names e4m3/e5m2); the
+        # decode chain is a shift-only magic (pallas_paged, cheaper than
+        # e4m3's) at 2 mantissa bits of precision.
+        payload_dtype = jnp.float8_e5m2
     elif quant is None:
         payload_dtype = dtype
     else:
-        raise ValueError(f"quant must be None|'int8'|'fp8', got {quant!r}")
+        raise ValueError(
+            f"quant must be None|'int8'|'fp8'|'e5m2', got {quant!r}"
+        )
     shape = (num_kv_heads, num_pages, page_size, head_dim)
     scale_shape = (num_kv_heads, num_pages, page_size, 1)
     return PagedKVCache(
@@ -83,7 +91,7 @@ def init_paged_cache(
 def _quantize_tokens(x: jax.Array, quant: str, payload_dtype):
     """x fp32 (..., D) -> (payload (..., D), scale (...,)) absmax scales."""
     absmax = jnp.max(jnp.abs(x), axis=-1)
-    qmax = INT8_MAX if quant == "int8" else FP8_MAX
+    qmax = {"int8": INT8_MAX, "fp8": FP8_MAX, "e5m2": E5M2_MAX}[quant]
     scale = jnp.maximum(absmax / qmax, 1e-6)
     y = x / scale[..., None]
     if quant == "int8":

@@ -91,7 +91,7 @@ def test_native_allocator_builds_and_matches_python():
 # -- paged cache numerics -----------------------------------------------------
 
 
-@pytest.mark.parametrize("quant", [None, "int8", "fp8"])
+@pytest.mark.parametrize("quant", [None, "int8", "fp8", "e5m2"])
 def test_paged_roundtrip(quant):
     h, pages, psize, d = 2, 8, 4, 16
     cache = init_paged_cache(h, pages, psize, d, quant=quant, dtype=jnp.float32)
@@ -206,7 +206,7 @@ def test_paged_decode_gqa():
 # -- Pallas paged decode kernel ------------------------------------------------
 
 
-@pytest.mark.parametrize("quant", [None, "int8", "fp8"])
+@pytest.mark.parametrize("quant", [None, "int8", "fp8", "e5m2"])
 def test_pallas_paged_matches_gather_executor(quant):
     from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
 
@@ -1016,11 +1016,16 @@ def test_int8_mxu_decode_path(monkeypatch):
             compute_dtype=jnp.float32, merged=True,
         ))
 
-    o_mxu, o_conv = run("1"), run("0")
+    o_mxu, o_conv, o_qk = run("1"), run("0"), run("qk")
     o_ref = np.asarray(paged_attention_decode(q, cache, pi, lengths))
     assert np.abs(o_mxu - o_conv).max() < 2e-2
     assert np.abs(o_mxu - o_ref).max() < 2e-2
     assert np.abs(o_mxu - o_conv).max() > 0  # the fast path engaged
+    # hybrid "qk" mode: s8 QK + converted-V bf16 PV — no p requant, so it
+    # sits CLOSER to the convert path than "full" does (only q-quant noise).
+    assert np.abs(o_qk - o_conv).max() < 2e-2
+    assert np.abs(o_qk - o_ref).max() < 2e-2
+    assert np.abs(o_qk - o_conv).max() > 0
     # chunked prefill (q_len > 1) rides the same kernel
     q4 = jax.random.normal(jax.random.key(11), (b, h_q, 8, d), jnp.float32)
 
