@@ -12,18 +12,22 @@ unique_indices measured 4.83 ms, a per-batch dynamic_update_slice chain
 
 This kernel makes the append in-place BY CONSTRUCTION:
 ``input_output_aliases`` pins the k/v page buffers to the outputs, the
-grid visits exactly one page block per sequence, and every untouched
-page is never DMA'd at all. Per step it moves B * (H, page, D) blocks
-twice (read-modify-write) — ~16 MB at serving shapes vs the cache-sized
-copy XLA inserts around the scatter.
+grid visits exactly one sub-page block per sequence, and every untouched
+byte of the cache is never DMA'd at all. Per step it moves
+B * (H, 16, D) sub-blocks twice (read-modify-write) — ~1 MB at serving
+shapes vs the cache-sized copy XLA inserts around the scatter.
 
 Preconditions (hold for the serving engine by construction):
 - T == 1 (decode append; prefill keeps the vectorized scatter, whose
   one-shot write amortizes the copy),
 - distinct sequences own distinct physical pages (allocator invariant),
-  so grid programs never write the same page,
-- unquantized cache (the quantized layouts' (page, 1) scale planes are a
-  size-1-lane Mosaic hazard; quantized serving keeps the scatter path).
+  so grid programs never write the same page.
+
+Quantized caches (round 4): serving/paged_kv.py quantizes the token and
+passes the 1-byte payload through this same kernel; only the small fp32
+scale planes keep the XLA scatter (their (page, 1) size-1-lane layout is
+a Mosaic slicing hazard, and at ~1% of payload bytes a defensive copy of
+them is immaterial).
 
 The reference repo has no serving layer; this is new scope supporting
 the paged decode kernel (ops/pallas_paged.py).
@@ -39,12 +43,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_SUB = 16  # sub-page write-block rows (fp32-sublane-aligned)
+
+
 def _kernel(idx_ref, kp_ref, vp_ref, kn_ref, vn_ref, ko_ref, vo_ref):
     b = pl.program_id(0)
-    slot = idx_ref[1, b]
+    slot = idx_ref[1, b]          # slot WITHIN the visited sub-block
     ok = idx_ref[2, b]
-    page = kp_ref.shape[2]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, page, 1), 2)
+    sub = kp_ref.shape[2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sub, 1), 2)
     hit = (rows == slot) & (ok != 0)
     kn = kn_ref[0][:, None, None, :]   # (H, 1, 1, D)
     vn = vn_ref[0][:, None, None, :]
@@ -69,17 +76,27 @@ def pallas_append_decode(
     Masked rows (``ok`` false) still visit their page (the grid is static)
     but write the block back unchanged — safe because the grid is
     sequential and pages are owned by single sequences.
+
+    Write granularity (round 4): when page_size % 16 == 0 the visited
+    block is a 16-slot SUB-block of the page — the read-modify-write
+    moves B * (H, 16, D) per cache side instead of B * (H, page, D)
+    (16x less DMA at page=256 serving shapes); the sub-block index rides
+    the scalar-prefetch index map, the in-block row compare uses
+    slot % 16.
     """
     h, p, page, d = k_pages.shape
     b = k_new.shape[0]
+    sub = _SUB if page % _SUB == 0 else page
     idx = jnp.stack([
         phys.astype(jnp.int32),
-        slot.astype(jnp.int32),
+        (slot % sub).astype(jnp.int32),
         ok.astype(jnp.int32),
+        (slot // sub).astype(jnp.int32),   # sub-block index within the page
     ])
 
     page_spec = pl.BlockSpec(
-        (h, 1, page, d), lambda i, idx_ref: (0, idx_ref[0, i], 0, 0)
+        (h, 1, sub, d),
+        lambda i, idx_ref: (0, idx_ref[0, i], idx_ref[3, i], 0),
     )
     new_spec = pl.BlockSpec((1, h, d), lambda i, idx_ref: (i, 0, 0))
 

@@ -65,9 +65,13 @@ _BWD_STAGES = int(os.environ.get("FAT_BWD_STAGES", "2"))
 # (saves one VPU plane per tile; costs ~4e-3 bf16 LSE drift vs the
 # reference's 1e-3 LSE contract). See _fwd_kernel note.
 _FWD_SCALE_FOLD = os.environ.get("FAT_FWD_SCALE_FOLD", "1") == "1"
-# Lagged-max forward frame (off until the real-TPU A/B lands — see
-# _fwd_kernel's lagged branch and RESULTS.md round 3 "VPU roofline").
-_FWD_LAGGED_MAX = os.environ.get("FAT_FWD_LAGGED_MAX", "0") == "1"
+# Lagged-max forward frame — DEFAULT ON since round 4: the in-process
+# interleaved A/B (queue11/ab_lagged_inproc.log, 4 pairs, per-pair SOL
+# brackets) measured median B/A = 0.884 (11.6% faster forward, every pair
+# in lagged's favor, 152-164 TF vs 135-153). This supersedes queue9's
+# subprocess A/B, which was confounded by a systematic per-process SOL
+# split. See _fwd_kernel's lagged branch and RESULTS.md "VPU roofline".
+_FWD_LAGGED_MAX = os.environ.get("FAT_FWD_LAGGED_MAX", "1") == "1"
 
 
 def _interpret_default() -> bool:

