@@ -78,6 +78,11 @@ class EngineConfig:
     # decode folds a per-call key from ``seed`` (serving/sampling.py).
     sampling: SamplingConfig | None = None
     seed: int = 0
+    # Speculative decoding (requires draft_params/draft_cfg at engine
+    # construction): every decode tick proposes ``spec_gamma`` draft tokens
+    # per slot (one scanned dispatch) and verifies them in one batched
+    # target chunk — up to gamma+1 tokens per target pass, greedy-exact.
+    spec_gamma: int = 0
 
     @property
     def pages_per_seq(self) -> int:
@@ -310,25 +315,10 @@ def make_sample_last_fn(
     return jax.jit(sample_last)
 
 
-def make_decode_fn(
-    cfg: TransformerConfig,
-    *,
-    use_pallas: bool | None = None,
-    sampling: SamplingConfig | None = None,
-):
-    """Returns jitted decode(params, caches, tokens(B,1), page_indices(B,P),
-    lengths(B,)[, key]) -> (next_tokens (B,), caches).
-
-    lengths = tokens already in cache for each slot; the new token is written
-    at position lengths[b] and attends to lengths[b]+1 entries. A stochastic
-    ``sampling`` config adds the trailing PRNG-key argument; default greedy.
-
-    ``use_pallas`` selects the double-buffered Pallas paged kernel
-    (ops/pallas_paged.py) over the XLA gather executor; default: on TPU only
-    (the kernel runs interpreted elsewhere, which is correct but slow).
-    """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+def _make_decode_logits(cfg: TransformerConfig, use_pallas: bool):
+    """Shared one-token batched decode body: (params, caches, tokens(B,1),
+    page_indices(B,P), lengths(B,)) -> (logits (B,V), caches). Used by the
+    plain decode step and the speculative draft-propose scan."""
 
     def _paged_attn(q, cache, page_indices, lengths):
         if use_pallas:
@@ -366,6 +356,31 @@ def make_decode_fn(
         x = _layer_norm(x, params["final_ln"])
         return _lm_logits(params, x)[:, 0], new_caches
 
+    return _decode_logits
+
+
+def make_decode_fn(
+    cfg: TransformerConfig,
+    *,
+    use_pallas: bool | None = None,
+    sampling: SamplingConfig | None = None,
+):
+    """Returns jitted decode(params, caches, tokens(B,1), page_indices(B,P),
+    lengths(B,)[, key]) -> (next_tokens (B,), caches).
+
+    lengths = tokens already in cache for each slot; the new token is written
+    at position lengths[b] and attends to lengths[b]+1 entries. A stochastic
+    ``sampling`` config adds the trailing PRNG-key argument; default greedy.
+
+    ``use_pallas`` selects the double-buffered Pallas paged kernel
+    (ops/pallas_paged.py) over the XLA gather executor; default: on TPU only
+    (the kernel runs interpreted elsewhere, which is correct but slow).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    _decode_logits = _make_decode_logits(cfg, use_pallas)
+
     if sampling is not None and not sampling.greedy:
         def decode(params, caches, tokens, page_indices, lengths, key):
             logits, new_caches = _decode_logits(
@@ -390,6 +405,131 @@ def _embed_decode(params, tokens, cfg, lengths):
     return x
 
 
+def _embed_positions(params, tokens, cfg, pos):
+    """Embed a (B, T) chunk at explicit per-row-per-column positions (B, T)
+    — the speculative verify chunk, where every slot sits at its own
+    length."""
+    x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
+    if cfg.pos_encoding == "learned":
+        x = x + params["pos_emb"][pos].astype(cfg.dtype)  # (B, T, D)
+    return x
+
+
+def make_spec_propose_fn(
+    cfg: TransformerConfig, gamma: int, *, use_pallas: bool | None = None
+):
+    """Speculative DRAFT proposal over the paged cache, batched across all
+    decode slots and fused into ONE dispatch (VERDICT r3 item 9: the dense
+    speculative path — serving/speculative.py — could not compose with
+    continuous batching or quantized pages).
+
+    Returns jitted propose(params, caches, tokens(B,1), page_indices(B,P),
+    lengths(B,)) -> (draft tokens (B, gamma), caches): a lax.scan of
+    gamma+1 greedy one-token decode steps (the extra step writes the last
+    draft token's K/V so the draft cache covers the longest accepted
+    prefix — same contract as speculative.speculative_generate).
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    _decode_logits = _make_decode_logits(cfg, use_pallas)
+
+    def propose(params, caches, tokens, page_indices, lengths):
+        def body(carry, i):
+            caches, tok = carry
+            logits, caches = _decode_logits(
+                params, caches, tok, page_indices, lengths + i
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+            return (caches, nxt[:, None]), nxt
+
+        (caches, _), toks = jax.lax.scan(
+            body, (caches, tokens), jnp.arange(gamma + 1, dtype=jnp.int32)
+        )
+        return toks[:gamma].T, caches  # (B, gamma)
+
+    return jax.jit(propose, donate_argnums=(1,))
+
+
+def make_spec_verify_fn(
+    cfg: TransformerConfig, *, use_pallas: bool | None = None
+):
+    """Speculative TARGET verify: score a (B, T=gamma+1) chunk
+    [last_token, d_1..d_gamma] per slot in one batched forward against the
+    paged cache (the paged kernel's chunked-q contract: row t of slot b
+    attends causally to absolute positions <= lengths[b] + t).
+
+    Returns jitted verify(params, caches, tokens(B,T), page_indices(B,P),
+    lengths(B,)) -> (argmax tokens (B,T), caches); row j's argmax is the
+    target's greedy choice for position lengths[b]+j+1, which accepts or
+    corrects draft token j (greedy speculative decoding — emitted tokens
+    are EXACTLY the target's greedy continuation)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    def _chunk_attn(q, cache, page_indices, lengths, t):
+        if use_pallas:
+            from flashattention_tpu.ops.pallas_paged import (
+                pallas_paged_attention,
+            )
+
+            return pallas_paged_attention(
+                q, cache.k_pages, cache.v_pages, page_indices, lengths + t,
+                k_scales=cache.k_scales, v_scales=cache.v_scales,
+                softmax_scale=cfg.softmax_scale,
+                window=cfg.attention_window,
+                softcap=cfg.attn_softcap,
+                sinks=cfg.attention_sinks,
+            )
+        from flashattention_tpu.serving.paged_kv import gather_pages
+
+        k_full, v_full = gather_pages(cache, page_indices)  # (B,H_kv,L,D)
+        if cfg.kv_heads != cfg.n_heads:
+            groups = cfg.n_heads // cfg.kv_heads
+            k_full = jnp.repeat(k_full, groups, axis=1)
+            v_full = jnp.repeat(v_full, groups, axis=1)
+        # Per-row causal edge at the slot's own length: col c visible to
+        # row t of slot b iff c <= lengths[b] + t (and within the window
+        # band when configured).
+        c, l_cache = q.shape[-2], k_full.shape[-2]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (c, l_cache), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (c, l_cache), 1)
+        mask = cols[None] <= rows[None] + lengths[:, None, None]
+        if cfg.attention_window is not None:
+            band = (
+                cols[None] > rows[None] + lengths[:, None, None]
+                - cfg.attention_window
+            )
+            if cfg.attention_sinks:
+                band = band | (cols[None] < cfg.attention_sinks)
+            mask = mask & band
+        o, _ = tiled_attention(
+            q, k_full.astype(q.dtype), v_full.astype(q.dtype),
+            softmax_scale=cfg.softmax_scale, mask=mask[:, None],
+            softcap=cfg.attn_softcap,
+        )
+        return o
+
+    def verify(params, caches, tokens, page_indices, lengths):
+        b, t = tokens.shape
+        pos = lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+        x = _embed_positions(params, tokens, cfg, pos)
+        new_caches = []
+        for bp, cache in zip(params["blocks"], caches):
+            a = bp["attn"]
+            q, k, v = _qkv(x, a, cfg)  # (B, H, T, dh)
+            q, k = _maybe_rope(q, k, cfg, pos)
+            cache = append_to_pages(cache, k, v, page_indices, lengths)
+            new_caches.append(cache)
+            o = _chunk_attn(q, cache, page_indices, lengths, t)
+            x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
+            x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
+        x = _layer_norm(x, params["final_ln"])
+        logits = _lm_logits(params, x)  # (B, T, V)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches
+
+    return jax.jit(verify, donate_argnums=(1,))
+
+
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------
@@ -403,6 +543,8 @@ class ServingEngine:
         ecfg: EngineConfig,
         *,
         native_allocator: bool | None = None,
+        draft_params=None,
+        draft_cfg: TransformerConfig | None = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -446,6 +588,51 @@ class ServingEngine:
         self._rng_calls = 0
         self._steps = 0
 
+        # Speculative decoding over the paged cache (VERDICT r3 item 9):
+        # the draft model keeps its OWN page pools (per draft layer) but
+        # SHARES the target's page tables — both models write the same
+        # logical positions, so one allocator chain addresses both pools.
+        self.spec = draft_params is not None
+        if self.spec:
+            if draft_cfg is None:
+                raise ValueError("draft_params requires draft_cfg")
+            if ecfg.spec_gamma < 1:
+                raise ValueError(
+                    f"speculative engine needs spec_gamma >= 1, got "
+                    f"{ecfg.spec_gamma}"
+                )
+            if self._stochastic:
+                raise ValueError(
+                    "speculative engine decode is greedy-only (the "
+                    "single-sequence path serving/speculative.py covers "
+                    "stochastic rejection sampling)"
+                )
+            if ecfg.prefix_cache:
+                raise ValueError(
+                    "spec decoding + prefix_cache is not supported yet"
+                )
+            if cfg.vocab_size != draft_cfg.vocab_size:
+                raise ValueError("target and draft must share a vocabulary")
+            self.draft_params = draft_params
+            self.draft_cfg = draft_cfg
+            self.draft_caches = [
+                init_paged_cache(
+                    draft_cfg.kv_heads, ecfg.num_pages, ecfg.page_size,
+                    draft_cfg.d_head, quant=ecfg.quant, dtype=draft_cfg.dtype,
+                )
+                for _ in range(draft_cfg.n_layers)
+            ]
+            self._chunk_prefill_draft = make_chunk_prefill_fn(
+                draft_cfg, ecfg.prefill_pad
+            )
+            self._propose = make_spec_propose_fn(draft_cfg, ecfg.spec_gamma)
+            self._verify = make_spec_verify_fn(cfg)
+            self.spec_proposed = 0
+            self.spec_accepted = 0
+            self.spec_rounds = 0
+        elif ecfg.spec_gamma:
+            raise ValueError("spec_gamma > 0 requires draft_params/draft_cfg")
+
     def _next_key(self) -> jax.Array:
         """Fresh per-call key: fold a monotone counter into the engine seed
         (each prefill epilogue / batched decode step gets its own key)."""
@@ -469,7 +656,10 @@ class ServingEngine:
         """One scheduler tick: admit -> batched decode -> retire."""
         self._admit()
         if self._num_active():
-            self._decode_once()
+            if self.spec:
+                self._spec_decode_once()
+            else:
+                self._decode_once()
         self._steps += 1
 
     # -- internals ----------------------------------------------------------
@@ -546,6 +736,14 @@ class ServingEngine:
                     self.params, self.caches, jnp.asarray(toks), page_row,
                     jnp.int32(base), jnp.int32(valid),
                 )
+                if self.spec:
+                    # The draft model prefills the same chunks into its own
+                    # pools (same page chain); its hidden states are unused.
+                    _, self.draft_caches = self._chunk_prefill_draft(
+                        self.draft_params, self.draft_caches,
+                        jnp.asarray(toks), page_row,
+                        jnp.int32(base), jnp.int32(valid),
+                    )
                 last_base = base
             if self.ecfg.prefix_cache:
                 self._register_prefix(req)
@@ -623,6 +821,78 @@ class ServingEngine:
                 continue
             slot.length += 1  # the fed token is now in cache
             slot.generated.append(int(next_np[i]))
+            self._reclaim_window(slot)
+            self._maybe_finish(slot)
+
+    def _spec_decode_once(self) -> None:
+        """One speculative tick: draft proposes ``spec_gamma`` tokens per
+        slot (one scanned dispatch over its paged cache), the target scores
+        the whole [last, d_1..d_g] chunk in one batched pass, and each slot
+        advances by its accepted prefix + 1 (greedy-exact: emitted tokens
+        are the target's own greedy continuation — pinned against the
+        non-speculative engine in tests/test_serving.py).
+
+        Cache rollback is free: entries past the accepted prefix are not
+        counted in ``slot.length`` and the next round overwrites them (the
+        paged analogue of speculative.speculative_generate's masking
+        argument)."""
+        B = self.ecfg.max_batch_size
+        g = self.ecfg.spec_gamma
+        tokens = np.zeros((B, 1), np.int32)
+        lengths = np.zeros((B,), np.int32)
+        page_rows = []
+        for i, slot in enumerate(self.slots):
+            if slot.request is None:
+                page_rows.append(self._page_row(None))
+                continue
+            # Grow to hold the whole speculated run (positions length ..
+            # length+g); writes past the per-sequence page capacity are
+            # dropped by append_to_pages and never accepted (the host
+            # clamps emitted tokens to max_new_tokens).
+            need = min(
+                self._pages_needed(slot.length + g + 1),
+                self.ecfg.pages_per_seq,
+            ) - slot.freed_pages
+            if not self.allocator.grow(slot.request.request_id, need):
+                self._evict(slot)
+                page_rows.append(self._page_row(None))
+                continue
+            tokens[i, 0] = slot.generated[-1]
+            lengths[i] = slot.length
+            page_rows.append(
+                self._page_row(slot.request.request_id, slot.freed_pages)
+            )
+
+        pi = jnp.stack(page_rows)
+        lengths_j = jnp.asarray(lengths)
+        d_toks, self.draft_caches = self._propose(
+            self.draft_params, self.draft_caches, jnp.asarray(tokens), pi,
+            lengths_j,
+        )  # (B, g)
+        chunk = jnp.concatenate([jnp.asarray(tokens), d_toks], axis=1)
+        t_hat, self.caches = self._verify(
+            self.params, self.caches, chunk, pi, lengths_j,
+        )  # (B, g+1); row j = target argmax for position lengths+j+1
+        d_np = np.asarray(d_toks)
+        t_np = np.asarray(t_hat)
+        self.spec_rounds += 1
+        for i, slot in enumerate(self.slots):
+            if slot.request is None:
+                continue
+            a = 0
+            while a < g and t_np[i, a] == d_np[i, a]:
+                a += 1
+            emitted = [int(t) for t in d_np[i, :a]]
+            emitted.append(int(t_np[i, a]))  # correction (a<g) or bonus
+            self.spec_proposed += g
+            self.spec_accepted += a
+            req = slot.request
+            remaining = req.max_new_tokens - len(slot.generated)
+            emitted = emitted[:remaining]
+            if self.ecfg.eos_token is not None and self.ecfg.eos_token in emitted:
+                emitted = emitted[: emitted.index(self.ecfg.eos_token) + 1]
+            slot.length += len(emitted)
+            slot.generated.extend(emitted)
             self._reclaim_window(slot)
             self._maybe_finish(slot)
 

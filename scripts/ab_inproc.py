@@ -44,7 +44,8 @@ def parse_kw(s):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", default="1,8,8192,128")
-    ap.add_argument("--what", default="fwd", choices=["fwd", "bwd"])
+    ap.add_argument("--what", default="fwd",
+                    choices=["fwd", "bwd", "fp8feat"])
     ap.add_argument("--causal", action="store_true")
     ap.add_argument("--env-a", default=None)
     ap.add_argument("--env-b", default=None)
@@ -80,13 +81,36 @@ def main():
         bq, bk = spec.block_q, spec.block_k
         bwd_bq, bwd_bk = spec.bwd_block_q, spec.bwd_block_k
 
-    q = jax.random.normal(jax.random.key(0), (b, h, n, d), jnp.bfloat16)
+    n_q = 128 if args.what == "fp8feat" else n
+    q = jax.random.normal(jax.random.key(0), (b, h, n_q, d), jnp.bfloat16)
     k = jax.random.normal(jax.random.key(1), (b, h, n, d), jnp.bfloat16)
     v = jax.random.normal(jax.random.key(2), (b, h, n, d), jnp.bfloat16)
 
     def make_loop(extra_kw):
         """A fresh jitted fori_loop closure (distinct identity => distinct
         jit cache) calling pallas_attention with the variant's kwargs."""
+        if args.what == "fp8feat":
+            # fp8 fused-with-features vs forced predecode at a bandwidth-
+            # bound shape (short q, long KV, window + softcap). Arm A =
+            # predecode (what pre-round-4 dispatch forced for featured
+            # calls, paying full bf16 HBM traffic), arm B = fused.
+            # --label-a/--label-b must match this fixed assignment.
+            from flashattention_tpu.ops.pallas_fp8 import (
+                pallas_fp8_attention,
+            )
+
+            mode = extra_kw.get("mode", "fused")
+
+            @jax.jit
+            def loop(n_, q_, k_, v_):
+                def body(i, acc):
+                    o, _ = pallas_fp8_attention(
+                        acc, k_, v_, causal=True, window=4096, softcap=30.0,
+                        mode=mode, block_q=bq, block_k=bk,
+                    )
+                    return o.astype(q_.dtype)
+                return lax.fori_loop(0, n_, body, q_)
+            return loop
         kw = dict(causal=args.causal, block_q=bq, block_k=bk,
                   bwd_block_q=bwd_bq, bwd_block_k=bwd_bk, **extra_kw)
         if args.what == "fwd":
@@ -128,6 +152,9 @@ def main():
 
     env_a, env_b = parse_env(args.env_a), parse_env(args.env_b)
     kw_a, kw_b = parse_kw(args.kw_a), parse_kw(args.kw_b)
+    if args.what == "fp8feat":
+        kw_a.setdefault("mode", "predecode")
+        kw_b.setdefault("mode", "fused")
     print(f"A = env {env_a} kw {kw_a}\nB = env {env_b} kw {kw_b}", flush=True)
     loop_a = traced(env_a, kw_a)
     loop_b = traced(env_b, kw_b)
@@ -161,9 +188,14 @@ def main():
     scale = max(1, 8192 // n)
     if args.what == "fwd":
         i1, i2 = 30, 30 + 300 * scale
+    elif args.what == "fp8feat":
+        i1, i2 = 30, 330
     else:
         i1, i2 = 10, 10 + 100 * scale
-    flops = 4 * b * h * n * n * d / (2 if args.causal else 1)
+    if args.what == "fp8feat":
+        flops = 4 * b * h * n_q * min(4096, n) * d  # windowed band
+    else:
+        flops = 4 * b * h * n * n * d / (2 if args.causal else 1)
     if args.what == "bwd":
         flops *= 3
 

@@ -1,0 +1,169 @@
+"""Speculative decoding on the PAGED engine: tokens/s vs the plain engine.
+
+Engine-level wall-clock (host scheduler ticks + device dispatches), the
+number a serving deployment sees. Three arms, interleaved across trials in
+one process (same-window discipline):
+
+  plain        non-speculative engine, 1 dispatch / token / tick
+  spec-self    draft IS the target: acceptance ~= 1, the verify-pass
+               amortization ceiling (gamma+1 tokens per 2 dispatches)
+  spec-draft   independent small draft (random weights -> near-zero
+               acceptance): the adversarial floor
+
+Real deployments with a distilled draft sit between spec-self and
+spec-draft, much nearer spec-self (acceptance 0.6-0.9 in the literature).
+
+    python scripts/bench_spec_engine.py [--gamma 4] [--tokens 48]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--gamma", type=int, default=4)
+    ap.add_argument("--tokens", type=int, default=48, help="per request")
+    ap.add_argument("--batch", type=int, default=4, help="decode slots")
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--d-model", type=int, default=1024)
+    ap.add_argument("--draft-layers", type=int, default=2)
+    ap.add_argument("--draft-d-model", type=int, default=256)
+    ap.add_argument("--quant", default=None,
+                    choices=[None, "int8", "fp8", "e5m2"])
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from flashattention_tpu.utils.profiling import enable_compile_cache
+
+        enable_compile_cache()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flashattention_tpu.models.transformer import (
+        TransformerConfig,
+        init_transformer,
+    )
+    from flashattention_tpu.serving import (
+        EngineConfig,
+        GenerationRequest,
+        ServingEngine,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=32000, d_model=args.d_model, n_layers=args.layers,
+        n_heads=args.d_model // 128, d_ff=4 * args.d_model,
+        max_seq_len=1024, dropout_rate=0.0, dtype=jnp.bfloat16,
+    )
+    dcfg = dataclasses.replace(
+        cfg, n_layers=args.draft_layers, d_model=args.draft_d_model,
+        n_heads=args.draft_d_model // 128, d_ff=4 * args.draft_d_model,
+    )
+    params = init_transformer(jax.random.key(0), cfg)
+    dparams = init_transformer(jax.random.key(1), dcfg)
+
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(0, cfg.vocab_size, size=32))
+               for _ in range(args.batch)]
+
+    base_kw = dict(
+        max_batch_size=args.batch, page_size=64, num_pages=512,
+        max_seq_len=1024, prefill_pad=32, quant=args.quant,
+    )
+
+    def build(arm):
+        if arm == "plain":
+            return ServingEngine(params, cfg, EngineConfig(**base_kw))
+        if arm == "spec-self":
+            return ServingEngine(
+                params, cfg, EngineConfig(spec_gamma=args.gamma, **base_kw),
+                draft_params=params, draft_cfg=cfg,
+            )
+        return ServingEngine(
+            params, cfg, EngineConfig(spec_gamma=args.gamma, **base_kw),
+            draft_params=dparams, draft_cfg=dcfg,
+        )
+
+    def run(arm):
+        eng = build(arm)
+        for i, p in enumerate(prompts):
+            eng.submit(GenerationRequest(
+                request_id=i, prompt=p, max_new_tokens=args.tokens,
+            ))
+        t0 = time.perf_counter()
+        results = eng.run()
+        dt = time.perf_counter() - t0
+        n_tok = sum(len(v) for v in results.values())
+        acc = None
+        if getattr(eng, "spec", False) and eng.spec_proposed:
+            acc = eng.spec_accepted / eng.spec_proposed
+        return n_tok, dt, acc, results
+
+    arms = ["plain", "spec-self", "spec-draft"]
+    # Warm (compile) every arm before timing, then interleave trials.
+    best = {a: float("inf") for a in arms}
+    accs = {a: None for a in arms}
+    outs = {}
+    for a in arms:
+        print(f"compiling {a} ...", flush=True)
+        n_tok, dt, acc, res = run(a)
+        outs[a] = res
+        accs[a] = acc
+    # Parity gate: every speculative arm must emit the plain engine's exact
+    # greedy tokens (the whole point). Fail loudly if not.
+    for a in ("spec-self", "spec-draft"):
+        assert outs[a] == outs["plain"], f"{a} diverged from plain greedy"
+    for t in range(args.trials):
+        for a in arms:
+            n_tok, dt, acc, _ = run(a)
+            best[a] = min(best[a], dt)
+        time.sleep(1)
+
+    total = args.batch * args.tokens
+    rows = []
+    for a in arms:
+        rows.append({
+            "arm": a,
+            "wall_s": round(best[a], 3),
+            "tokens_per_s": round(total / best[a], 1),
+            "acceptance": None if accs[a] is None else round(accs[a], 3),
+            "speedup_vs_plain": round(best["plain"] / best[a], 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+
+    out = {
+        "metric": "spec_engine_tokens_per_s",
+        "config": {
+            "gamma": args.gamma, "batch": args.batch,
+            "tokens_per_req": args.tokens, "layers": args.layers,
+            "d_model": args.d_model, "draft_layers": args.draft_layers,
+            "draft_d_model": args.draft_d_model, "quant": args.quant,
+        },
+        "note": ("engine-level wall clock incl host ticks; spec does "
+                 "2 dispatches per round of <=gamma+1 tokens vs plain's "
+                 "1 per token"),
+        "backend": jax.default_backend(),
+        "rows": rows,
+    }
+    print(json.dumps(out), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,9 @@ def main():
     ap.add_argument("--i2", type=int, default=40)
     ap.add_argument("--variants",
                     default="full,flat,xla,noattn,noappend")
+    ap.add_argument("--memdump", action="store_true",
+                    help="print XLA buffer-assignment sizes per variant "
+                         "instead of timing (finds defensive cache copies)")
     ns = ap.parse_args()
 
     from flashattention_tpu.utils.profiling import enable_compile_cache
@@ -168,8 +171,12 @@ def main():
         elif variant == "pallas":
             # In-place Pallas append kernel (ops/pallas_append.py), the
             # real gated path: input_output_aliases pins the cache buffers
-            # so XLA cannot interpose a defensive copy.
+            # so XLA cannot interpose a defensive copy. DEFAULT since r4 —
+            # "full" now equals this; kept for log continuity.
             os.environ["FAT_APPEND_PALLAS"] = "1"
+        elif variant == "scatter":
+            # Pre-r4 default: XLA scatter append (the defensive-copy path).
+            os.environ["FAT_APPEND_PALLAS"] = "0"
         return use_pallas
 
     results = {}
@@ -186,6 +193,31 @@ def main():
                 nxt, cch = decode_raw(params_, cch, toks, pi_, lens)
                 return nxt[:, None], cch, lens + 1
             return lax.fori_loop(0, n_, body, (tokens, caches, lengths))
+
+        if ns.memdump:
+            # Buffer-assignment attribution instead of timing: a temp
+            # allocation in the cache-size class (B*pps*page*D*2B per
+            # side per layer) is a defensive copy — the thing the
+            # in-place Pallas append exists to kill (VERDICT r3 item 2:
+            # "check the 8-layer cache-list donation actually aliases").
+            caches = fresh_caches()
+            mem = jax.jit(loop).lower(
+                jnp.int32(8), params, pi, tokens0, caches, lengths0
+            ).compile().memory_analysis()
+            cache_mb = sum(
+                c.k_pages.nbytes + c.v_pages.nbytes for c in caches
+            ) / 1e6
+            print(json.dumps({
+                "variant": variant,
+                "temp_mb": round(mem.temp_size_in_bytes / 1e6, 1),
+                "argument_mb": round(mem.argument_size_in_bytes / 1e6, 1),
+                "output_mb": round(mem.output_size_in_bytes / 1e6, 1),
+                "alias_mb": round(mem.alias_size_in_bytes / 1e6, 1),
+                "cache_total_mb": round(cache_mb, 1),
+                "one_layer_side_mb": round(
+                    caches[0].k_pages.nbytes / 1e6, 1),
+            }), flush=True)
+            continue
 
         caches = fresh_caches()
         out = loop(jnp.int32(2), params, pi, tokens0, caches, lengths0)

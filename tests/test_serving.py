@@ -135,7 +135,7 @@ def test_pallas_append_matches_scatter(monkeypatch):
             v_pages=jax.random.normal(jax.random.key(3), base.v_pages.shape),
         )
 
-    monkeypatch.delenv("FAT_APPEND_PALLAS", raising=False)
+    monkeypatch.setenv("FAT_APPEND_PALLAS", "0")   # scatter path (default is 1)
     want = append_to_pages(mk(), k_new, v_new, pi, lengths, valid_len=valid)
     monkeypatch.setenv("FAT_APPEND_PALLAS", "1")
     got = append_to_pages(mk(), k_new, v_new, pi, lengths, valid_len=valid)
@@ -146,6 +146,44 @@ def test_pallas_append_matches_scatter(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(want.v_pages), np.asarray(got.v_pages)
     )
+
+
+@pytest.mark.parametrize("quant", ["int8", "fp8", "e5m2"])
+def test_pallas_append_quantized_matches_scatter(quant, monkeypatch):
+    """Round 4: quantized caches ride the in-place Pallas append too —
+    payload through the kernel, fp32 scale planes through the small XLA
+    scatter. Payloads AND scales must match the scatter path bit-exactly
+    (same _quantize_tokens math on both paths)."""
+    b, h, pages, psize, d = 4, 2, 8, 4, 16
+    pi = jnp.asarray([[3, 1], [0, 2], [5, 6], [7, 4]])
+    lengths = jnp.asarray([1, 4, 8, 2], jnp.int32)   # row2 at capacity
+    valid = jnp.asarray([1, 1, 1, 0], jnp.int32)     # row3 masked
+    k_new = jax.random.normal(jax.random.key(0), (b, h, 1, d))
+    v_new = jax.random.normal(jax.random.key(1), (b, h, 1, d))
+
+    def mk():
+        base = init_paged_cache(h, pages, psize, d, quant=quant)
+        return dataclasses.replace(
+            base,
+            k_scales=jax.random.uniform(
+                jax.random.key(2), base.k_scales.shape, jnp.float32, 0.1, 1.0
+            ),
+            v_scales=jax.random.uniform(
+                jax.random.key(3), base.v_scales.shape, jnp.float32, 0.1, 1.0
+            ),
+        )
+
+    monkeypatch.setenv("FAT_APPEND_PALLAS", "0")
+    want = append_to_pages(mk(), k_new, v_new, pi, lengths, valid_len=valid)
+    monkeypatch.setenv("FAT_APPEND_PALLAS", "1")
+    got = append_to_pages(mk(), k_new, v_new, pi, lengths, valid_len=valid)
+
+    for fld in ("k_pages", "v_pages", "k_scales", "v_scales"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(want, fld), np.float32),
+            np.asarray(getattr(got, fld), np.float32),
+            err_msg=fld,
+        )
 
 
 def test_paged_append_valid_len_masks_padding():
@@ -344,6 +382,121 @@ def test_engine_quantized_runs(params, quant):
     # the first step (prefill, unquantized attention over the prompt itself)
     # must agree.
     assert results[0][0] == _naive_greedy(params, prompt, 1)[0]
+
+
+DRAFT_CFG = dataclasses.replace(CFG, n_layers=1, d_model=32, d_ff=64,
+                                n_heads=2)
+
+
+@pytest.fixture(scope="module")
+def draft_params():
+    return init_transformer(jax.random.key(7), DRAFT_CFG)
+
+
+def test_spec_engine_matches_naive_greedy(params, draft_params):
+    """Speculative decoding over the PAGED engine (VERDICT r3 item 9):
+    greedy outputs must be exactly the target model's greedy continuation,
+    for a draft that frequently disagrees (independent random weights) and
+    with continuous admission (more requests than slots)."""
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=64, max_seq_len=128,
+        prefill_pad=16, spec_gamma=3,
+    )
+    eng = ServingEngine(
+        params, CFG, ecfg, draft_params=draft_params, draft_cfg=DRAFT_CFG
+    )
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(0, CFG.vocab_size, size=n))
+               for n in (5, 11, 3, 7)]
+    for i, p in enumerate(prompts):
+        eng.submit(GenerationRequest(request_id=i, prompt=p,
+                                     max_new_tokens=6))
+    results = eng.run()
+    assert set(results) == set(range(len(prompts)))
+    for i, p in enumerate(prompts):
+        expected = _naive_greedy(params, p, 6)
+        assert results[i] == expected, (i, results[i], expected)
+    assert eng.spec_rounds > 0 and eng.spec_proposed > 0
+    # all pages returned (dump page still held)
+    assert eng.allocator.free_pages() == ecfg.num_pages - 1
+
+
+def test_spec_engine_self_draft_accepts_everything(params):
+    """With draft == target, every greedy proposal is accepted: gamma+1
+    tokens per round (modulo the final clamped round) and 100% acceptance —
+    pins that the draft cache stays position-consistent across rounds."""
+    ecfg = EngineConfig(
+        max_batch_size=1, page_size=8, num_pages=64, max_seq_len=128,
+        prefill_pad=16, spec_gamma=3,
+    )
+    eng = ServingEngine(
+        params, CFG, ecfg, draft_params=params, draft_cfg=CFG
+    )
+    prompt = list(np.random.default_rng(4).integers(0, CFG.vocab_size, size=6))
+    eng.submit(GenerationRequest(request_id=0, prompt=prompt,
+                                 max_new_tokens=9))
+    results = eng.run()
+    assert results[0] == _naive_greedy(params, prompt, 9)
+    assert eng.spec_accepted == eng.spec_proposed  # nothing rejected
+    # 1 prefill token + ceil(8 / (gamma+1)) = 2 verify rounds
+    assert eng.spec_rounds == 2
+
+
+def test_spec_engine_quantized_runs(params, draft_params):
+    """Spec decode composes with quantized pages (the point of doing it on
+    the paged engine): int8 payload caches for BOTH models, outputs flow."""
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=64, max_seq_len=64,
+        prefill_pad=16, quant="int8", spec_gamma=2,
+    )
+    eng = ServingEngine(
+        params, CFG, ecfg, draft_params=draft_params, draft_cfg=DRAFT_CFG
+    )
+    prompt = list(np.random.default_rng(5).integers(0, CFG.vocab_size, size=6))
+    eng.submit(GenerationRequest(request_id=0, prompt=prompt,
+                                 max_new_tokens=5))
+    results = eng.run()
+    assert len(results[0]) == 5
+    # First token comes from (unquantized-q) prefill: must agree with exact.
+    assert results[0][0] == _naive_greedy(params, prompt, 1)[0]
+
+
+def test_spec_engine_eos_truncates(params):
+    """A mid-chunk EOS in the accepted run truncates emission exactly where
+    the non-speculative engine stops (first eos occurrence, even when the
+    speculated chunk runs past it)."""
+    prompt = list(np.random.default_rng(6).integers(0, CFG.vocab_size, size=5))
+    base = _naive_greedy(params, prompt, 8)
+    eos = base[3]  # an eos hit mid-generation (may also occur earlier)
+    kw = dict(max_batch_size=1, page_size=8, num_pages=64, max_seq_len=128,
+              prefill_pad=16, eos_token=eos)
+    plain = ServingEngine(params, CFG, EngineConfig(**kw))
+    plain.submit(GenerationRequest(request_id=0, prompt=prompt,
+                                   max_new_tokens=8))
+    want = plain.run()[0]
+    assert want[-1] == eos and len(want) < 8  # the eos really cut it short
+    eng = ServingEngine(
+        params, CFG, EngineConfig(spec_gamma=3, **kw),
+        draft_params=params, draft_cfg=CFG,
+    )
+    eng.submit(GenerationRequest(request_id=0, prompt=prompt,
+                                 max_new_tokens=8))
+    results = eng.run()
+    assert results[0] == want
+
+
+def test_spec_engine_validation(params, draft_params):
+    with pytest.raises(ValueError, match="spec_gamma"):
+        ServingEngine(
+            params, CFG, EngineConfig(spec_gamma=0),
+            draft_params=draft_params, draft_cfg=DRAFT_CFG,
+        )
+    with pytest.raises(ValueError, match="draft_cfg"):
+        ServingEngine(
+            params, CFG, EngineConfig(spec_gamma=2), draft_params=draft_params
+        )
+    with pytest.raises(ValueError, match="requires draft_params"):
+        ServingEngine(params, CFG, EngineConfig(spec_gamma=2))
 
 
 def test_engine_gqa_matches_naive_greedy():
