@@ -61,6 +61,15 @@ def _int8_pv_s8() -> bool:
     return os.environ.get("FAT_INT8_PV", "bf16") == "s8"
 
 
+def _fwd_lagged_default() -> bool:
+    """Shared default with the bf16 kernel (pallas_attn._FWD_LAGGED_MAX,
+    import-time env read); the kernel re-reads FAT_FWD_LAGGED_MAX at trace
+    time on top so A/B harnesses can flip it per-trace."""
+    from flashattention_tpu.ops.pallas_attn import _FWD_LAGGED_MAX
+
+    return _FWD_LAGGED_MAX
+
+
 def quantize_tiles(x: jax.Array, block: int, fmt: str = "fp8"):
     """(B, H, N, D) fp -> (payload fp8|int8, scales fp32 (B, H, N//block)).
     N must already be padded to a multiple of ``block``. Thin alias of
@@ -114,17 +123,28 @@ def _fp8_fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    def _update(use_mask):
-        from flashattention_tpu.ops.pallas_paged import (
-            _fp8_e4m3_to_bf16_bits,
-            _fp8_e5m2_to_bf16_bits,
-        )
+    # Lagged-max frame, ported from the bf16 kernel (round 4): the 11.6%
+    # forward win (queue11/ab_lagged_inproc) applies equally here — the
+    # int8 fused kernel runs at EVERY shape (auto mode) and serializes the
+    # same rowmax -> exp -> PV chain. Same env knob, read at trace time.
+    import os as _os
 
-        def _decode(ref_val):
-            if ref_val.dtype == jnp.float8_e5m2:
-                return _fp8_e5m2_to_bf16_bits(ref_val)
-            return _fp8_e4m3_to_bf16_bits(ref_val)
+    lagged_env = (
+        _os.environ.get("FAT_FWD_LAGGED_MAX",
+                        "1" if _fwd_lagged_default() else "0") == "1"
+    )
 
+    from flashattention_tpu.ops.pallas_paged import (
+        _fp8_e4m3_to_bf16_bits,
+        _fp8_e5m2_to_bf16_bits,
+    )
+
+    def _decode(ref_val):
+        if ref_val.dtype == jnp.float8_e5m2:
+            return _fp8_e5m2_to_bf16_bits(ref_val)
+        return _fp8_e4m3_to_bf16_bits(ref_val)
+
+    def _update(use_mask, lagged_tile=False):
         if int8_payload:
             # int8 payloads hit the MXU RAW: s8xs8->s32 is native on v5e
             # (394 TOPS = 2x bf16 peak) and EXACT — no convert chain at
@@ -163,6 +183,33 @@ def _fp8_fwd_kernel(
 
         m_prev = m_scr[...]
         l_prev = l_scr[...]
+        if lagged_env and lagged_tile:
+            # Compute p in the frame of the PREVIOUS tiles' running max —
+            # removes the rowmax reduce from p's critical path so it
+            # co-issues with the PV matmul (full rationale: the bf16
+            # kernel's lagged branch, pallas_attn._fwd_kernel). Identical
+            # math; identical finite-frame fallback and +60 clamp.
+            frame = jnp.where(m_prev < -1e30, 0.0, m_prev)
+            p = jnp.exp(jnp.minimum(s - frame[:, :1], 60.0))
+            if mask is not None:
+                p = jnp.where(mask, p, 0.0)
+            sum_p = jnp.sum(p, axis=1, keepdims=True)  # pre-dropout l
+            if dropout_rate > 0.0:
+                bh = bi * pl.num_programs(1) + hi
+                keep = _keep_mask(
+                    seed_ref[0], bh, iq, ik, block_q, block_k, dropout_rate,
+                )
+                p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+            pv = _pv_matmul(p)
+            acc_mid = acc_scr[...] + pv * sv_ref[bi, hk, ik]
+            m_curr = jnp.max(s, axis=1, keepdims=True)   # off p's path
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(jnp.minimum(frame - m_next, 60.0))
+            l_scr[...] = (l_prev + sum_p) * alpha
+            acc_scr[...] = acc_mid * alpha[:, :1]
+            m_scr[...] = m_next
+            return
+
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
@@ -184,6 +231,13 @@ def _fp8_fwd_kernel(
             )
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
 
+        acc_scr[...] = acc_scr[...] * alpha[:, :1] + _pv_matmul(p) * sv_ref[
+            bi, hk, ik
+        ]
+
+    def _pv_matmul(p):
+        """p @ V for one tile (NO descale — the sv scalar multiplies the
+        returned (bq, d) contribution at the acc update)."""
         if int8_payload and _int8_pv_s8():
             # Quantize p per ROW (p >= 0, rows O(1)): pv = (p8 . v8) * ps,
             # v's per-tile descale folds below with ps. Noise ~0.4% per p
@@ -192,24 +246,21 @@ def _fp8_fwd_kernel(
                 jnp.max(p, axis=1, keepdims=True), 1e-30
             ) * (1.0 / 127.0)
             p8 = jnp.round(p / ps).astype(jnp.int8)
-            pv = jax.lax.dot(
+            return jax.lax.dot(
                 p8, v_ref[0, 0], preferred_element_type=jnp.int32
             ).astype(jnp.float32) * ps
-        elif int8_payload:
+        if int8_payload:
             # Hybrid PV (FAT_INT8_PV=bf16, default): int8->bf16 astype is
             # ONE cheap pass (unlike e4m3's bit surgery) and drops the
             # 3-pass p re-quant chain + its ~0.4% noise; QK stays raw s8.
-            pv = jax.lax.dot(
+            return jax.lax.dot(
                 p.astype(jnp.bfloat16), v_ref[0, 0].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
-        else:
-            v = _decode(v_ref[0, 0])
-            pv = jax.lax.dot(
-                p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
-            )
-        # v descale: one scalar multiply on the (bq, d) tile contribution.
-        acc_scr[...] = acc_scr[...] * alpha[:, :1] + pv * sv_ref[bi, hk, ik]
+        return jax.lax.dot(
+            p.astype(jnp.bfloat16), _decode(v_ref[0, 0]),
+            preferred_element_type=jnp.float32,
+        )
 
     if causal:
         # Sliding window + sinks tile dispatch is shared with the bf16
@@ -222,25 +273,66 @@ def _fp8_fwd_kernel(
         if kv_edge:
             needs_mask = needs_mask | (ik == n_kv_tiles - 1)
 
-        @pl.when(run & needs_mask)
-        def _masked():
-            _update(True)
+        if lagged_env:
+            # First VISITED tile takes the standard path so the frame is a
+            # true rowmax (see pallas_attn._fwd_kernel's lagged dispatch).
+            run_prev = (ik > 0) & _causal_should_run(
+                iq, jnp.maximum(ik - 1, 0), block_q, block_k, offset,
+                window, sinks,
+            )
+            first = jnp.logical_not(run_prev)
+            for use_mask in (True, False):
+                mask_pred = needs_mask if use_mask else (
+                    jnp.logical_not(needs_mask)
+                )
+                for is_first in (True, False):
+                    first_pred = first if is_first else (
+                        jnp.logical_not(first)
+                    )
 
-        @pl.when(run & jnp.logical_not(needs_mask))
-        def _unmasked():
-            _update(False)
+                    @pl.when(run & mask_pred & first_pred)
+                    def _br(use_mask=use_mask, is_first=is_first):
+                        _update(use_mask, lagged_tile=not is_first)
+        else:
+            @pl.when(run & needs_mask)
+            def _masked():
+                _update(True)
+
+            @pl.when(run & jnp.logical_not(needs_mask))
+            def _unmasked():
+                _update(False)
     elif kv_edge:
         is_edge = ik == n_kv_tiles - 1
+        if lagged_env:
+            for use_mask in (True, False):
+                mask_pred = is_edge if use_mask else (
+                    jnp.logical_not(is_edge)
+                )
+                for is_first in (True, False):
+                    first_pred = (ik == 0) if is_first else (ik != 0)
 
-        @pl.when(is_edge)
-        def _edge():
-            _update(True)
+                    @pl.when(mask_pred & first_pred)
+                    def _br2(use_mask=use_mask, is_first=is_first):
+                        _update(use_mask, lagged_tile=not is_first)
+        else:
+            @pl.when(is_edge)
+            def _edge():
+                _update(True)
 
-        @pl.when(jnp.logical_not(is_edge))
-        def _body():
-            _update(False)
+            @pl.when(jnp.logical_not(is_edge))
+            def _body():
+                _update(False)
     else:
-        _update(False)
+        if lagged_env:
+            @pl.when(ik == 0)
+            def _first():
+                _update(False, lagged_tile=False)
+
+            @pl.when(ik != 0)
+            def _rest():
+                _update(False, lagged_tile=True)
+        else:
+            _update(False)
 
     @pl.when(ik == n_kv_tiles - 1)
     def _store():

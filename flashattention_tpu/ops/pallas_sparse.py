@@ -110,8 +110,20 @@ def _sparse_fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(j < kv_count_ref[iq])
-    def _update():
+    # Lagged-max frame (ported from the bf16 kernel, round 4 — 11.6%
+    # forward win, queue11/ab_lagged_inproc): grid slot 0 is ALWAYS an
+    # active tile for a non-empty row (compacted list front-loads active
+    # tiles), so "first visited" == (j == 0) here.
+    import os as _os
+
+    from flashattention_tpu.ops.pallas_attn import _FWD_LAGGED_MAX
+
+    lagged_env = (
+        _os.environ.get("FAT_FWD_LAGGED_MAX",
+                        "1" if _FWD_LAGGED_MAX else "0") == "1"
+    )
+
+    def _update(lagged_tile=False):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
@@ -124,6 +136,24 @@ def _sparse_fwd_kernel(
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[...]
+        v = v_ref[0, 0]
+        if lagged_tile:
+            # Frame fallback covers rows whose tile-0 scores were all
+            # masked (m still at -inf/DEFAULT_MASK_VALUE class).
+            frame = jnp.where(m_prev < -1e30, 0.0, m_prev)
+            p = jnp.exp(jnp.minimum(s - frame[:, :1], 60.0))
+            p = jnp.where(mask, p, 0.0)
+            sum_p = jnp.sum(p, axis=1, keepdims=True)
+            acc_mid = acc_scr[...] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            m_curr = jnp.max(s, axis=1, keepdims=True)   # off p's path
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(jnp.minimum(frame - m_next, 60.0))
+            l_scr[...] = (l_scr[...] + sum_p) * alpha
+            acc_scr[...] = acc_mid * alpha[:, :1]
+            m_scr[...] = m_next
+            return
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
         alpha = jnp.exp(m_prev - m_next)
@@ -133,10 +163,23 @@ def _sparse_fwd_kernel(
         p = jnp.where(mask, p, 0.0)
         l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
         m_scr[...] = m_next
-        v = v_ref[0, 0]
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
+
+    run = j < kv_count_ref[iq]
+    if lagged_env:
+        @pl.when(run & (j == 0))
+        def _first():
+            _update(lagged_tile=False)
+
+        @pl.when(run & (j != 0))
+        def _rest():
+            _update(lagged_tile=True)
+    else:
+        @pl.when(run)
+        def _upd():
+            _update()
 
     @pl.when(j == n_slots - 1)
     def _store():
