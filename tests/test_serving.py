@@ -485,6 +485,38 @@ def test_spec_engine_eos_truncates(params):
     assert results[0] == want
 
 
+def test_spec_engine_sliding_window_matches_plain(params):
+    """Spec decode composes with sliding-window serving: the verify chunk's
+    banded paged attention + mid-chain page reclamation must emit exactly
+    the plain windowed engine's greedy tokens."""
+    cfg = TransformerConfig(
+        vocab_size=89, d_model=64, n_layers=2, n_heads=4,
+        d_ff=128, max_seq_len=128, block_size=32, dropout_rate=0.0,
+        dtype=jnp.float32, attention_backend="xla", attention_window=5,
+    )
+    wparams = init_transformer(jax.random.key(8), cfg)
+    kw = dict(max_batch_size=2, page_size=8, num_pages=32, max_seq_len=64,
+              prefill_pad=16)
+    rng = np.random.default_rng(9)
+    prompts = [list(rng.integers(0, cfg.vocab_size, size=n)) for n in (9, 3)]
+
+    plain = ServingEngine(wparams, cfg, EngineConfig(**kw))
+    for i, p in enumerate(prompts):
+        plain.submit(GenerationRequest(request_id=i, prompt=p,
+                                       max_new_tokens=8))
+    want = plain.run()
+
+    eng = ServingEngine(
+        wparams, cfg, EngineConfig(spec_gamma=3, **kw),
+        draft_params=wparams, draft_cfg=cfg,   # self-draft: max acceptance
+    )
+    for i, p in enumerate(prompts):
+        eng.submit(GenerationRequest(request_id=i, prompt=p,
+                                     max_new_tokens=8))
+    results = eng.run()
+    assert results == want
+
+
 def test_spec_engine_validation(params, draft_params):
     with pytest.raises(ValueError, match="spec_gamma"):
         ServingEngine(
