@@ -607,10 +607,12 @@ class ServingEngine:
                     "single-sequence path serving/speculative.py covers "
                     "stochastic rejection sampling)"
                 )
-            if ecfg.prefix_cache:
-                raise ValueError(
-                    "spec decoding + prefix_cache is not supported yet"
-                )
+            # prefix_cache composes: cached pages are pinned (never
+            # recycled while an entry exists) and BOTH models write their
+            # pools during the original prefill, so an adopted prefix page
+            # carries valid draft KV at the same physical index — the
+            # draft skips the shared prefix exactly like the target
+            # (pinned by test_spec_engine_prefix_cache_matches_uncached).
             if cfg.vocab_size != draft_cfg.vocab_size:
                 raise ValueError("target and draft must share a vocabulary")
             self.draft_params = draft_params

@@ -517,6 +517,41 @@ def test_spec_engine_sliding_window_matches_plain(params):
     assert results == want
 
 
+def test_spec_engine_prefix_cache_matches_uncached(params, draft_params):
+    """Prefix caching composes with spec decode: adopted prefix pages carry
+    valid DRAFT KV too (both models write their pools during the original
+    prefill and cached pages are pinned, never recycled), so the draft can
+    skip the shared prefix like the target. Outputs must equal the uncached
+    spec engine AND the plain engine."""
+    rng = np.random.default_rng(12)
+    common = list(rng.integers(0, CFG.vocab_size, size=24))
+    prompts = [
+        common + list(rng.integers(0, CFG.vocab_size, size=7)),
+        common + list(rng.integers(0, CFG.vocab_size, size=3)),
+    ]
+
+    def run(prefix_cache, spec):
+        ecfg = EngineConfig(
+            max_batch_size=2, page_size=8, num_pages=64, max_seq_len=128,
+            prefill_pad=16, prefix_cache=prefix_cache,
+            spec_gamma=3 if spec else 0,
+        )
+        kw = (dict(draft_params=draft_params, draft_cfg=DRAFT_CFG)
+              if spec else {})
+        eng = ServingEngine(params, CFG, ecfg, **kw)
+        for i, p in enumerate(prompts):
+            eng.submit(
+                GenerationRequest(request_id=i, prompt=p, max_new_tokens=6)
+            )
+        return eng, eng.run()
+
+    eng_c, res_c = run(True, spec=True)
+    _, res_u = run(False, spec=True)
+    _, res_plain = run(False, spec=False)
+    assert res_c == res_u == res_plain
+    assert len(eng_c._prefix_lru) >= 3  # the shared prefix really cached
+
+
 def test_spec_engine_validation(params, draft_params):
     with pytest.raises(ValueError, match="spec_gamma"):
         ServingEngine(
