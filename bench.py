@@ -57,6 +57,12 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 TARGET_FRACTION = 0.85
 BUDGET_S = 240.0  # measurement budget AFTER compilation; always emits
 SUPERVISOR_DEADLINE_S = 540.0  # child hard-killed after this; JSON still prints
+# Whole-invocation budget across RETRIES: wedged tunnel windows last
+# 10-45 min (observed), longer than one child's deadline — a single-shot
+# bench.py that lands in one records 0.0 as the round's headline
+# (queue12/bench_headline.log). The supervisor polls liveness and retries
+# fresh children until a finite measurement or this budget runs out.
+TOTAL_BUDGET_S = float(os.environ.get("FAT_BENCH_TOTAL_BUDGET_S", "3300"))
 PROGRESS_PATH = "/tmp/fat_bench_progress.json"
 
 
@@ -370,15 +376,30 @@ def measure():
     emit()
 
 
-def supervise():
-    """Parent process: run measure() in a child with a hard deadline.
+def _tpu_live(timeout_s: float = 200.0) -> bool:
+    """Probe the tunnel with a tiny matmul IN A SUBPROCESS (a wedged window
+    blocks inside C++; the probe must be killable). True = window live."""
+    probe = (
+        "from flashattention_tpu.utils.profiling import enable_compile_cache\n"
+        "enable_compile_cache()\n"
+        "import jax, jax.numpy as jnp\n"
+        "x = jnp.ones((256, 256), jnp.bfloat16)\n"
+        "assert float((x @ x).sum()) > 0\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", probe], timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
-    Rationale: a wedged tunnel window blocks dispatches inside C++ where
-    Python signal handlers never run — the child can neither time out nor
-    emit. The parent owns the deadline, kills the exact child it spawned
-    (never by pattern), and emits the child's last progress checkpoint so
-    the driver ALWAYS gets one JSON line.
-    """
+
+def _run_child_once(deadline_s: float):
+    """One measuring child under a hard deadline; returns its last JSON
+    line (str) or None."""
     try:
         os.unlink(PROGRESS_PATH)
     except FileNotFoundError:
@@ -404,9 +425,8 @@ def supervise():
         sys.exit(0)
 
     signal.signal(signal.SIGTERM, on_term)
-    deadline = time.time() + SUPERVISOR_DEADLINE_S
     try:
-        out, _ = child.communicate(timeout=max(deadline - time.time(), 1.0))
+        out, _ = child.communicate(timeout=deadline_s)
     except subprocess.TimeoutExpired:
         child.terminate()  # SIGTERM: child emits if it is still responsive
         try:
@@ -419,11 +439,52 @@ def supervise():
             out, _ = child.communicate()
     json_lines = [ln for ln in (out or "").splitlines()
                   if ln.startswith('{"metric"')]
-    if json_lines:
-        print(json_lines[-1], flush=True)
+    return json_lines[-1] if json_lines else None
+
+
+def supervise():
+    """Parent process: run measure() in children under hard deadlines,
+    RETRYING through wedged tunnel windows until a finite measurement or
+    the total budget runs out.
+
+    Rationale: a wedged window blocks dispatches inside C++ where Python
+    signal handlers never run — a child can neither time out nor emit (the
+    parent owns its deadline and kills the exact child it spawned, never by
+    pattern). Wedges outlast a single child's deadline, so one-shot runs
+    that land in a wedge record value 0.0 (queue12/bench_headline.log);
+    between attempts the parent polls liveness with a killable probe and
+    only relaunches into a live window. The driver ALWAYS gets one JSON
+    line: the first finite result, else the best failure diagnostics."""
+    t0 = time.time()
+    last_line = None
+    attempt = 0
+    while True:
+        attempt += 1
+        remaining = TOTAL_BUDGET_S - (time.time() - t0)
+        if remaining < 120:
+            break
+        line = _run_child_once(min(SUPERVISOR_DEADLINE_S, remaining))
+        if line is not None:
+            last_line = line
+            try:
+                if json.loads(line).get("value", 0) > 0:
+                    print(line, flush=True)
+                    return
+            except json.JSONDecodeError:
+                pass
+        # No finite measurement: wait out the wedge (killable probes),
+        # then retry with a fresh child (compiles hit the persistent cache).
+        while TOTAL_BUDGET_S - (time.time() - t0) > 300:
+            if _tpu_live():
+                break
+            time.sleep(60)
+        else:
+            break
+    if last_line is not None:
+        print(last_line, flush=True)
         return
-    # Child died without emitting (hard wedge / crash): fall back to its
-    # last checkpoint.
+    # Every child died without emitting (hard wedge / crash): fall back to
+    # the last checkpoint.
     state = {}
     try:
         with open(PROGRESS_PATH) as f:
