@@ -61,16 +61,111 @@ def bytes_to_unicode() -> dict[int, str]:
 
 _BYTE_ENC = bytes_to_unicode()
 _BYTE_DEC = {v: k for k, v in _BYTE_ENC.items()}
+# C-speed byte->symbol mapping: latin-1 round-trips bytes 1:1 into chars,
+# then one str.translate applies the byte-unicode table.
+_BYTE_TRANS = str.maketrans({chr(b): c for b, c in _BYTE_ENC.items()})
+
+
+def _to_symbols(word: str) -> str:
+    return word.encode("utf-8").decode("latin-1").translate(_BYTE_TRANS)
+
+
+def _load_native_bpe():
+    """ctypes handle to the C++ merge engine (csrc/bpe_encoder.cc), or None.
+
+    Reuses the runtime library the page allocator builds (one
+    ``make -C csrc``); the pure-Python merge loop remains the fallback so a
+    clean checkout works without a toolchain — the failure mode the
+    reference ships (its extension can never import, SURVEY.md §1-L1)."""
+    import ctypes
+
+    from flashattention_tpu.serving.allocator import (
+        _LIB_PATH,
+        _load_native,
+    )
+
+    if _load_native() is None:  # builds on first use when csrc/ exists
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib.fat_bpe_create
+    except AttributeError:
+        return None  # stale .so from before the encoder existed
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.fat_bpe_create.restype = ctypes.c_void_p
+    lib.fat_bpe_create.argtypes = [
+        ctypes.c_char_p, i32p, ctypes.c_int32,
+        ctypes.c_char_p, i32p, ctypes.c_int32,
+    ]
+    lib.fat_bpe_destroy.argtypes = [ctypes.c_void_p]
+    lib.fat_bpe_cache_size.restype = ctypes.c_int64
+    lib.fat_bpe_cache_size.argtypes = [ctypes.c_void_p]
+    lib.fat_bpe_encode.restype = ctypes.c_int64
+    lib.fat_bpe_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, i32p, ctypes.c_int32,
+        i32p, ctypes.c_int64,
+    ]
+    return lib
+
+
+def _pack_strings(strings):
+    """UTF-8 blob + (n+1,) int32 offsets for a list of symbol strings."""
+    bs = [s.encode("utf-8") for s in strings]
+    offs = np.zeros(len(bs) + 1, np.int32)
+    np.cumsum([len(b) for b in bs], out=offs[1:])
+    return b"".join(bs), offs
 
 
 class BPETokenizer:
-    """Byte-level BPE: greedy lowest-rank pair merging per regex-split word."""
+    """Byte-level BPE: greedy lowest-rank pair merging per regex-split word.
+
+    ``encode`` runs the merge loop in the native C++ engine when the
+    runtime library is available (exact-parity contract, pinned in
+    tests/test_tokenizer.py); pure Python otherwise."""
 
     def __init__(self, encoder: dict[str, int], merges: list[tuple[str, str]]):
         self.encoder = dict(encoder)
         self.decoder = {v: k for k, v in self.encoder.items()}
         self.ranks = {pair: i for i, pair in enumerate(merges)}
         self._cache: dict[str, list[str]] = {}
+        self._native = None       # (lib, handle) once initialized
+        self._native_tried = False
+
+    def __del__(self):  # pragma: no cover - interpreter-exit ordering
+        try:
+            if self._native is not None:
+                lib, handle = self._native
+                lib.fat_bpe_destroy(handle)
+        except Exception:
+            pass
+
+    def _native_engine(self):
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        lib = _load_native_bpe()
+        if lib is None:
+            return None
+        import ctypes
+
+        # Vocab ordered by id; ids must be dense 0..V-1 for the id==index
+        # contract (true for GPT-2 artifacts and train()'s output).
+        by_id = sorted(self.encoder.items(), key=lambda kv: kv[1])
+        if [v for _, v in by_id] != list(range(len(by_id))):
+            return None
+        vb, vo = _pack_strings([k for k, _ in by_id])
+        pairs = sorted(self.ranks.items(), key=lambda kv: kv[1])
+        mb, mo = _pack_strings([s for (a, b), _ in pairs for s in (a, b)])
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        handle = lib.fat_bpe_create(
+            vb, vo.ctypes.data_as(i32p), len(by_id),
+            mb, mo.ctypes.data_as(i32p), len(pairs),
+        )
+        # keep the offset arrays alive for the duration of the call above
+        del vo, mo
+        if handle:
+            self._native = (lib, handle)
+        return self._native
 
     # -- construction ------------------------------------------------------
 
@@ -168,9 +263,31 @@ class BPETokenizer:
         return parts
 
     def encode(self, text: str) -> np.ndarray:
+        syms = [_to_symbols(w) for w in _PAT.findall(text)]
+        native = self._native_engine()
+        if native is not None and syms:
+            import ctypes
+
+            lib, handle = native
+            blob, offs = _pack_strings(syms)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            cap = max(256, len(blob))  # ids never exceed symbol count
+            out = np.empty(cap, np.int32)
+            n = lib.fat_bpe_encode(
+                handle, blob, offs.ctypes.data_as(i32p), len(syms),
+                out.ctypes.data_as(i32p), cap,
+            )
+            if n == -1000000000:
+                raise KeyError("symbol missing from vocab (native encode)")
+            if n < 0:  # capacity miss (cannot happen with cap >= symbols)
+                out = np.empty(-n, np.int32)
+                n = lib.fat_bpe_encode(
+                    handle, blob, offs.ctypes.data_as(i32p), len(syms),
+                    out.ctypes.data_as(i32p), -n,
+                )
+            return out[:n].copy()
         ids: list[int] = []
-        for word in _PAT.findall(text):
-            sym = "".join(_BYTE_ENC[b] for b in word.encode("utf-8"))
+        for sym in syms:
             ids.extend(self.encoder[p] for p in self._bpe(sym))
         return np.asarray(ids, dtype=np.int32)
 

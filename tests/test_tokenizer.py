@@ -65,3 +65,32 @@ def test_feeds_data_pipeline(tmp_path):
     assert window.shape == (33,)
     # The decoded window is a contiguous snippet of the original text.
     assert tok.decode(window) in REAL_TEXT
+
+
+def test_native_bpe_engine_parity():
+    """The C++ merge engine (csrc/bpe_encoder.cc) must produce EXACTLY the
+    pure-Python ids for the same tables — incl. multi-byte unicode, empty
+    text, and words that never fully merge. Skips only if the toolchain is
+    absent (clean-checkout fallback contract)."""
+    tok = BPETokenizer.train(REAL_TEXT, vocab_size=400)
+    if tok._native_engine() is None:
+        import pytest
+
+        pytest.skip("native runtime library unavailable (no toolchain)")
+    pure = BPETokenizer(
+        tok.encoder, sorted(tok.ranks, key=tok.ranks.get)
+    )
+    pure._native_tried = True  # block the native path on this instance
+    for text in (
+        REAL_TEXT[:3000],
+        "naïve café — résumé 123!\n\ttabs",
+        "",
+        "ünïcode ∑∫ emoji 🙂 bytes\x00\x01",
+        "a" * 500,  # one long word exercising deep merge chains
+    ):
+        a, b = tok.encode(text), pure.encode(text)
+        np.testing.assert_array_equal(a, b)
+        assert tok.decode(a) == pure.decode(b)
+    # the memo cache actually populates (the hot-loop win)
+    lib, handle = tok._native
+    assert lib.fat_bpe_cache_size(handle) > 0
