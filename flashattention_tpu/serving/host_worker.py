@@ -28,7 +28,8 @@ from dataclasses import asdict
 from typing import Any
 
 
-def _worker_main(conn, cfg_kwargs, ecfg_kwargs, param_seed, platform):
+def _worker_main(conn, cfg_kwargs, ecfg_kwargs, param_seed, platform,
+                 draft_cfg_kwargs=None, draft_seed=1):
     """Engine host process: build the replica, serve pipe commands."""
     import jax
 
@@ -49,7 +50,18 @@ def _worker_main(conn, cfg_kwargs, ecfg_kwargs, param_seed, platform):
     cfg = TransformerConfig(**cfg_kwargs)
     ecfg = EngineConfig(**ecfg_kwargs)
     params = init_transformer(jax.random.key(param_seed), cfg)
-    engine = ServingEngine(params, cfg, ecfg)
+    spec_kw = {}
+    if draft_cfg_kwargs is not None:
+        # Speculative replica: each worker owns its draft weights too
+        # (same seed across replicas -> identical drafts -> routing parity
+        # holds under greedy spec decoding).
+        draft_cfg = TransformerConfig(**draft_cfg_kwargs)
+        spec_kw = dict(
+            draft_params=init_transformer(jax.random.key(draft_seed),
+                                          draft_cfg),
+            draft_cfg=draft_cfg,
+        )
+    engine = ServingEngine(params, cfg, ecfg, **spec_kw)
 
     while True:
         try:
@@ -94,12 +106,15 @@ class ProcessEngine:
     """
 
     def __init__(self, cfg, ecfg, *, param_seed: int = 0,
-                 platform: str | None = "cpu"):
+                 platform: str | None = "cpu",
+                 draft_cfg=None, draft_seed: int = 1):
         ctx = mp.get_context("spawn")  # never fork a live JAX runtime
         self._conn, child = ctx.Pipe()
         self._proc = ctx.Process(
             target=_worker_main,
-            args=(child, asdict(cfg), asdict(ecfg), param_seed, platform),
+            args=(child, asdict(cfg), asdict(ecfg), param_seed, platform,
+                  asdict(draft_cfg) if draft_cfg is not None else None,
+                  draft_seed),
             daemon=True,
         )
         # Spawned interpreters re-run sitecustomize, which registers the

@@ -100,3 +100,44 @@ def test_process_engines_parallel_drain():
     for e in engines:
         expected.update(e.run())
     assert merged == expected
+
+
+def test_process_spec_engines_match_in_process():
+    """Speculative replicas under real process isolation: workers build
+    their own draft models (same seed -> identical drafts) and the
+    scheduler's routing + greedy spec decoding must reproduce the
+    in-process spec engines byte-for-byte."""
+    import dataclasses
+
+    n_hosts = 2
+    dcfg = dataclasses.replace(CFG, n_layers=1, d_model=16, d_ff=16,
+                               n_heads=1)
+    ecfg = dataclasses.replace(ECFG, spec_gamma=2)
+
+    engines = [
+        ServingEngine(
+            init_transformer(jax.random.key(i), CFG), CFG, ecfg,
+            draft_params=init_transformer(jax.random.key(100 + i), dcfg),
+            draft_cfg=dcfg,
+        )
+        for i in range(n_hosts)
+    ]
+    sched = MultiHostScheduler(engines)
+    for r in _requests():
+        sched.submit(r)
+    expected = sched.run()
+
+    procs = [
+        ProcessEngine(CFG, ecfg, param_seed=i, platform="cpu",
+                      draft_cfg=dcfg, draft_seed=100 + i)
+        for i in range(n_hosts)
+    ]
+    try:
+        psched = MultiHostScheduler(procs)
+        for r in _requests():
+            psched.submit(r)
+        got = psched.run()
+    finally:
+        for p in procs:
+            p.close()
+    assert got == expected
