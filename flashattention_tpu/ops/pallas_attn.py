@@ -74,6 +74,16 @@ _FWD_SCALE_FOLD = os.environ.get("FAT_FWD_SCALE_FOLD", "1") == "1"
 _FWD_LAGGED_MAX = os.environ.get("FAT_FWD_LAGGED_MAX", "1") == "1"
 
 
+def _lagged_env() -> bool:
+    """Trace-time read of the lagged-max knob — ONE definition shared by
+    the bf16, fused-fp8/int8, and block-sparse forward kernels so A/B
+    harnesses flipping FAT_FWD_LAGGED_MAX flip all three together
+    (import-time default: _FWD_LAGGED_MAX)."""
+    return os.environ.get(
+        "FAT_FWD_LAGGED_MAX", "1" if _FWD_LAGGED_MAX else "0"
+    ) == "1"
+
+
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -325,10 +335,7 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    lagged_env = (
-        os.environ.get("FAT_FWD_LAGGED_MAX",
-                       "1" if _FWD_LAGGED_MAX else "0") == "1"
-    )
+    lagged_env = _lagged_env()
 
     def _update(use_mask, lagged_tile=False):
         # NOTE: exp2-domain softmax was tried and reverted — Mosaic lowers

@@ -61,15 +61,6 @@ def _int8_pv_s8() -> bool:
     return os.environ.get("FAT_INT8_PV", "bf16") == "s8"
 
 
-def _fwd_lagged_default() -> bool:
-    """Shared default with the bf16 kernel (pallas_attn._FWD_LAGGED_MAX,
-    import-time env read); the kernel re-reads FAT_FWD_LAGGED_MAX at trace
-    time on top so A/B harnesses can flip it per-trace."""
-    from flashattention_tpu.ops.pallas_attn import _FWD_LAGGED_MAX
-
-    return _FWD_LAGGED_MAX
-
-
 def quantize_tiles(x: jax.Array, block: int, fmt: str = "fp8"):
     """(B, H, N, D) fp -> (payload fp8|int8, scales fp32 (B, H, N//block)).
     N must already be padded to a multiple of ``block``. Thin alias of
@@ -127,12 +118,9 @@ def _fp8_fwd_kernel(
     # forward win (queue11/ab_lagged_inproc) applies equally here — the
     # int8 fused kernel runs at EVERY shape (auto mode) and serializes the
     # same rowmax -> exp -> PV chain. Same env knob, read at trace time.
-    import os as _os
+    from flashattention_tpu.ops.pallas_attn import _lagged_env as _le
 
-    lagged_env = (
-        _os.environ.get("FAT_FWD_LAGGED_MAX",
-                        "1" if _fwd_lagged_default() else "0") == "1"
-    )
+    lagged_env = _le()
 
     from flashattention_tpu.ops.pallas_paged import (
         _fp8_e4m3_to_bf16_bits,

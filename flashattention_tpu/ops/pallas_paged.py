@@ -596,19 +596,29 @@ def pallas_paged_attention(
     # (92,987 tok/s vs 69,408 at 8) while bf16 peaks at 8 (82,957 vs 51,034
     # at 4) — i.e. the quantized winner beats bf16's own best arm 1.12x at
     # each path's preferred step width. fp8 also prefers 8 (49.8k vs 40.1k).
-    # The DEFAULT engages only on the bf16 fast path (compute_dtype=fp32 is
-    # the exactness/debug path — q-row quantization noise there would
-    # defeat its purpose); an EXPLICIT env setting is honored at any
-    # compute dtype (the A/B and parity harnesses set it deliberately).
+    # The DEFAULT engages only where it was MEASURED: the bf16-compute
+    # DECODE fast path (q_len == 1; chunked prefill / spec-verify chunks
+    # keep the convert path — q-row-quant noise would compound through
+    # every prefill layer and the 4-page step is decode-tuned) on
+    # merged-capable page sizes. fp32 compute is the exactness/debug path.
+    # An EXPLICIT env setting is honored at any shape/dtype (the A/B and
+    # parity harnesses set it deliberately).
     _mxu_env = os.environ.get("FAT_PAGED_INT8_MXU")
     if _mxu_env is None:
-        _mxu_env = "qk" if compute_dtype == jnp.bfloat16 else "0"
-    _int8_qk = (
-        quantized and k_pages.dtype == jnp.int8
-        and {"1": "full", "full": "full", "qk": "qk"}.get(_mxu_env) == "qk"
+        _mxu_env = (
+            "qk" if (compute_dtype == jnp.bfloat16 and q_len == 1
+                     and page_size % 16 == 0) else "0"
+        )
+    # Resolve the mode ONCE; the pps default below and the kernel dispatch
+    # (int8_mxu) must never disagree.
+    _mxu_mode = (
+        {"1": "full", "full": "full", "qk": "qk"}.get(_mxu_env)
+        if quantized and k_pages.dtype == jnp.int8 else None
     )
     if pages_per_step is None:
-        pages_per_step = max(1, (256 if _int8_qk else 512) // page_size)
+        pages_per_step = max(
+            1, (256 if _mxu_mode == "qk" else 512) // page_size
+        )
     s_count = max(1, min(pages_per_step, pages_per_seq))
 
     # Pad the page table so every grid step has s_count entries; edge-pad so
@@ -687,9 +697,7 @@ def pallas_paged_attention(
     # 4-page step it is the first quantized decode to beat bf16 outright
     # (92,987 vs 82,957 tok/s, both at their best arms —
     # queue12/decode_ablate_v2, VERDICT r3 item 1 done-criterion).
-    int8_mxu = None
-    if merged and quantized and k_pages.dtype == jnp.int8:
-        int8_mxu = {"1": "full", "full": "full", "qk": "qk"}.get(_mxu_env)
+    int8_mxu = _mxu_mode if merged else None
     kernel = functools.partial(
         _decode_kernel_merged if merged else _decode_kernel,
         softmax_scale=float(softmax_scale),

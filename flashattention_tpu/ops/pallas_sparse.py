@@ -114,14 +114,9 @@ def _sparse_fwd_kernel(
     # forward win, queue11/ab_lagged_inproc): grid slot 0 is ALWAYS an
     # active tile for a non-empty row (compacted list front-loads active
     # tiles), so "first visited" == (j == 0) here.
-    import os as _os
+    from flashattention_tpu.ops.pallas_attn import _lagged_env as _le
 
-    from flashattention_tpu.ops.pallas_attn import _FWD_LAGGED_MAX
-
-    lagged_env = (
-        _os.environ.get("FAT_FWD_LAGGED_MAX",
-                        "1" if _FWD_LAGGED_MAX else "0") == "1"
-    )
+    lagged_env = _le()
 
     def _update(lagged_tile=False):
         q = q_ref[0, 0]

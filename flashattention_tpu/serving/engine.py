@@ -856,9 +856,14 @@ class ServingEngine:
                 self.ecfg.pages_per_seq,
             ) - slot.freed_pages
             if not self.allocator.grow(slot.request.request_id, need):
-                self._evict(slot)
-                page_rows.append(self._page_row(None))
-                continue
+                # Same pressure ladder as _decode_once: dropping an LRU
+                # prefix pin is far cheaper than evicting an in-flight
+                # sequence (full re-prefill).
+                self._shrink_prefix_cache(1)
+                if not self.allocator.grow(slot.request.request_id, need):
+                    self._evict(slot)
+                    page_rows.append(self._page_row(None))
+                    continue
             tokens[i, 0] = slot.generated[-1]
             lengths[i] = slot.length
             page_rows.append(
@@ -886,13 +891,16 @@ class ServingEngine:
                 a += 1
             emitted = [int(t) for t in d_np[i, :a]]
             emitted.append(int(t_np[i, a]))  # correction (a<g) or bonus
-            self.spec_proposed += g
-            self.spec_accepted += a
             req = slot.request
             remaining = req.max_new_tokens - len(slot.generated)
             emitted = emitted[:remaining]
             if self.ecfg.eos_token is not None and self.ecfg.eos_token in emitted:
                 emitted = emitted[: emitted.index(self.ecfg.eos_token) + 1]
+            # Stats count what actually LANDED: accepted = emitted tokens
+            # that came from the draft (the last emitted slot is the
+            # correction/bonus only when emission was not clamped).
+            self.spec_proposed += g
+            self.spec_accepted += min(a, len(emitted))
             slot.length += len(emitted)
             slot.generated.extend(emitted)
             self._reclaim_window(slot)
