@@ -8,6 +8,13 @@ kind (SURVEY.md §2.4: no DP/TP/SP/CP, no collectives). The TPU-native stack:
 """
 
 from flashattention_tpu.parallel.mesh import make_mesh
+from flashattention_tpu.parallel.pipeline import (
+    make_pipeline_forward,
+    make_pipelined_train_state,
+    make_pipelined_train_step,
+    stack_pipeline_params,
+    unstack_pipeline_params,
+)
 from flashattention_tpu.parallel.ring import (
     all_gather_attention,
     ring_attention,
@@ -27,4 +34,9 @@ __all__ = [
     "param_partition_specs",
     "make_sharded_train_state",
     "make_sharded_train_step",
+    "stack_pipeline_params",
+    "unstack_pipeline_params",
+    "make_pipeline_forward",
+    "make_pipelined_train_state",
+    "make_pipelined_train_step",
 ]

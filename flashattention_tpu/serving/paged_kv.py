@@ -137,7 +137,12 @@ def append_to_pages(
     # fp32 scale planes (H·P·page·4 B ≈ 4 MB at serving shapes — not the
     # hundreds-of-MB payload the defensive-copy problem is about) keep the
     # XLA scatter.
-    if t == 1 and os.environ.get("FAT_APPEND_PALLAS", "1") == "1":
+    # d % 128: Mosaic can't legalize the kernel's (H,1,1,D) broadcast when
+    # the head dim is narrower than one 128-lane register (observed compile
+    # failure "unsupported shape cast" at d=16) — sub-lane head dims take
+    # the scatter path.
+    if (t == 1 and d % 128 == 0
+            and os.environ.get("FAT_APPEND_PALLAS", "1") == "1"):
         return _append_decode_pallas(
             cache, k_new, v_new, page_indices, lengths, valid_len
         )

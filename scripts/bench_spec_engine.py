@@ -113,6 +113,54 @@ def main():
             acc = eng.spec_accepted / eng.spec_proposed
         return n_tok, dt, acc, results
 
+    def adjudicate(arm):
+        """Token parity vs plain, with numeric-tie adjudication.
+
+        The spec verify pass computes target logits with the chunked
+        (q_len=gamma+1) kernel while the plain engine uses the q_len=1
+        decode kernel; on real TPU those differ at bf16 accumulation
+        class, so with random-init weights (near-flat logits) an argmax
+        can legitimately flip.  CPU interpret tests pin EXACT equality
+        (tests/test_serving.py spec suite); here a divergence is accepted
+        only if a teacher-forced fp32 dense forward over the agreed
+        prefix shows BOTH engines picked one of the top-2 logits and the
+        top-2 margin is inside the numeric-tie class.  Anything else
+        (length drift, off-podium token, wide margin) stays a hard fail.
+        """
+        from flashattention_tpu.models.transformer import apply_transformer
+
+        details, structural = [], []
+        for rid, ptoks in outs["plain"].items():
+            stoks = outs[arm][rid]
+            if stoks == ptoks:
+                continue
+            n = min(len(stoks), len(ptoks))
+            i = next((j for j in range(n) if stoks[j] != ptoks[j]), n)
+            if i == n:
+                structural.append({"rid": rid, "kind": "length",
+                                   "plain": len(ptoks), "spec": len(stoks)})
+                continue
+            seq = jnp.asarray(list(prompts[rid]) + list(ptoks[:i]),
+                              jnp.int32)[None, :]
+            last = np.asarray(
+                apply_transformer(params, seq, cfg)[0, -1], np.float32)
+            order = np.argsort(last)
+            top1, top2 = int(order[-1]), int(order[-2])
+            margin = float(last[top1] - last[top2])
+            rec = {"rid": rid, "pos": i, "margin": round(margin, 4),
+                   "top2": [top1, top2], "plain_tok": int(ptoks[i]),
+                   "spec_tok": int(stoks[i])}
+            # 0.1 in raw-logit units: observed TPU decode-vs-chunk logit
+            # deltas are ~1e-2 class (CLAUDE.md precision classes); 0.1
+            # leaves 10x headroom while still rejecting real bugs (random
+            # -init margins are O(1) when not tied).
+            if ({int(ptoks[i]), int(stoks[i])} <= {top1, top2}
+                    and margin < 0.1):
+                details.append(rec)
+            else:
+                structural.append(rec)
+        return details, structural
+
     arms = ["plain", "spec-self", "spec-draft"]
     # Warm (compile) every arm before timing, then interleave trials.
     best = {a: float("inf") for a in arms}
@@ -123,10 +171,15 @@ def main():
         n_tok, dt, acc, res = run(a)
         outs[a] = res
         accs[a] = acc
-    # Parity gate: every speculative arm must emit the plain engine's exact
-    # greedy tokens (the whole point). Fail loudly if not.
+    # Parity gate: every speculative arm must emit the plain engine's greedy
+    # tokens, up to adjudicated numeric ties. Fail loudly on anything else.
+    divergences = {}
     for a in ("spec-self", "spec-draft"):
-        assert outs[a] == outs["plain"], f"{a} diverged from plain greedy"
+        ties, structural = adjudicate(a)
+        divergences[a] = {"numeric_ties": ties, "structural": structural}
+        for rec in ties:
+            print(f"{a}: numeric-tie divergence {rec}", flush=True)
+        assert not structural, f"{a} diverged structurally: {structural}"
     for t in range(args.trials):
         for a in arms:
             n_tok, dt, acc, _ = run(a)
@@ -158,6 +211,7 @@ def main():
                  "1 per token"),
         "backend": jax.default_backend(),
         "rows": rows,
+        "divergences": divergences,
     }
     print(json.dumps(out), flush=True)
     if args.out:

@@ -200,23 +200,32 @@ def main():
             # side per layer) is a defensive copy — the thing the
             # in-place Pallas append exists to kill (VERDICT r3 item 2:
             # "check the 8-layer cache-list donation actually aliases").
+            # Two rows per variant: donate=False is a lower bound on
+            # copies XLA keeps when the caller retains the caches;
+            # donate=True mirrors the REAL engine decode jit
+            # (engine.py make_decode_fn: donate_argnums=(1,)) — here the
+            # caches land at loop arg index 4.
             caches = fresh_caches()
-            mem = jax.jit(loop).lower(
-                jnp.int32(8), params, pi, tokens0, caches, lengths0
-            ).compile().memory_analysis()
             cache_mb = sum(
                 c.k_pages.nbytes + c.v_pages.nbytes for c in caches
             ) / 1e6
-            print(json.dumps({
-                "variant": variant,
-                "temp_mb": round(mem.temp_size_in_bytes / 1e6, 1),
-                "argument_mb": round(mem.argument_size_in_bytes / 1e6, 1),
-                "output_mb": round(mem.output_size_in_bytes / 1e6, 1),
-                "alias_mb": round(mem.alias_size_in_bytes / 1e6, 1),
-                "cache_total_mb": round(cache_mb, 1),
-                "one_layer_side_mb": round(
-                    caches[0].k_pages.nbytes / 1e6, 1),
-            }), flush=True)
+            for donate in (False, True):
+                jitted = (jax.jit(loop.__wrapped__, donate_argnums=(4,))
+                          if donate else jax.jit(loop.__wrapped__))
+                mem = jitted.lower(
+                    jnp.int32(8), params, pi, tokens0, caches, lengths0
+                ).compile().memory_analysis()
+                print(json.dumps({
+                    "variant": variant,
+                    "donate": donate,
+                    "temp_mb": round(mem.temp_size_in_bytes / 1e6, 1),
+                    "argument_mb": round(mem.argument_size_in_bytes / 1e6, 1),
+                    "output_mb": round(mem.output_size_in_bytes / 1e6, 1),
+                    "alias_mb": round(mem.alias_size_in_bytes / 1e6, 1),
+                    "cache_total_mb": round(cache_mb, 1),
+                    "one_layer_side_mb": round(
+                        caches[0].k_pages.nbytes / 1e6, 1),
+                }), flush=True)
             continue
 
         caches = fresh_caches()

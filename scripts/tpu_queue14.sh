@@ -128,6 +128,24 @@ print(json.dumps({"metric": "decode_defaults_confirm",
                   "rows": out}), flush=True)
 PYEOF
 
+# ---- 3a. spec-engine bench rerun: queue12's run died at the bit-exact
+# parity assert (spec-self vs plain diverged on TPU — chunk-verify vs
+# q_len=1 decode kernels differ at bf16 accumulation class and random-init
+# logits are near-flat). The bench now adjudicates each divergence with a
+# teacher-forced fp32 dense forward (both tokens in top-2 AND margin <0.1
+# = numeric tie; anything else still hard-fails).
+step bench_spec_engine 3600 python scripts/bench_spec_engine.py \
+  --gamma 4 --tokens 48 --batch 4 \
+  --out "$REPO/benchmarks/results/spec_engine_r04.json"
+
+# ---- 3b. donation alias check (VERDICT r3 item 2, the open sub-question):
+# the engine decode jit donates the 8-layer cache list; the donate=True
+# memdump row must show alias_mb ~= cache_total_mb and the ~2x
+# one-layer-side defensive-copy temps gone. donate=False row is the
+# caller-retains-caches lower bound (queue12 measured temp 235 vs 138 MB).
+step serving_memdump_donate 2400 python scripts/serving_attrib.py \
+  --variants full,scatter,noappend --memdump
+
 # ---- 4. int8-qk default parity spot check -----------------------------------
 step verify_int8_default 1200 python - <<'PYEOF'
 from flashattention_tpu.utils.profiling import enable_compile_cache

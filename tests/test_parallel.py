@@ -29,7 +29,7 @@ from flashattention_tpu.utils.testing import assert_allclose, make_qkv
 
 def test_make_mesh_shapes():
     mesh = make_mesh(data=2, model=4)
-    assert mesh.shape == {"data": 2, "model": 4, "context": 1}
+    assert mesh.shape == {"data": 2, "pipe": 1, "model": 4, "context": 1}
     with pytest.raises(ValueError):
         make_mesh(data=16, model=4)
 
