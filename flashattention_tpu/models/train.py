@@ -132,26 +132,33 @@ def loss_fn(params, batch, cfg: TransformerConfig, dropout_key):
     valid = None
     if seg is not None:
         valid = (seg[:, :-1] == seg[:, 1:]) & (seg[:, :-1] >= 0)
+    moe = cfg.moe_experts > 0
     if cfg.loss_chunk:
         x = apply_transformer(
             params, inputs, cfg, train=True, dropout_key=dropout_key,
             segment_ids=None if seg is None else seg[:, :-1],
-            return_hidden=True,
+            return_hidden=True, return_aux=moe,
         )
-        return chunked_cross_entropy(
+        x, aux = x if moe else (x, 0.0)
+        ce = chunked_cross_entropy(
             x, params["lm_head"], targets, cfg.loss_chunk, valid=valid
         )
+        return ce + cfg.moe_aux_coef * aux if moe else ce
     logits = apply_transformer(
         params, inputs, cfg, train=True, dropout_key=dropout_key,
         segment_ids=None if seg is None else seg[:, :-1],
+        return_aux=moe,
     )
+    logits, aux = logits if moe else (logits, 0.0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     if seg is None:
-        return jnp.mean(nll)
-    return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
-        jnp.sum(valid), 1
-    )
+        ce = jnp.mean(nll)
+    else:
+        ce = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1
+        )
+    return ce + cfg.moe_aux_coef * aux if moe else ce
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0, 1))

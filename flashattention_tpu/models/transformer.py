@@ -70,6 +70,12 @@ class TransformerConfig:
                                    # materializing (B, N, V) (HBM saver for
                                    # big vocab; models/train.py loss_fn)
     use_block_sparse: bool = False
+    moe_experts: int = 0           # >0: every block's MLP becomes a top-k
+                                   # mixture of this many experts
+                                   # (models/moe.py; EP over 'model' axis)
+    moe_top_k: int = 2             # experts per token (Switch: 1)
+    moe_capacity_factor: float = 1.25  # per-expert slots = ceil(N*k*cf/E)
+    moe_aux_coef: float = 0.01     # load-balance loss weight (train.py)
     dtype: Any = jnp.bfloat16      # activation/compute dtype
     param_dtype: Any = jnp.float32
     attention_backend: str = "auto"
@@ -110,6 +116,12 @@ class TransformerConfig:
 
 def _dense_init(key, shape, dtype, scale=0.02):
     return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def _init_moe(key, cfg, out_scale):
+    from flashattention_tpu.models.moe import init_moe_mlp
+
+    return init_moe_mlp(key, cfg, out_scale)
 
 
 def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
@@ -164,12 +176,16 @@ def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
                     }
                 ),
                 "ln1": {"g": jnp.ones((d,), pd), "b": jnp.zeros((d,), pd)},
-                "mlp": {
-                    "w_in": _dense_init(bk[2], (d, dff), pd),
-                    "b_in": jnp.zeros((dff,), pd),
-                    "w_out": _dense_init(bk[3], (dff, d), pd, out_scale),
-                    "b_out": jnp.zeros((d,), pd),
-                },
+                "mlp": (
+                    {
+                        "w_in": _dense_init(bk[2], (d, dff), pd),
+                        "b_in": jnp.zeros((dff,), pd),
+                        "w_out": _dense_init(bk[3], (dff, d), pd, out_scale),
+                        "b_out": jnp.zeros((d,), pd),
+                    }
+                    if cfg.moe_experts == 0 else
+                    _init_moe(bk[2], cfg, out_scale)
+                ),
                 "ln2": {"g": jnp.ones((d,), pd), "b": jnp.zeros((d,), pd)},
             }
         )
@@ -365,8 +381,22 @@ def _attention(
 
 
 def _mlp(x, p, cfg):
+    """Dense MLP, or the MoE mixture when the block carries a router
+    (aux loss discarded — inference path; training uses _mlp_aux)."""
+    if "router" in p:
+        return _mlp_aux(x, p, cfg)[0]
     hgelu = jax.nn.gelu(x @ p["w_in"].astype(x.dtype) + p["b_in"].astype(x.dtype))
     return hgelu @ p["w_out"].astype(x.dtype) + p["b_out"].astype(x.dtype)
+
+
+def _mlp_aux(x, p, cfg):
+    """(y, load-balance aux): MoE layers return their Switch aux loss;
+    dense layers return 0 so block code is uniform."""
+    if "router" in p:
+        from flashattention_tpu.models.moe import moe_mlp
+
+        return moe_mlp(x, p, cfg)
+    return _mlp(x, p, cfg), jnp.zeros((), jnp.float32)
 
 
 def _dropout(x, key, rate):
@@ -376,6 +406,8 @@ def _dropout(x, key, rate):
 
 def _block(x, bp, cfg, *, keys, train, sparse_mask, segment_ids=None,
            positions=None):
+    """Returns (x, aux): aux is the MoE load-balance loss contribution
+    (0 for dense blocks) so MoE and dense stacks share one code path."""
     # Post-LN (reference Decoder, ln 192-226): sublayer -> residual -> LN.
     attn_out, _ = _attention(
         x, bp["attn"], cfg,
@@ -385,10 +417,10 @@ def _block(x, bp, cfg, *, keys, train, sparse_mask, segment_ids=None,
     if train and cfg.dropout_rate > 0:
         attn_out = _dropout(attn_out, keys[1], cfg.dropout_rate)
     x = _layer_norm(x + attn_out, bp["ln1"])
-    mlp_out = _mlp(x, bp["mlp"], cfg)
+    mlp_out, aux = _mlp_aux(x, bp["mlp"], cfg)
     if train and cfg.dropout_rate > 0:
         mlp_out = _dropout(mlp_out, keys[2], cfg.dropout_rate)
-    return _layer_norm(x + mlp_out, bp["ln2"])
+    return _layer_norm(x + mlp_out, bp["ln2"]), aux
 
 
 def apply_transformer(
@@ -401,11 +433,16 @@ def apply_transformer(
     sparse_pattern: jax.Array | None = None,
     segment_ids: jax.Array | None = None,
     return_hidden: bool = False,
+    return_aux: bool = False,
 ) -> jax.Array:
     """tokens (B, N) int32 -> logits (B, N, vocab) in fp32.
 
     ``return_hidden=True`` returns the final-LN hidden states (B, N, D)
     instead of logits (the chunked-CE loss applies the LM head itself).
+
+    ``return_aux=True`` additionally returns the summed MoE load-balance
+    aux loss (fp32 scalar, 0 for dense models) as a second output —
+    models/train.py adds cfg.moe_aux_coef * aux when cfg.moe_experts > 0.
 
     ``segment_ids``: (B, N) int32 — packed-varlen rows (several documents
     per row, contiguous runs of one id each). Attention stays within each
@@ -472,13 +509,16 @@ def apply_transformer(
         if (train and cfg.dropout_rate > 0)
         else [None] * (3 * cfg.n_layers)
     )
+    aux_total = jnp.zeros((), jnp.float32)
     for i, bp in enumerate(params["blocks"]):
-        x = block_fn(x, bp, tuple(keys[3 * i: 3 * i + 3]))
+        x, aux = block_fn(x, bp, tuple(keys[3 * i: 3 * i + 3]))
+        aux_total = aux_total + aux
     x = _layer_norm(x, params["final_ln"])
     if return_hidden:
-        return x
+        return (x, aux_total) if return_aux else x
     logits = x.astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
-    return logits + params["lm_head"]["b"].astype(jnp.float32)
+    logits = logits + params["lm_head"]["b"].astype(jnp.float32)
+    return (logits, aux_total) if return_aux else logits
 
 
 # ---------------------------------------------------------------------------

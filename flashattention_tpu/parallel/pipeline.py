@@ -159,7 +159,12 @@ def make_pipeline_forward(
                 keys = tuple(jax.random.fold_in(kj, i) for i in range(3))
             else:
                 keys = (None, None, None)
-            x = _block(x, bp, cfg, keys=keys, train=train, sparse_mask=None)
+            # MoE aux loss is discarded in the pipelined path (bubble
+            # ticks would double-count it); pipelined MoE training that
+            # needs the load-balance term should add a validity-masked
+            # aux carry here.
+            x, _ = _block(x, bp, cfg, keys=keys, train=train,
+                          sparse_mask=None)
             return x, None
 
         if cfg.remat:

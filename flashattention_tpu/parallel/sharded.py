@@ -69,6 +69,15 @@ def param_partition_specs(params) -> dict:
     def spec_for(path: tuple, leaf) -> P:
         names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
         last = names[-1]
+        # MoE expert leaves carry a leading expert dim (models/moe.py):
+        # shard EXPERTS over 'model' (expert parallelism — the dispatch/
+        # combine einsums become GSPMD all-to-alls); router replicated.
+        if last == "router":
+            return P()
+        if last in ("w_in", "w_out") and leaf.ndim == 3:
+            return P("model", None, None)
+        if last in ("b_in", "b_out") and leaf.ndim == 2:
+            return P("model", None)
         if last == "w_qkv":
             return P(None, "model")
         if last == "b_qkv":
@@ -116,7 +125,10 @@ def make_sharded_train_state(mesh: Mesh, params, tx, *, zero1: bool = False):
     """
     specs = param_partition_specs(params)
     shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
-    params = jax.device_put(params, shardings)
+    # Copy before placing: on shardings that keep a leaf whole (or on CPU
+    # meshes) device_put can alias the caller's buffers, and the donating
+    # train step would then delete the caller's params on the first step.
+    params = jax.device_put(jax.tree.map(jnp.copy, params), shardings)
     if not zero1:
         opt_state = jax.jit(tx.init)(params)
         return params, opt_state, specs

@@ -1,0 +1,188 @@
+"""Mixture-of-Experts MLP + expert parallelism (models/moe.py).
+
+Oracles:
+- equal-experts equivalence: with identical expert weights and ample
+  capacity, top-k combine reduces to the dense MLP exactly,
+- decode-vs-teacher-forced parity through the KV-cache path,
+- EP: the dp x tp sharded train step (experts over 'model') matches the
+  single-device loss on the 8-device virtual mesh.
+
+New scope vs the reference (dense-MLP-only model family,
+flashattention_pytorch.py ln 560-618).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_tpu.models.moe import init_moe_mlp, moe_mlp
+from flashattention_tpu.models.train import (
+    TrainConfig,
+    loss_fn,
+    make_optimizer,
+)
+from flashattention_tpu.models.transformer import (
+    TransformerConfig,
+    _mlp,
+    apply_transformer,
+    decode_step,
+    init_kv_cache,
+    init_transformer,
+)
+from flashattention_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_state,
+    make_sharded_train_step,
+    param_partition_specs,
+)
+
+MOE = TransformerConfig(
+    vocab_size=128,
+    d_model=64,
+    n_layers=2,
+    n_heads=4,
+    d_ff=96,
+    max_seq_len=32,
+    block_size=16,
+    dropout_rate=0.0,
+    dtype=jnp.float32,
+    attention_backend="xla",
+    moe_experts=4,
+    moe_top_k=2,
+    moe_capacity_factor=2.0,
+)
+DENSE = dataclasses.replace(MOE, moe_experts=0)
+
+
+@pytest.fixture(scope="module")
+def moe_params():
+    return init_transformer(jax.random.key(0), MOE)
+
+
+def test_equal_experts_match_dense_mlp():
+    """All experts identical + ample capacity -> combine is a convex
+    combination of identical outputs == the dense MLP."""
+    d, f, e = MOE.d_model, MOE.d_ff, MOE.moe_experts
+    dense = {
+        "w_in": jax.random.normal(jax.random.key(1), (d, f)) * 0.1,
+        "b_in": jax.random.normal(jax.random.key(2), (f,)) * 0.1,
+        "w_out": jax.random.normal(jax.random.key(3), (f, d)) * 0.1,
+        "b_out": jax.random.normal(jax.random.key(4), (d,)) * 0.1,
+    }
+    p = {
+        "router": jax.random.normal(jax.random.key(5), (d, e)),
+        "w_in": jnp.broadcast_to(dense["w_in"], (e, d, f)),
+        "b_in": jnp.broadcast_to(dense["b_in"], (e, f)),
+        "w_out": jnp.broadcast_to(dense["w_out"], (e, f, d)),
+        "b_out": jnp.broadcast_to(dense["b_out"], (e, d)),
+    }
+    x = jax.random.normal(jax.random.key(6), (2, 16, d))
+    # capacity_factor=2.0 with k=2, E=4 -> C=16: every assignment kept.
+    y, aux = moe_mlp(x, p, MOE)
+    want = _mlp(x, dense, DENSE)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+    assert np.isfinite(float(aux))
+
+
+def test_aux_loss_uniform_routing_is_one():
+    d, e = MOE.d_model, MOE.moe_experts
+    p = init_moe_mlp(jax.random.key(7), MOE, 0.02)
+    p["router"] = jnp.zeros((d, e))
+    x = jax.random.normal(jax.random.key(8), (2, 16, d))
+    _, aux = moe_mlp(x, p, MOE)
+    # Uniform probs: P_e = 1/E and sum_e f_e = 1 -> aux = E * (1/E) = 1.
+    np.testing.assert_allclose(float(aux), 1.0, atol=1e-5)
+
+
+def test_capacity_overflow_drops_tokens():
+    """Force every token onto expert 0 with capacity 1: only the first
+    assignment per row survives; dropped tokens get a ZERO mlp output."""
+    cfg = dataclasses.replace(MOE, moe_top_k=1, moe_capacity_factor=1e-9)
+    d, e = cfg.d_model, cfg.moe_experts
+    p = init_moe_mlp(jax.random.key(9), cfg, 0.02)
+    bias = jnp.zeros((d, e)).at[:, 0].set(0.0)
+    p["router"] = bias.at[0, 0].set(100.0)  # expert 0 dominates via x[...,0]?
+    # Simpler: make logits constant+huge for expert 0 regardless of x.
+    p["router"] = jnp.zeros((d, e))
+    x = jnp.ones((1, 8, d))  # identical tokens -> identical (tied) routing
+    y, _ = moe_mlp(x, p, cfg)
+    out = np.asarray(y)[0]
+    # capacity = max(1, ceil(8 * 1 * 1e-9 / 4)) = 1: one token kept per
+    # chosen expert; with tied uniform logits every token picks expert 0,
+    # so exactly one row is nonzero.
+    nonzero_rows = (np.abs(out) > 1e-9).any(axis=-1).sum()
+    assert nonzero_rows == 1, nonzero_rows
+    assert np.isfinite(out).all()
+
+
+def test_apply_transformer_moe_forward_and_aux(moe_params):
+    tokens = jax.random.randint(jax.random.key(10), (2, 16), 0, MOE.vocab_size)
+    logits, aux = apply_transformer(
+        moe_params, tokens, MOE, return_aux=True
+    )
+    assert logits.shape == (2, 16, MOE.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
+    assert float(aux) > 0.0
+
+
+def test_moe_loss_grads_reach_router(moe_params):
+    tokens = jax.random.randint(jax.random.key(11), (2, 17), 0, MOE.vocab_size)
+    loss, grads = jax.value_and_grad(loss_fn)(
+        moe_params, {"tokens": tokens}, MOE, jax.random.key(0)
+    )
+    assert np.isfinite(float(loss))
+    g_router = np.asarray(grads["blocks"][0]["mlp"]["router"])
+    assert np.isfinite(g_router).all()
+    assert np.abs(g_router).max() > 0.0
+
+
+def test_moe_decode_matches_teacher_forced(moe_params):
+    n = 12
+    tokens = jax.random.randint(jax.random.key(12), (2, n), 0, MOE.vocab_size)
+    full = apply_transformer(moe_params, tokens, MOE)
+    caches = init_kv_cache(MOE, batch=2, max_len=n, dtype=jnp.float32)
+    steps = []
+    for i in range(n):
+        logits_i, caches = decode_step(
+            moe_params, caches, tokens[:, i: i + 1], jnp.int32(i), MOE
+        )
+        steps.append(logits_i)
+    got = jnp.stack(steps, axis=1)
+    # Decode routes each token alone (N=1): same expert choice as the
+    # full forward (routing is per-token), but capacity bookkeeping
+    # differs — with ample capacity nothing is dropped either way.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(full), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_expert_parallel_train_step_matches_single_device(moe_params):
+    """EP: experts sharded over 'model' (param_partition_specs) — the
+    sharded dp x tp(+ep) step must produce the single-device loss."""
+    specs = param_partition_specs(moe_params)
+    from jax.sharding import PartitionSpec as P
+
+    assert specs["blocks"][0]["mlp"]["w_in"] == P("model", None, None)
+    assert specs["blocks"][0]["mlp"]["router"] == P()
+
+    mesh = make_mesh(data=2, model=4)
+    tc = TrainConfig(total_steps=4, warmup_steps=1, batch_size=4,
+                     seq_len=16, grad_accum=1)
+    tx = make_optimizer(tc)
+    tokens = jax.random.randint(jax.random.key(13), (4, 17), 0,
+                                MOE.vocab_size)
+    batch = {"tokens": tokens}
+
+    ref_loss = loss_fn(moe_params, batch, MOE, jax.random.key(1))
+    with mesh:
+        sp, s_opt, _ = make_sharded_train_state(mesh, moe_params, tx)
+        step = make_sharded_train_step(mesh, MOE, tx, loss_fn)
+        sp, s_opt, sharded_loss = step(sp, s_opt, batch, jax.random.key(1))
+    np.testing.assert_allclose(
+        float(sharded_loss), float(ref_loss), atol=1e-5, rtol=1e-5
+    )
