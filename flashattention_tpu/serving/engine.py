@@ -125,7 +125,13 @@ def _proj_out(o, bp):
     return o @ bp["w_o"].astype(o.dtype) + bp["b_o"].astype(o.dtype)
 
 
-def _mlp(x, mp):
+def _mlp(x, mp, cfg):
+    if "router" in mp:
+        # MoE block (models/moe.py): serving rides the same routing math
+        # as the teacher-forced path; aux loss is a train-only concern.
+        from flashattention_tpu.models.moe import moe_mlp
+
+        return moe_mlp(x, mp, cfg)[0]
     h = jax.nn.gelu(x @ mp["w_in"].astype(x.dtype) + mp["b_in"].astype(x.dtype))
     return h @ mp["w_out"].astype(x.dtype) + mp["b_out"].astype(x.dtype)
 
@@ -200,7 +206,7 @@ def make_prefill_fn(cfg: TransformerConfig):
                 softcap=cfg.attn_softcap,
             )
             x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
-            x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
+            x = _layer_norm(x + _mlp(x, bp["mlp"], cfg), bp["ln2"])
         x = _layer_norm(x, params["final_ln"])
         last = jax.lax.dynamic_slice_in_dim(x, prompt_len - 1, 1, 1)  # (1,1,D)
         logits = _lm_logits(params, last)[:, 0]
@@ -286,7 +292,7 @@ def make_chunk_prefill_fn(
             new_caches.append(cache)
             o = _chunk_attn(q, cache, page_indices, base)
             x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
-            x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
+            x = _layer_norm(x + _mlp(x, bp["mlp"], cfg), bp["ln2"])
         return x, new_caches
 
     return jax.jit(chunk_prefill, donate_argnums=(1,))
@@ -352,7 +358,7 @@ def _make_decode_logits(cfg: TransformerConfig, use_pallas: bool):
             )
             o = o[:, :, None, :]  # (B, H, 1, dh)
             x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
-            x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
+            x = _layer_norm(x + _mlp(x, bp["mlp"], cfg), bp["ln2"])
         x = _layer_norm(x, params["final_ln"])
         return _lm_logits(params, x)[:, 0], new_caches
 
@@ -522,7 +528,7 @@ def make_spec_verify_fn(
             new_caches.append(cache)
             o = _chunk_attn(q, cache, page_indices, lengths, t)
             x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
-            x = _layer_norm(x + _mlp(x, bp["mlp"]), bp["ln2"])
+            x = _layer_norm(x + _mlp(x, bp["mlp"], cfg), bp["ln2"])
         x = _layer_norm(x, params["final_ln"])
         logits = _lm_logits(params, x)  # (B, T, V)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches

@@ -161,6 +161,41 @@ def test_moe_decode_matches_teacher_forced(moe_params):
     )
 
 
+def test_moe_serving_engine_matches_naive_greedy(moe_params):
+    """The paged serving engine rides the same per-token routing as the
+    dense forward (engine.py _mlp dispatches on the router key)."""
+    from flashattention_tpu.serving import (
+        EngineConfig,
+        GenerationRequest,
+        ServingEngine,
+    )
+
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=64, max_seq_len=64,
+        prefill_pad=16,
+    )
+    eng = ServingEngine(moe_params, MOE, ecfg)
+    rng = np.random.default_rng(0)
+    prompts = [list(rng.integers(0, MOE.vocab_size, size=n)) for n in (5, 9)]
+    for i, p in enumerate(prompts):
+        eng.submit(GenerationRequest(request_id=i, prompt=p,
+                                     max_new_tokens=5))
+    results = eng.run()
+
+    for i, p in enumerate(prompts):
+        tokens = list(p)
+        expected = []
+        for _ in range(5):
+            padded = tokens + [0] * (32 - len(tokens))
+            logits = apply_transformer(
+                moe_params, jnp.asarray([padded], jnp.int32), MOE
+            )
+            nxt = int(jnp.argmax(logits[0, len(tokens) - 1]))
+            expected.append(nxt)
+            tokens.append(nxt)
+        assert results[i] == expected, (i, results[i], expected)
+
+
 def test_expert_parallel_train_step_matches_single_device(moe_params):
     """EP: experts sharded over 'model' (param_partition_specs) — the
     sharded dp x tp(+ep) step must produce the single-device loss."""
