@@ -44,34 +44,61 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def moe_mlp(x: jax.Array, p: dict, cfg) -> tuple[jax.Array, jax.Array]:
-    """(B, N, D) -> ((B, N, D), aux_loss scalar fp32)."""
+def moe_mlp(x: jax.Array, p: dict, cfg, *,
+            dropless: bool = False) -> tuple[jax.Array, jax.Array]:
+    """(B, N, D) -> ((B, N, D), aux_loss scalar fp32).
+
+    Tokens are routed per GROUP of ``cfg.moe_group_size`` consecutive
+    tokens (GShard token grouping) so the dispatch/combine tensors stay
+    LINEAR in sequence length — capacity is per (group, expert), and the
+    one-hot tensors are O(B * N * k * E * C) with C fixed by the group
+    size, not by N. Sequences whose length doesn't divide the group size
+    route as one whole-N group.
+
+    ``dropless=True`` (inference paths: eval forward, KV-cache decode,
+    serving engine): capacity = group_size * k, so NO assignment is ever
+    dropped. This makes inference (a) exact — output is the full gated
+    mixture, (b) causal and group-invariant — a later token can never
+    evict an earlier token's expert slot, so teacher-forced eval,
+    chunked prefill and one-token decode all agree bit-for-class.
+    Training keeps capacity drops (the EP-efficiency semantics the
+    capacity factor exists for); capacity MoE training is inherently
+    non-causal across a group, which is why inference must not share it.
+    """
     b, n, d = x.shape
     e = cfg.moe_experts
     k = cfg.moe_top_k
-    cap = max(1, math.ceil(n * k * cfg.moe_capacity_factor / e))
+    g = min(getattr(cfg, "moe_group_size", 512), n)
+    if n % g:
+        g = n
+    if dropless:
+        cap = g * k
+    else:
+        cap = max(1, math.ceil(g * k * cfg.moe_capacity_factor / e))
+    xg = x.reshape(b * n // g, g, d)
+    bg = xg.shape[0]
 
-    logits = x.astype(jnp.float32) @ p["router"].astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)                    # (B, N, E)
-    gate_vals, gate_idx = lax.top_k(probs, k)                  # (B, N, k)
+    logits = xg.astype(jnp.float32) @ p["router"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)                    # (BG, G, E)
+    gate_vals, gate_idx = lax.top_k(probs, k)                  # (BG, G, k)
     gate_vals = gate_vals / jnp.sum(gate_vals, -1, keepdims=True)
 
-    oh = jax.nn.one_hot(gate_idx, e, dtype=jnp.float32)        # (B, N, k, E)
+    oh = jax.nn.one_hot(gate_idx, e, dtype=jnp.float32)        # (BG, G, k, E)
     # Choice-major fill order: all first choices claim capacity before any
-    # second choice (GShard) — flatten (k, N) with k outermost.
-    flat = jnp.swapaxes(oh, 1, 2).reshape(b, k * n, e)
+    # second choice (GShard) — flatten (k, G) with k outermost.
+    flat = jnp.swapaxes(oh, 1, 2).reshape(bg, k * g, e)
     pos = jnp.cumsum(flat, axis=1) - flat                      # slots used
     kept = flat * (pos < cap)
     # One-hot the capacity slot; dropped assignments contribute zero rows.
     slot = (jax.nn.one_hot(pos.astype(jnp.int32), cap, dtype=jnp.float32)
             * kept[..., None])
-    slot = jnp.swapaxes(slot.reshape(b, k, n, e, cap), 1, 2)   # (B,N,k,E,C)
+    slot = jnp.swapaxes(slot.reshape(bg, k, g, e, cap), 1, 2)  # (BG,G,k,E,C)
 
-    dispatch = jnp.sum(slot, axis=2)                           # (B, N, E, C)
+    dispatch = jnp.sum(slot, axis=2)                           # (BG, G, E, C)
     combine = jnp.sum(gate_vals[..., None, None] * slot, axis=2)
 
     cdt = x.dtype
-    xin = jnp.einsum("bnec,bnd->ebcd", dispatch.astype(cdt), x)
+    xin = jnp.einsum("bnec,bnd->ebcd", dispatch.astype(cdt), xg)
     h = jax.nn.gelu(
         jnp.einsum("ebcd,edf->ebcf", xin, p["w_in"].astype(cdt))
         + p["b_in"][:, None, None, :].astype(cdt)
@@ -82,11 +109,11 @@ def moe_mlp(x: jax.Array, p: dict, cfg) -> tuple[jax.Array, jax.Array]:
     )
     y = jnp.einsum("bnec,ebcd->bnd", combine.astype(cdt), yexp)
 
-    # Switch load-balance loss over first choices.
+    # Switch load-balance loss over first choices (means over all tokens).
     f = jnp.mean(oh[:, :, 0, :], axis=(0, 1))
     pm = jnp.mean(probs, axis=(0, 1))
     aux = e * jnp.sum(f * pm)
-    return y, aux
+    return y.reshape(b, n, d), aux
 
 
 def init_moe_mlp(key: jax.Array, cfg, out_scale: float) -> dict:

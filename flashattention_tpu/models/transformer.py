@@ -74,7 +74,10 @@ class TransformerConfig:
                                    # mixture of this many experts
                                    # (models/moe.py; EP over 'model' axis)
     moe_top_k: int = 2             # experts per token (Switch: 1)
-    moe_capacity_factor: float = 1.25  # per-expert slots = ceil(N*k*cf/E)
+    moe_capacity_factor: float = 1.25  # per-expert slots = ceil(G*k*cf/E)
+                                   # (TRAIN only — inference is dropless)
+    moe_group_size: int = 512      # routing-group tokens (keeps dispatch
+                                   # tensors linear in N; GShard grouping)
     moe_aux_coef: float = 0.01     # load-balance loss weight (train.py)
     dtype: Any = jnp.bfloat16      # activation/compute dtype
     param_dtype: Any = jnp.float32
@@ -195,6 +198,14 @@ def init_transformer(key: jax.Array, cfg: TransformerConfig) -> Params:
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
+
+
+def lm_head_logits(lm: Params, x: jax.Array) -> jax.Array:
+    """fp32 LM-head projection — ONE definition shared by the dense
+    forward, KV-cache decode and the pipelined forward (parallel/
+    pipeline.py), so head changes can't silently diverge between them."""
+    return (x.astype(jnp.float32) @ lm["w"].astype(jnp.float32)
+            + lm["b"].astype(jnp.float32))
 
 
 def _layer_norm(x, p, eps=1e-5):
@@ -381,21 +392,27 @@ def _attention(
 
 
 def _mlp(x, p, cfg):
-    """Dense MLP, or the MoE mixture when the block carries a router
-    (aux loss discarded — inference path; training uses _mlp_aux)."""
+    """Dense MLP, or the MoE mixture when the block carries a router.
+    Inference entry point (KV-cache decode paths): MoE routes DROPLESS —
+    exact gated mixture, causal, identical across teacher-forced /
+    chunked / one-token decode. Training uses _mlp_aux (capacity drops
+    + aux loss)."""
     if "router" in p:
-        return _mlp_aux(x, p, cfg)[0]
+        from flashattention_tpu.models.moe import moe_mlp
+
+        return moe_mlp(x, p, cfg, dropless=True)[0]
     hgelu = jax.nn.gelu(x @ p["w_in"].astype(x.dtype) + p["b_in"].astype(x.dtype))
     return hgelu @ p["w_out"].astype(x.dtype) + p["b_out"].astype(x.dtype)
 
 
-def _mlp_aux(x, p, cfg):
+def _mlp_aux(x, p, cfg, train=False):
     """(y, load-balance aux): MoE layers return their Switch aux loss;
-    dense layers return 0 so block code is uniform."""
+    dense layers return 0 so block code is uniform. ``train=True`` keeps
+    capacity drops (EP efficiency semantics); eval routes dropless."""
     if "router" in p:
         from flashattention_tpu.models.moe import moe_mlp
 
-        return moe_mlp(x, p, cfg)
+        return moe_mlp(x, p, cfg, dropless=not train)
     return _mlp(x, p, cfg), jnp.zeros((), jnp.float32)
 
 
@@ -417,7 +434,7 @@ def _block(x, bp, cfg, *, keys, train, sparse_mask, segment_ids=None,
     if train and cfg.dropout_rate > 0:
         attn_out = _dropout(attn_out, keys[1], cfg.dropout_rate)
     x = _layer_norm(x + attn_out, bp["ln1"])
-    mlp_out, aux = _mlp_aux(x, bp["mlp"], cfg)
+    mlp_out, aux = _mlp_aux(x, bp["mlp"], cfg, train=train)
     if train and cfg.dropout_rate > 0:
         mlp_out = _dropout(mlp_out, keys[2], cfg.dropout_rate)
     return _layer_norm(x + mlp_out, bp["ln2"]), aux
@@ -516,8 +533,7 @@ def apply_transformer(
     x = _layer_norm(x, params["final_ln"])
     if return_hidden:
         return (x, aux_total) if return_aux else x
-    logits = x.astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
-    logits = logits + params["lm_head"]["b"].astype(jnp.float32)
+    logits = lm_head_logits(params["lm_head"], x)
     return (logits, aux_total) if return_aux else logits
 
 

@@ -94,8 +94,18 @@ _MEASURED_BLOCKS: dict[
     #   backward is a pathological remote-Mosaic compile (>15 min hang,
     #   deterministic; the r1 table's d=256 row was an untested trap),
     #   while (512,1024)+d256 reads the best credited TFLOP/s of any cell.
-    # 16384 rows inherit the 8192 winners (resident-dQ backward verified
-    # to N=16K; grid cells at 16K not yet run — r3 item).
+    # 16384 rows MEASURED (r4 grid, queue12/grid_16k.log) — they confirm
+    # the previously-inherited 8192 winners:
+    # - d=64: fwd (1024,1024) 89.9 TF vs (512,1024) 73.5; bwd (512,1024)
+    #   64.4 (the (1024,1024) backward Mosaic hang persists at 16K).
+    # - d=128: (512,1024) fwd 167.7 / bwd 142.6 vs (256,512) 96.7/100.1.
+    #   (The auto-scorer printed (256,512) here only because the
+    #   (512,1024) bwd record's SOL PROBE read 216 TF > physical peak and
+    #   the fit-glitch filter drops whole records; the kernel's own 142.6
+    #   TF is a plausible, consistent reading.)
+    # - d=256: (512,1024) score 422.8 (fwd 188.2 / bwd 117.3); the
+    #   (256,512) and (1024,1024) backwards remain pathological compiles
+    #   at 16K (SKIP rows), exactly as at 8K.
     (2048, 64): (1024, 1024, 512, 1024),
     (2048, 128): (512, 1024, None, None),
     (2048, 256): (512, 1024, None, None),

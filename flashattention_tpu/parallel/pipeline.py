@@ -54,7 +54,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flashattention_tpu.models.transformer import (
     TransformerConfig,
     _block,
+    _dropout,
     _layer_norm,
+    lm_head_logits,
 )
 
 Params = dict
@@ -168,10 +170,17 @@ def make_pipeline_forward(
             return x, None
 
         if cfg.remat:
-            policy = (
-                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                if cfg.remat_policy == "dots" else None
-            )
+            if cfg.remat_policy == "dots":
+                policy = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                )
+            elif cfg.remat_policy == "full":
+                policy = None
+            else:  # same contract as apply_transformer — never silent
+                raise ValueError(
+                    f"remat_policy must be 'full' or 'dots', "
+                    f"got {cfg.remat_policy!r}"
+                )
             body = jax.checkpoint(body, policy=policy)
         x, _ = lax.scan(body, x, (blocks, jnp.arange(lps)))
         return x
@@ -224,24 +233,22 @@ def make_pipeline_forward(
         x = x * math.sqrt(cfg.d_model)
         if cfg.pos_encoding == "learned":
             x = x + pp["embed"]["pos_emb"][:n].astype(cfg.dtype)
-        x = x.reshape(n_micro, bm, n, x.shape[-1])
         if dropout_key is None:
             dropout_key = jax.random.key(0)
+        if use_dropout:
+            # Embedding dropout, same as the dense forward applies before
+            # the block stack (fresh subkey so layer keys don't collide).
+            dropout_key, ekey = jax.random.split(dropout_key)
+            x = _dropout(x, ekey, cfg.dropout_rate)
+        x = x.reshape(n_micro, bm, n, x.shape[-1])
         h = pipeline_region(pp["stages"], x, dropout_key)
         h = h[n_stages - 1].reshape(b, n, -1)  # last stage's stream
         h = _layer_norm(h, pp["head"]["final_ln"])
         if return_hidden:
             return h
-        w, bias = pp["head"]["lm_head"]["w"], pp["head"]["lm_head"]["b"]
-        return x_logits(h, w, bias)
+        return lm_head_logits(pp["head"]["lm_head"], h)
 
     return forward
-
-
-def x_logits(h, w, b):
-    return h.astype(jnp.float32) @ w.astype(jnp.float32) + b.astype(
-        jnp.float32
-    )
 
 
 # ---------------------------------------------------------------------------

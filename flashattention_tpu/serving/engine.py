@@ -127,11 +127,14 @@ def _proj_out(o, bp):
 
 def _mlp(x, mp, cfg):
     if "router" in mp:
-        # MoE block (models/moe.py): serving rides the same routing math
-        # as the teacher-forced path; aux loss is a train-only concern.
+        # MoE block (models/moe.py): DROPLESS routing — serving must be
+        # exact and causal (capacity drops would let padding or later
+        # tokens evict a real token's expert slot, and would break the
+        # spec engine's greedy-exact contract between the T=1 decode and
+        # T=gamma+1 verify windows). Aux loss is a train-only concern.
         from flashattention_tpu.models.moe import moe_mlp
 
-        return moe_mlp(x, mp, cfg)[0]
+        return moe_mlp(x, mp, cfg, dropless=True)[0]
     h = jax.nn.gelu(x @ mp["w_in"].astype(x.dtype) + mp["b_in"].astype(x.dtype))
     return h @ mp["w_out"].astype(x.dtype) + mp["b_out"].astype(x.dtype)
 

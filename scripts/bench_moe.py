@@ -133,7 +133,6 @@ def main():
     toks = ns.batch * ns.seq
     rows = {}
     for n in arms:
-        # each loop(n_) runs 8 fixed steps + n_ scanned steps
         step_s = (best[n][ns.i2] - best[n][ns.i1]) / (ns.i2 - ns.i1)
         rows[n] = {
             "step_ms": round(step_s * 1e3, 3),

@@ -129,6 +129,19 @@ def main():
         """
         from flashattention_tpu.models.transformer import apply_transformer
 
+        # ONE fixed padded shape for every check (a fresh length would
+        # cost a fresh 30s-10min remote compile per divergence position —
+        # CLAUDE.md), and a true fp32 oracle (the engines run bf16; the
+        # margin being adjudicated is bf16-class, so the referee must be
+        # a class tighter). Causal model: padding beyond the prefix
+        # cannot affect the read position.
+        eval_cfg = dataclasses.replace(cfg, dtype=jnp.float32)
+        padlen = 32 + args.tokens
+
+        @jax.jit
+        def padded_logits(seq):
+            return apply_transformer(params, seq, eval_cfg)
+
         details, structural = [], []
         for rid, ptoks in outs["plain"].items():
             stoks = outs[arm][rid]
@@ -140,10 +153,12 @@ def main():
                 structural.append({"rid": rid, "kind": "length",
                                    "plain": len(ptoks), "spec": len(stoks)})
                 continue
-            seq = jnp.asarray(list(prompts[rid]) + list(ptoks[:i]),
-                              jnp.int32)[None, :]
+            seq = list(prompts[rid]) + list(ptoks[:i])
+            read_at = len(seq) - 1
+            seq = seq + [0] * (padlen - len(seq))
             last = np.asarray(
-                apply_transformer(params, seq, cfg)[0, -1], np.float32)
+                padded_logits(jnp.asarray(seq, jnp.int32)[None, :])
+                [0, read_at], np.float32)
             order = np.argsort(last)
             top1, top2 = int(order[-1]), int(order[-2])
             margin = float(last[top1] - last[top2])

@@ -105,9 +105,8 @@ def test_capacity_overflow_drops_tokens():
     cfg = dataclasses.replace(MOE, moe_top_k=1, moe_capacity_factor=1e-9)
     d, e = cfg.d_model, cfg.moe_experts
     p = init_moe_mlp(jax.random.key(9), cfg, 0.02)
-    bias = jnp.zeros((d, e)).at[:, 0].set(0.0)
-    p["router"] = bias.at[0, 0].set(100.0)  # expert 0 dominates via x[...,0]?
-    # Simpler: make logits constant+huge for expert 0 regardless of x.
+    # Zero router + identical tokens: tied uniform logits -> every token's
+    # top-1 is expert 0 (deterministic tie-break).
     p["router"] = jnp.zeros((d, e))
     x = jnp.ones((1, 8, d))  # identical tokens -> identical (tied) routing
     y, _ = moe_mlp(x, p, cfg)
@@ -118,6 +117,27 @@ def test_capacity_overflow_drops_tokens():
     nonzero_rows = (np.abs(out) > 1e-9).any(axis=-1).sum()
     assert nonzero_rows == 1, nonzero_rows
     assert np.isfinite(out).all()
+
+
+def test_dropless_inference_is_group_invariant():
+    """dropless=True (every inference path) never drops an assignment,
+    so the output is independent of routing-group size and of the
+    (train-only) capacity factor."""
+    cfg = dataclasses.replace(MOE, moe_capacity_factor=1e-9)
+    p = init_moe_mlp(jax.random.key(14), cfg, 0.02)
+    x = jax.random.normal(jax.random.key(15), (2, 16, cfg.d_model))
+    y1, _ = moe_mlp(x, p, cfg, dropless=True)
+    y2, _ = moe_mlp(
+        x, p, dataclasses.replace(cfg, moe_group_size=4), dropless=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y2), atol=1e-5, rtol=1e-5
+    )
+    # Capacity-dropping path at cf~0 must differ (it drops almost all
+    # second choices) — guards that dropless isn't accidentally the
+    # default everywhere.
+    y3, _ = moe_mlp(x, p, cfg, dropless=False)
+    assert np.abs(np.asarray(y1) - np.asarray(y3)).max() > 1e-6
 
 
 def test_apply_transformer_moe_forward_and_aux(moe_params):
