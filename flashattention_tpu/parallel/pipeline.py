@@ -148,7 +148,9 @@ def make_pipeline_forward(
     use_dropout = train and cfg.dropout_rate > 0
 
     def stage_apply(blocks, x, base_key, stage, micro):
-        """Run this stage's L/S blocks (scanned) on one microbatch."""
+        """Run this stage's L/S blocks (scanned) on one microbatch.
+        Returns (x, aux): summed MoE load-balance aux of this stage's
+        layers on this microbatch (0 for dense blocks)."""
         lps = jax.tree.leaves(blocks)[0].shape[0]
 
         def body(x, sl):
@@ -161,13 +163,9 @@ def make_pipeline_forward(
                 keys = tuple(jax.random.fold_in(kj, i) for i in range(3))
             else:
                 keys = (None, None, None)
-            # MoE aux loss is discarded in the pipelined path (bubble
-            # ticks would double-count it); pipelined MoE training that
-            # needs the load-balance term should add a validity-masked
-            # aux carry here.
-            x, _ = _block(x, bp, cfg, keys=keys, train=train,
-                          sparse_mask=None)
-            return x, None
+            x, aux = _block(x, bp, cfg, keys=keys, train=train,
+                            sparse_mask=None)
+            return x, aux
 
         if cfg.remat:
             if cfg.remat_policy == "dots":
@@ -182,14 +180,14 @@ def make_pipeline_forward(
                     f"got {cfg.remat_policy!r}"
                 )
             body = jax.checkpoint(body, policy=policy)
-        x, _ = lax.scan(body, x, (blocks, jnp.arange(lps)))
-        return x
+        x, auxs = lax.scan(body, x, (blocks, jnp.arange(lps)))
+        return x, jnp.sum(auxs)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P("pipe"), P(None, "data"), P()),
-        out_specs=P("pipe", None, "data"),
+        out_specs=(P("pipe", None, "data"), P()),
         check_vma=False,
     )
     def pipeline_region(stages, x_micro, base_key):
@@ -206,21 +204,31 @@ def make_pipeline_forward(
                 lax.dynamic_index_in_dim(x_micro, m_in, 0, keepdims=False),
                 act,
             )
-            out = stage_apply(blocks, inp, base_key, s, m_in)
+            out, aux = stage_apply(blocks, inp, base_key, s, m_in)
+            # Bubble ticks recompute a clamped duplicate microbatch —
+            # mask their aux so each (stage, micro) pair counts once.
+            valid = ((t - s >= 0) & (t - s < m_total)).astype(jnp.float32)
             nxt = lax.ppermute(
                 out, "pipe",
                 [(i, (i + 1) % n_stages) for i in range(n_stages)],
             )
-            return nxt, out
+            return nxt, (out, aux * valid)
 
         act0 = jnp.zeros_like(x_micro[0])
-        _, outs = lax.scan(tick, act0, jnp.arange(ticks))
+        _, (outs, auxs) = lax.scan(tick, act0, jnp.arange(ticks))
+        # Aux: per-microbatch means summed over ticks -> divide by M to
+        # match the dense forward's full-batch per-layer mean; psum over
+        # 'pipe' totals the stages' layers, pmean over 'data' averages
+        # the batch shards. Fully replicated afterwards (out_specs P()).
+        aux = jnp.sum(auxs) / m_total
+        aux = lax.pmean(lax.psum(aux, "pipe"), "data")
         # The last stage emits microbatch m at tick m + S - 1: a STATIC
         # slice of the scan stack. Other stages' rows are bubble garbage;
         # the caller indexes stage S-1 of the stacked out_specs axis.
-        return outs[n_stages - 1:][None]  # (1, M, Bm, N, D)
+        return outs[n_stages - 1:][None], aux  # (1, M, Bm, N, D), scalar
 
-    def forward(pp, tokens, dropout_key=None, *, return_hidden=False):
+    def forward(pp, tokens, dropout_key=None, *, return_hidden=False,
+                return_aux=False):
         b, n = tokens.shape
         if b % n_micro != 0:
             raise ValueError(f"batch {b} not divisible by n_micro {n_micro}")
@@ -241,12 +249,11 @@ def make_pipeline_forward(
             dropout_key, ekey = jax.random.split(dropout_key)
             x = _dropout(x, ekey, cfg.dropout_rate)
         x = x.reshape(n_micro, bm, n, x.shape[-1])
-        h = pipeline_region(pp["stages"], x, dropout_key)
+        h, aux = pipeline_region(pp["stages"], x, dropout_key)
         h = h[n_stages - 1].reshape(b, n, -1)  # last stage's stream
         h = _layer_norm(h, pp["head"]["final_ln"])
-        if return_hidden:
-            return h
-        return lm_head_logits(pp["head"]["lm_head"], h)
+        out = h if return_hidden else lm_head_logits(pp["head"]["lm_head"], h)
+        return (out, aux) if return_aux else out
 
     return forward
 
@@ -282,14 +289,16 @@ def make_pipelined_train_step(mesh: Mesh, cfg: TransformerConfig, tx,
     (models/train.py loss_fn) — this step takes plain (B, N+1) tokens.
     """
     fwd = make_pipeline_forward(mesh, cfg, n_micro, train=True)
+    moe = cfg.moe_experts > 0
 
     def pp_loss(pp, batch, key):
         tokens = batch["tokens"]
         inputs, targets = tokens[:, :-1], tokens[:, 1:]
-        logits = fwd(pp, inputs, key)
+        logits, aux = fwd(pp, inputs, key, return_aux=True)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        return jnp.mean(nll)
+        ce = jnp.mean(nll)
+        return ce + cfg.moe_aux_coef * aux if moe else ce
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(pp, opt_state, batch, step_key):
