@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--len", type=int, default=2048, dest="seqlen")
     ap.add_argument("--page", type=int, default=64)
     ap.add_argument("--trials", type=int, default=4)
+    ap.add_argument("--variants", default=None,
+                    help="comma list of base variants to run (default all); "
+                         "pps arms filter by their base name")
     ap.add_argument("--pps", default=None,
                     help="comma list of pages_per_step for extra int8 rows")
     ap.add_argument("--out", default=None)
@@ -127,6 +130,10 @@ def main():
             (f"fp8-pps{p}", jnp.float8_e4m3fn, {"FAT_FP8_DECODE": "magic"},
              True, p),
         ]
+
+    if args.variants:
+        want = set(args.variants.split(","))
+        variants = [v for v in variants if v[0].split("-pps")[0] in want]
 
     built = []
     for name, dtype, env, quantized, pps in variants:

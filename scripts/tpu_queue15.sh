@@ -58,4 +58,11 @@ step() {
 step bench_moe 3600 python scripts/bench_moe.py \
   --out "$REPO/benchmarks/results/moe_r04.json"
 
+# 2. int8-qk decode pps fine-grain: the queue12 fairness grid was coarse
+# (2/4/8; pps4 won at 92,987 tok/s). If 3/5/6 beats 4, flip the
+# payload-aware default in pallas_paged.py.
+step decode_pps_fine 4800 python scripts/decode_ablate.py \
+  --pps 3,5,6 --variants bf16,int8-qk \
+  --out "$REPO/benchmarks/results/decode_pps_fine_r04.json"
+
 echo "QUEUE15 DONE $(date +%H:%M:%S)"
