@@ -425,7 +425,8 @@ def _embed_positions(params, tokens, cfg, pos):
 
 
 def make_spec_propose_fn(
-    cfg: TransformerConfig, gamma: int, *, use_pallas: bool | None = None
+    cfg: TransformerConfig, gamma: int, *, use_pallas: bool | None = None,
+    sampling: SamplingConfig | None = None,
 ):
     """Speculative DRAFT proposal over the paged cache, batched across all
     decode slots and fused into ONE dispatch (VERDICT r3 item 9: the dense
@@ -437,10 +438,41 @@ def make_spec_propose_fn(
     gamma+1 greedy one-token decode steps (the extra step writes the last
     draft token's K/V so the draft cache covers the longest accepted
     prefix — same contract as speculative.speculative_generate).
+
+    With a stochastic ``sampling`` config the signature gains a trailing
+    PRNG key, each draft step SAMPLES from its filtered distribution, and
+    the call also returns the draft's full filtered prob rows
+    q_dist (B, gamma, V) — the q of the rejection test
+    (sampling.spec_accept_emit).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     _decode_logits = _make_decode_logits(cfg, use_pallas)
+    stochastic = sampling is not None and not sampling.greedy
+
+    if stochastic:
+        from flashattention_tpu.serving.sampling import filter_logits
+
+        def propose(params, caches, tokens, page_indices, lengths, key):
+            def body(carry, i):
+                caches, tok = carry
+                logits, caches = _decode_logits(
+                    params, caches, tok, page_indices, lengths + i
+                )
+                filt = filter_logits(logits, sampling)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(key, i), filt, axis=-1
+                ).astype(jnp.int32)
+                return (caches, nxt[:, None]), (nxt, jax.nn.softmax(filt))
+
+            (caches, _), (toks, dists) = jax.lax.scan(
+                body, (caches, tokens),
+                jnp.arange(gamma + 1, dtype=jnp.int32),
+            )
+            # (g+1, B, ...) -> (B, g, ...); the extra step only writes K/V.
+            return toks[:gamma].T, dists[:gamma].transpose(1, 0, 2), caches
+
+        return jax.jit(propose, donate_argnums=(1,))
 
     def propose(params, caches, tokens, page_indices, lengths):
         def body(carry, i):
@@ -460,7 +492,8 @@ def make_spec_propose_fn(
 
 
 def make_spec_verify_fn(
-    cfg: TransformerConfig, *, use_pallas: bool | None = None
+    cfg: TransformerConfig, *, use_pallas: bool | None = None,
+    sampling: SamplingConfig | None = None,
 ):
     """Speculative TARGET verify: score a (B, T=gamma+1) chunk
     [last_token, d_1..d_gamma] per slot in one batched forward against the
@@ -471,7 +504,14 @@ def make_spec_verify_fn(
     lengths(B,)) -> (argmax tokens (B,T), caches); row j's argmax is the
     target's greedy choice for position lengths[b]+j+1, which accepts or
     corrects draft token j (greedy speculative decoding — emitted tokens
-    are EXACTLY the target's greedy continuation)."""
+    are EXACTLY the target's greedy continuation).
+
+    With a stochastic ``sampling`` config the signature becomes
+    verify(params, caches, tokens, page_indices, lengths, q_dist, key)
+    -> (a (B,), emit (B,T), caches): the distribution-preserving
+    rejection test runs ON DEVICE (sampling.spec_accept_emit) against
+    the draft's q_dist from the stochastic propose — emitted tokens are
+    marginally the target's filtered distribution."""
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
@@ -518,7 +558,7 @@ def make_spec_verify_fn(
         )
         return o
 
-    def verify(params, caches, tokens, page_indices, lengths):
+    def _chunk_logits(params, caches, tokens, page_indices, lengths):
         b, t = tokens.shape
         pos = lengths[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
         x = _embed_positions(params, tokens, cfg, pos)
@@ -533,7 +573,29 @@ def make_spec_verify_fn(
             x = _layer_norm(x + _proj_out(o, a), bp["ln1"])
             x = _layer_norm(x + _mlp(x, bp["mlp"], cfg), bp["ln2"])
         x = _layer_norm(x, params["final_ln"])
-        logits = _lm_logits(params, x)  # (B, T, V)
+        return _lm_logits(params, x), new_caches  # (B, T, V)
+
+    if sampling is not None and not sampling.greedy:
+        from flashattention_tpu.serving.sampling import (
+            filter_logits,
+            spec_accept_emit,
+        )
+
+        def verify_sampled(params, caches, tokens, page_indices, lengths,
+                           q_dist, key):
+            logits, new_caches = _chunk_logits(
+                params, caches, tokens, page_indices, lengths
+            )
+            p_dist = jax.nn.softmax(filter_logits(logits, sampling))
+            a, emit = spec_accept_emit(p_dist, q_dist, tokens[:, 1:], key)
+            return a, emit, new_caches
+
+        return jax.jit(verify_sampled, donate_argnums=(1,))
+
+    def verify(params, caches, tokens, page_indices, lengths):
+        logits, new_caches = _chunk_logits(
+            params, caches, tokens, page_indices, lengths
+        )
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), new_caches
 
     return jax.jit(verify, donate_argnums=(1,))
@@ -610,12 +672,12 @@ class ServingEngine:
                     f"speculative engine needs spec_gamma >= 1, got "
                     f"{ecfg.spec_gamma}"
                 )
-            if self._stochastic:
-                raise ValueError(
-                    "speculative engine decode is greedy-only (the "
-                    "single-sequence path serving/speculative.py covers "
-                    "stochastic rejection sampling)"
-                )
+            # Stochastic sampling composes: the draft proposes by SAMPLING
+            # its filtered distribution and the verify pass runs the
+            # distribution-preserving rejection test on device
+            # (sampling.spec_accept_emit) — emitted tokens are marginally
+            # the target's filtered distribution, matching the
+            # single-sequence contract of serving/speculative.py.
             # prefix_cache composes: cached pages are pinned (never
             # recycled while an entry exists) and BOTH models write their
             # pools during the original prefill, so an adopted prefix page
@@ -636,8 +698,10 @@ class ServingEngine:
             self._chunk_prefill_draft = make_chunk_prefill_fn(
                 draft_cfg, ecfg.prefill_pad
             )
-            self._propose = make_spec_propose_fn(draft_cfg, ecfg.spec_gamma)
-            self._verify = make_spec_verify_fn(cfg)
+            self._propose = make_spec_propose_fn(
+                draft_cfg, ecfg.spec_gamma, sampling=ecfg.sampling
+            )
+            self._verify = make_spec_verify_fn(cfg, sampling=ecfg.sampling)
             self.spec_proposed = 0
             self.spec_accepted = 0
             self.spec_rounds = 0
@@ -881,25 +945,44 @@ class ServingEngine:
 
         pi = jnp.stack(page_rows)
         lengths_j = jnp.asarray(lengths)
-        d_toks, self.draft_caches = self._propose(
-            self.draft_params, self.draft_caches, jnp.asarray(tokens), pi,
-            lengths_j,
-        )  # (B, g)
-        chunk = jnp.concatenate([jnp.asarray(tokens), d_toks], axis=1)
-        t_hat, self.caches = self._verify(
-            self.params, self.caches, chunk, pi, lengths_j,
-        )  # (B, g+1); row j = target argmax for position lengths+j+1
-        d_np = np.asarray(d_toks)
-        t_np = np.asarray(t_hat)
+        if self._stochastic:
+            kp, kv = jax.random.split(self._next_key())
+            d_toks, q_dist, self.draft_caches = self._propose(
+                self.draft_params, self.draft_caches, jnp.asarray(tokens),
+                pi, lengths_j, kp,
+            )  # (B, g), (B, g, V)
+            chunk = jnp.concatenate([jnp.asarray(tokens), d_toks], axis=1)
+            a_dev, emit_dev, self.caches = self._verify(
+                self.params, self.caches, chunk, pi, lengths_j, q_dist, kv,
+            )
+            d_np = np.asarray(d_toks)
+            a_np = np.asarray(a_dev)
+            t_np = np.asarray(emit_dev)  # emit row: accepted + correction
+        else:
+            d_toks, self.draft_caches = self._propose(
+                self.draft_params, self.draft_caches, jnp.asarray(tokens),
+                pi, lengths_j,
+            )  # (B, g)
+            chunk = jnp.concatenate([jnp.asarray(tokens), d_toks], axis=1)
+            t_hat, self.caches = self._verify(
+                self.params, self.caches, chunk, pi, lengths_j,
+            )  # (B, g+1); row j = target argmax for position lengths+j+1
+            d_np = np.asarray(d_toks)
+            t_np = np.asarray(t_hat)
+            a_np = None
         self.spec_rounds += 1
         for i, slot in enumerate(self.slots):
             if slot.request is None:
                 continue
-            a = 0
-            while a < g and t_np[i, a] == d_np[i, a]:
-                a += 1
-            emitted = [int(t) for t in d_np[i, :a]]
-            emitted.append(int(t_np[i, a]))  # correction (a<g) or bonus
+            if a_np is not None:
+                a = int(a_np[i])
+                emitted = [int(t) for t in t_np[i, : a + 1]]
+            else:
+                a = 0
+                while a < g and t_np[i, a] == d_np[i, a]:
+                    a += 1
+                emitted = [int(t) for t in d_np[i, :a]]
+                emitted.append(int(t_np[i, a]))  # correction (a<g) or bonus
             req = slot.request
             remaining = req.max_new_tokens - len(slot.generated)
             emitted = emitted[:remaining]

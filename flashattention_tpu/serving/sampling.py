@@ -23,7 +23,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SamplingConfig", "filter_logits", "sample_logits"]
+__all__ = ["SamplingConfig", "filter_logits", "sample_logits",
+           "spec_accept_emit"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,3 +93,48 @@ def sample_logits(
     return jax.random.categorical(
         key, filter_logits(logits, cfg), axis=-1
     ).astype(jnp.int32)
+
+
+def spec_accept_emit(
+    p_dist: jax.Array,   # (B, g+1, V) target filtered probs per chunk row
+    q_dist: jax.Array,   # (B, g, V)   draft filtered probs per proposal
+    draft: jax.Array,    # (B, g)      proposed tokens
+    key: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched distribution-preserving speculative acceptance
+    (Leviathan et al. 2023; single-sequence analogue:
+    serving/speculative.py lines "accept d_j with prob min(1, p/q)").
+
+    Per slot: accept draft token j while u_j < p(d_j)/q(d_j); at the
+    first rejection sample the CORRECTION from the normalized residual
+    max(p - q, 0) (falling back to p when the residual has no mass);
+    when all g are accepted sample the BONUS from the target's row g.
+    Every emitted token is marginally distributed as the target's
+    filtered distribution — the property pinned by
+    tests/test_sampling.py::test_spec_accept_emit_preserves_target.
+
+    Returns (a (B,) int32 accepted counts, emit (B, g+1) int32) where
+    emit[b, :a[b]] are the accepted draft tokens and emit[b, a[b]] is
+    the correction/bonus; the engine emits emit[b, :a[b]+1].
+    """
+    b, g = draft.shape
+    ku, kc = jax.random.split(key)
+    p_tok = jnp.take_along_axis(
+        p_dist[:, :g], draft[..., None], axis=-1)[..., 0]
+    q_tok = jnp.take_along_axis(q_dist, draft[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(ku, (b, g))
+    accept = u * jnp.maximum(q_tok, 1e-30) < p_tok
+    a = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)
+    pa = jnp.take_along_axis(p_dist, a[:, None, None], axis=1)[:, 0]
+    qa = jnp.take_along_axis(
+        q_dist, jnp.minimum(a, g - 1)[:, None, None], axis=1)[:, 0]
+    res = jnp.clip(pa - qa, 0.0, None)
+    s = jnp.sum(res, axis=-1, keepdims=True)
+    res = jnp.where(s > 0, res / jnp.maximum(s, 1e-30), pa)
+    dist = jnp.where((a == g)[:, None], pa, res)  # a==g: pa IS the bonus row
+    corr = jax.random.categorical(
+        kc, jnp.log(jnp.clip(dist, 1e-30, None)), axis=-1)
+    emit = jnp.concatenate(
+        [draft, jnp.zeros((b, 1), draft.dtype)], axis=1)
+    emit = emit.at[jnp.arange(b), a].set(corr.astype(draft.dtype))
+    return a.astype(jnp.int32), emit

@@ -148,3 +148,57 @@ def test_engine_stochastic_decode_runs_and_is_seed_deterministic():
                                  max_new_tokens=8))
     c = eng.run()[1]
     assert len(c) == 8  # different seed may (typically does) differ
+
+
+# -- speculative acceptance (distribution preservation) ----------------------
+
+
+def test_spec_accept_emit_preserves_target():
+    """The first emitted token of a speculative round is marginally the
+    TARGET's filtered distribution regardless of the draft (Leviathan et
+    al. correctness): draft ~ q, accept with p/q, else sample the
+    normalized residual. Empirical check over many keys at V=8."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashattention_tpu.serving.sampling import spec_accept_emit
+
+    v, g = 8, 2
+    rng = np.random.default_rng(0)
+    p = rng.dirichlet(np.ones(v), size=g + 1).astype(np.float32)
+    q = rng.dirichlet(np.ones(v), size=g).astype(np.float32)
+    p_dist = jnp.asarray(p)[None]          # (1, g+1, V)
+    q_dist = jnp.asarray(q)[None]          # (1, g, V)
+
+    def one(key):
+        kd, ka = jax.random.split(key)
+        draft = jax.random.categorical(
+            kd, jnp.log(q_dist[0]), axis=-1)[None]  # (1, g) ~ q rows
+        _, emit = spec_accept_emit(p_dist, q_dist, draft, ka)
+        return emit[0, 0]
+
+    n = 40_000
+    toks = np.asarray(jax.vmap(one)(jax.random.split(jax.random.key(1), n)))
+    emp = np.bincount(toks, minlength=v) / n
+    # Binomial noise at n=40k: sigma <= 0.5/sqrt(n) ~ 0.0025; gate at 5x.
+    np.testing.assert_allclose(emp, p[0], atol=0.0125)
+
+
+def test_spec_accept_emit_self_draft_accepts_all():
+    """q == p rows: acceptance ratio is 1 for every proposal, so a == g
+    always, the draft tokens pass through and the bonus comes from the
+    target's last row."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashattention_tpu.serving.sampling import spec_accept_emit
+
+    v, g, b = 8, 3, 4
+    rng = np.random.default_rng(2)
+    p = rng.dirichlet(np.ones(v), size=(b, g + 1)).astype(np.float32)
+    p_dist = jnp.asarray(p)
+    q_dist = p_dist[:, :g]
+    draft = jnp.asarray(rng.integers(0, v, size=(b, g)), jnp.int32)
+    a, emit = spec_accept_emit(p_dist, q_dist, draft, jax.random.key(3))
+    assert np.all(np.asarray(a) == g)
+    np.testing.assert_array_equal(np.asarray(emit[:, :g]), np.asarray(draft))

@@ -552,6 +552,45 @@ def test_spec_engine_prefix_cache_matches_uncached(params, draft_params):
     assert len(eng_c._prefix_lru) >= 3  # the shared prefix really cached
 
 
+def test_spec_engine_stochastic_runs_and_composes(params, draft_params):
+    """Distribution-preserving (sampled) speculative decoding on the paged
+    engine: the draft proposes by sampling, the verify pass runs the
+    on-device rejection test (sampling.spec_accept_emit). Checks: exact
+    token counts, deterministic under a fixed seed, and near-total
+    acceptance for a self-draft (q == p up to fp rounding)."""
+    from flashattention_tpu.serving.sampling import SamplingConfig
+
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=64, max_seq_len=128,
+        prefill_pad=16, spec_gamma=3,
+        sampling=SamplingConfig(temperature=0.8, top_k=20), seed=7,
+    )
+    rng = np.random.default_rng(11)
+    prompts = [list(rng.integers(0, CFG.vocab_size, size=n)) for n in (5, 9)]
+
+    def run(draft_p, draft_c):
+        eng = ServingEngine(
+            params, CFG, ecfg, draft_params=draft_p, draft_cfg=draft_c
+        )
+        for i, p in enumerate(prompts):
+            eng.submit(GenerationRequest(request_id=i, prompt=p,
+                                         max_new_tokens=7))
+        return eng, eng.run()
+
+    eng, results = run(draft_params, DRAFT_CFG)
+    assert set(results) == {0, 1}
+    assert all(len(v) == 7 for v in results.values())
+    assert eng.spec_rounds > 0 and eng.spec_proposed > 0
+    # Same seed -> same stream (engine keys fold a monotone counter).
+    _, results2 = run(draft_params, DRAFT_CFG)
+    assert results == results2
+
+    # Self-draft: q == p bit-for-fp-rounding, so acceptance ~= 1.
+    eng3, results3 = run(params, CFG)
+    assert all(len(v) == 7 for v in results3.values())
+    assert eng3.spec_accepted / eng3.spec_proposed > 0.8
+
+
 def test_spec_engine_validation(params, draft_params):
     with pytest.raises(ValueError, match="spec_gamma"):
         ServingEngine(
