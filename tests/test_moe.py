@@ -181,6 +181,20 @@ def test_moe_decode_matches_teacher_forced(moe_params):
     )
 
 
+def test_moe_loss_chunk_matches_full(moe_params):
+    """cfg.loss_chunk (chunked CE) composes with MoE: the hidden+aux path
+    through apply_transformer(return_hidden, return_aux) must give the
+    same loss as the full-logits path."""
+    tokens = jax.random.randint(jax.random.key(21), (2, 17), 0,
+                                MOE.vocab_size)
+    full = loss_fn(moe_params, {"tokens": tokens}, MOE, jax.random.key(0))
+    chunked_cfg = dataclasses.replace(MOE, loss_chunk=8)
+    chunked = loss_fn(moe_params, {"tokens": tokens}, chunked_cfg,
+                      jax.random.key(0))
+    np.testing.assert_allclose(float(chunked), float(full),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_moe_serving_engine_matches_naive_greedy(moe_params):
     """The paged serving engine rides the same per-token routing as the
     dense forward (engine.py _mlp dispatches on the router key)."""
