@@ -65,4 +65,9 @@ step decode_pps_fine 4800 python scripts/decode_ablate.py \
   --pps 3,5,6 --variants bf16,int8-qk \
   --out "$REPO/benchmarks/results/decode_pps_fine_r04.json"
 
+# 3. decode defaults confirm rerun: the queue14 inline version closed
+# over the page pools (HTTP 413 — CLAUDE.md jit-arguments hazard);
+# scripts/decode_defaults_confirm.py passes them as jit arguments.
+step decode_defaults_confirm 2400 python scripts/decode_defaults_confirm.py
+
 echo "QUEUE15 DONE $(date +%H:%M:%S)"
