@@ -138,9 +138,12 @@ def main():
         eval_cfg = dataclasses.replace(cfg, dtype=jnp.float32)
         padlen = 32 + args.tokens
 
+        # params is a jit ARGUMENT — closing over it embeds the weights
+        # as HLO constants and blows the remote-compile body limit
+        # (HTTP 413; CLAUDE.md hazard, hit in queue14).
         @jax.jit
-        def padded_logits(seq):
-            return apply_transformer(params, seq, eval_cfg)
+        def padded_logits(p, seq):
+            return apply_transformer(p, seq, eval_cfg)
 
         details, structural = [], []
         for rid, ptoks in outs["plain"].items():
@@ -157,7 +160,7 @@ def main():
             read_at = len(seq) - 1
             seq = seq + [0] * (padlen - len(seq))
             last = np.asarray(
-                padded_logits(jnp.asarray(seq, jnp.int32)[None, :])
+                padded_logits(params, jnp.asarray(seq, jnp.int32)[None, :])
                 [0, read_at], np.float32)
             order = np.argsort(last)
             top1, top2 = int(order[-1]), int(order[-2])

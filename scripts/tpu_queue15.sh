@@ -65,6 +65,13 @@ step decode_pps_fine 4800 python scripts/decode_ablate.py \
   --pps 3,5,6 --variants bf16,int8-qk \
   --out "$REPO/benchmarks/results/decode_pps_fine_r04.json"
 
+# 2b. spec-engine bench rerun: queue14's run died in the ADJUDICATOR
+# (padded_logits closed over the 168M-param pytree -> HTTP 413); params
+# is now a jit argument.
+step bench_spec_engine 3600 python scripts/bench_spec_engine.py \
+  --gamma 4 --tokens 48 --batch 4 \
+  --out "$REPO/benchmarks/results/spec_engine_r04.json"
+
 # 3. decode defaults confirm rerun: the queue14 inline version closed
 # over the page pools (HTTP 413 — CLAUDE.md jit-arguments hazard);
 # scripts/decode_defaults_confirm.py passes them as jit arguments.
