@@ -162,18 +162,20 @@ def main():
             last = np.asarray(
                 padded_logits(params, jnp.asarray(seq, jnp.int32)[None, :])
                 [0, read_at], np.float32)
-            order = np.argsort(last)
-            top1, top2 = int(order[-1]), int(order[-2])
-            margin = float(last[top1] - last[top2])
-            rec = {"rid": rid, "pos": i, "margin": round(margin, 4),
-                   "top2": [top1, top2], "plain_tok": int(ptoks[i]),
-                   "spec_tok": int(stoks[i])}
-            # 0.1 in raw-logit units: observed TPU decode-vs-chunk logit
-            # deltas are ~1e-2 class (CLAUDE.md precision classes); 0.1
-            # leaves 10x headroom while still rejecting real bugs (random
-            # -init margins are O(1) when not tied).
-            if ({int(ptoks[i]), int(stoks[i])} <= {top1, top2}
-                    and margin < 0.1):
+            # Numeric tie = BOTH engines' choices sit within numeric-noise
+            # tolerance of the fp32 argmax. ("Both in top-2" was too
+            # strict: with near-flat random-init logits MANY tokens tie
+            # within bf16 noise of the max — queue16 observed a genuine
+            # 5e-3-margin tie where the plain token ranked 3rd in fp32.)
+            # 0.1 raw-logit units: TPU decode-vs-chunk logit deltas are
+            # ~1e-2 class (CLAUDE.md); 10x headroom still rejects real
+            # bugs (random-init gaps are O(1) when not tied).
+            gap_p = float(last.max() - last[int(ptoks[i])])
+            gap_s = float(last.max() - last[int(stoks[i])])
+            rec = {"rid": rid, "pos": i,
+                   "gap_plain": round(gap_p, 4), "gap_spec": round(gap_s, 4),
+                   "plain_tok": int(ptoks[i]), "spec_tok": int(stoks[i])}
+            if max(gap_p, gap_s) < 0.1:
                 details.append(rec)
             else:
                 structural.append(rec)
