@@ -80,6 +80,37 @@ def test_forward_matches_dense(params, pipe, n_micro):
     )
 
 
+@pytest.mark.parametrize(
+    "variant",
+    [
+        dict(pos_encoding="rope"),
+        dict(n_kv_heads=2),                      # GQA
+        dict(attention_window=8),                # sliding window
+        dict(attn_softcap=10.0),
+    ],
+    ids=["rope", "gqa", "window", "softcap"],
+)
+def test_forward_matches_dense_config_variants(variant):
+    """The pipeline stage path must track the dense block for every
+    attention config the block supports (same _block code, but the
+    stacked-scan path could diverge if any branch trips on stacking)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, **variant)
+    params_v = init_transformer(jax.random.key(7), cfg)
+    mesh = make_mesh(pipe=2)
+    pp = stack_pipeline_params(params_v, 2)
+    fwd = jax.jit(make_pipeline_forward(mesh, cfg, 2))
+    tokens = jax.random.randint(jax.random.key(8), (4, 16), 0,
+                                cfg.vocab_size)
+    with mesh:
+        got = fwd(pp, tokens)
+    want = apply_transformer(params_v, tokens, cfg)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_forward_composes_with_data_parallel(params):
     mesh = make_mesh(data=2, pipe=4)
     pp = stack_pipeline_params(params, 4)
