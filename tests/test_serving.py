@@ -552,6 +552,61 @@ def test_spec_engine_prefix_cache_matches_uncached(params, draft_params):
     assert len(eng_c._prefix_lru) >= 3  # the shared prefix really cached
 
 
+def test_engine_evicts_and_requeues_under_pool_pressure(params):
+    """Slot eviction + token banking (engine failure handling, SURVEY
+    §5.3): a pool too small for both sequences' full length forces an
+    in-flight eviction; the evicted request is requeued, its already-
+    emitted tokens are banked, and the FINAL output must still be the
+    exact greedy continuation for every request."""
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=7, max_seq_len=32,
+        prefill_pad=8,
+    )
+    eng = ServingEngine(params, CFG, ecfg)
+    evictions = []
+    real_evict = eng._evict
+    eng._evict = lambda slot: (evictions.append(slot.request.request_id),
+                               real_evict(slot))[-1]
+    rng = np.random.default_rng(17)
+    prompts = [list(rng.integers(0, CFG.vocab_size, size=8))
+               for _ in range(2)]
+    for i, p in enumerate(prompts):
+        eng.submit(GenerationRequest(request_id=i, prompt=p,
+                                     max_new_tokens=20))
+    results = eng.run()
+    assert set(results) == {0, 1}
+    # Pool math: pages_per_seq = ceil(32/8) = 4; dump takes 1 of 7, so
+    # both sequences cannot hold 4 pages at once — an eviction must
+    # happen for the run to complete.
+    assert evictions, "pool math should have forced an eviction"
+    for i, p in enumerate(prompts):
+        expected = _naive_greedy(params, p, 20)
+        assert results[i] == expected, (i, results[i], expected)
+
+
+def test_spec_engine_evicts_and_requeues_under_pool_pressure(params):
+    """Same pressure scenario through the SPECULATIVE tick (the
+    _spec_decode_once pressure ladder: shrink prefix pins, then evict) —
+    self-draft keeps it greedy-exact end-to-end."""
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=7, max_seq_len=32,
+        prefill_pad=8, spec_gamma=2,
+    )
+    eng = ServingEngine(params, CFG, ecfg, draft_params=params,
+                        draft_cfg=CFG)
+    rng = np.random.default_rng(18)
+    prompts = [list(rng.integers(0, CFG.vocab_size, size=8))
+               for _ in range(2)]
+    for i, p in enumerate(prompts):
+        eng.submit(GenerationRequest(request_id=i, prompt=p,
+                                     max_new_tokens=20))
+    results = eng.run()
+    assert set(results) == {0, 1}
+    for i, p in enumerate(prompts):
+        expected = _naive_greedy(params, p, 20)
+        assert results[i] == expected, (i, results[i], expected)
+
+
 def test_spec_engine_stochastic_runs_and_composes(params, draft_params):
     """Distribution-preserving (sampled) speculative decoding on the paged
     engine: the draft proposes by sampling, the verify pass runs the
