@@ -56,8 +56,9 @@ def moe_mlp(x: jax.Array, p: dict, cfg, *,
     route as one whole-N group.
 
     ``dropless=True`` (inference paths: eval forward, KV-cache decode,
-    serving engine): capacity = group_size * k, so NO assignment is ever
-    dropped. This makes inference (a) exact — output is the full gated
+    serving engine): capacity = group size (top-k experts are distinct
+    per token, so no expert can receive more than g assignments), so NO
+    assignment is ever dropped. This makes inference (a) exact — output is the full gated
     mixture, (b) causal and group-invariant — a later token can never
     evict an earlier token's expert slot, so teacher-forced eval,
     chunked prefill and one-token decode all agree bit-for-class.
@@ -68,11 +69,19 @@ def moe_mlp(x: jax.Array, p: dict, cfg, *,
     b, n, d = x.shape
     e = cfg.moe_experts
     k = cfg.moe_top_k
-    g = min(getattr(cfg, "moe_group_size", 512), n)
-    if n % g:
-        g = n
+    # Largest divisor of n that fits the configured group size (trace-time
+    # Python; shapes are static). Never falls back to one whole-N group —
+    # that would reintroduce the quadratic dispatch blowup grouping
+    # exists to prevent. Dropless output is group-invariant, so any
+    # divisor is exact; training capacity semantics are per-group.
+    gs = min(getattr(cfg, "moe_group_size", 512), n)
+    g = next(d_ for d_ in range(gs, 0, -1) if n % d_ == 0)
     if dropless:
-        cap = g * k
+        # top_k returns k DISTINCT experts per token, so one expert can
+        # receive at most g assignments per group: cap = g (not g*k)
+        # keeps droplessness while the expert einsums' slot dim stays
+        # k-times smaller.
+        cap = g
     else:
         cap = max(1, math.ceil(g * k * cfg.moe_capacity_factor / e))
     xg = x.reshape(b * n // g, g, d)

@@ -450,24 +450,38 @@ def make_spec_propose_fn(
     _decode_logits = _make_decode_logits(cfg, use_pallas)
     stochastic = sampling is not None and not sampling.greedy
 
+    def _scan_propose(params, caches, tokens, page_indices, lengths,
+                      select):
+        """One gamma+1 draft scan; ``select(logits, i) -> (token, extra)``
+        is the only difference between greedy and sampled proposal (ONE
+        body so the draft-cache position contract can't diverge)."""
+
+        def body(carry, i):
+            caches, tok = carry
+            logits, caches = _decode_logits(
+                params, caches, tok, page_indices, lengths + i
+            )
+            nxt, extra = select(logits, i)
+            return (caches, nxt[:, None]), (nxt, extra)
+
+        (caches, _), ys = jax.lax.scan(
+            body, (caches, tokens), jnp.arange(gamma + 1, dtype=jnp.int32)
+        )
+        return ys, caches
+
     if stochastic:
         from flashattention_tpu.serving.sampling import filter_logits
 
         def propose(params, caches, tokens, page_indices, lengths, key):
-            def body(carry, i):
-                caches, tok = carry
-                logits, caches = _decode_logits(
-                    params, caches, tok, page_indices, lengths + i
-                )
+            def select(logits, i):
                 filt = filter_logits(logits, sampling)
                 nxt = jax.random.categorical(
                     jax.random.fold_in(key, i), filt, axis=-1
                 ).astype(jnp.int32)
-                return (caches, nxt[:, None]), (nxt, jax.nn.softmax(filt))
+                return nxt, jax.nn.softmax(filt)
 
-            (caches, _), (toks, dists) = jax.lax.scan(
-                body, (caches, tokens),
-                jnp.arange(gamma + 1, dtype=jnp.int32),
+            (toks, dists), caches = _scan_propose(
+                params, caches, tokens, page_indices, lengths, select
             )
             # (g+1, B, ...) -> (B, g, ...); the extra step only writes K/V.
             return toks[:gamma].T, dists[:gamma].transpose(1, 0, 2), caches
@@ -475,16 +489,11 @@ def make_spec_propose_fn(
         return jax.jit(propose, donate_argnums=(1,))
 
     def propose(params, caches, tokens, page_indices, lengths):
-        def body(carry, i):
-            caches, tok = carry
-            logits, caches = _decode_logits(
-                params, caches, tok, page_indices, lengths + i
-            )
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
-            return (caches, nxt[:, None]), nxt
+        def select(logits, i):
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), jnp.int32(0)
 
-        (caches, _), toks = jax.lax.scan(
-            body, (caches, tokens), jnp.arange(gamma + 1, dtype=jnp.int32)
+        (toks, _), caches = _scan_propose(
+            params, caches, tokens, page_indices, lengths, select
         )
         return toks[:gamma].T, caches  # (B, gamma)
 
@@ -955,9 +964,9 @@ class ServingEngine:
             a_dev, emit_dev, self.caches = self._verify(
                 self.params, self.caches, chunk, pi, lengths_j, q_dist, kv,
             )
-            d_np = np.asarray(d_toks)
             a_np = np.asarray(a_dev)
             t_np = np.asarray(emit_dev)  # emit row: accepted + correction
+            d_np = None  # greedy branch only (avoids an extra D2H sync)
         else:
             d_toks, self.draft_caches = self._propose(
                 self.draft_params, self.draft_caches, jnp.asarray(tokens),

@@ -113,6 +113,21 @@ def main():
             acc = eng.spec_accepted / eng.spec_proposed
         return n_tok, dt, acc, results
 
+    # fp32 oracle for divergence adjudication — hoisted so BOTH arms'
+    # adjudicate() calls share one jit entry (one remote compile), with
+    # a single fixed padded shape derived from the actual prompt lengths.
+    # params is a jit ARGUMENT — closing over it embeds the weights as
+    # HLO constants and blows the remote-compile body limit (HTTP 413;
+    # CLAUDE.md hazard, hit in queue14).
+    from flashattention_tpu.models.transformer import apply_transformer
+
+    eval_cfg = dataclasses.replace(cfg, dtype=jnp.float32)
+    padlen = max(len(p) for p in prompts) + args.tokens
+
+    @jax.jit
+    def padded_logits(p, seq):
+        return apply_transformer(p, seq, eval_cfg)
+
     def adjudicate(arm):
         """Token parity vs plain, with numeric-tie adjudication.
 
@@ -122,29 +137,17 @@ def main():
         class, so with random-init weights (near-flat logits) an argmax
         can legitimately flip.  CPU interpret tests pin EXACT equality
         (tests/test_serving.py spec suite); here a divergence is accepted
-        only if a teacher-forced fp32 dense forward over the agreed
-        prefix shows BOTH engines picked one of the top-2 logits and the
-        top-2 margin is inside the numeric-tie class.  Anything else
+        only if the teacher-forced fp32 dense forward over the agreed
+        prefix (padded_logits above) shows BOTH engines' choices within
+        numeric-noise tolerance of the fp32 argmax.  Anything else
         (length drift, off-podium token, wide margin) stays a hard fail.
         """
-        from flashattention_tpu.models.transformer import apply_transformer
-
         # ONE fixed padded shape for every check (a fresh length would
         # cost a fresh 30s-10min remote compile per divergence position —
         # CLAUDE.md), and a true fp32 oracle (the engines run bf16; the
         # margin being adjudicated is bf16-class, so the referee must be
         # a class tighter). Causal model: padding beyond the prefix
         # cannot affect the read position.
-        eval_cfg = dataclasses.replace(cfg, dtype=jnp.float32)
-        padlen = 32 + args.tokens
-
-        # params is a jit ARGUMENT — closing over it embeds the weights
-        # as HLO constants and blows the remote-compile body limit
-        # (HTTP 413; CLAUDE.md hazard, hit in queue14).
-        @jax.jit
-        def padded_logits(p, seq):
-            return apply_transformer(p, seq, eval_cfg)
-
         details, structural = [], []
         for rid, ptoks in outs["plain"].items():
             stoks = outs[arm][rid]
@@ -158,6 +161,7 @@ def main():
                 continue
             seq = list(prompts[rid]) + list(ptoks[:i])
             read_at = len(seq) - 1
+            assert len(seq) <= padlen, (len(seq), padlen)
             seq = seq + [0] * (padlen - len(seq))
             last = np.asarray(
                 padded_logits(params, jnp.asarray(seq, jnp.int32)[None, :])

@@ -111,6 +111,10 @@ def main():
 
     variants = [
         ("bf16", jnp.bfloat16, {}, False, None),
+        # the no-env engine-user default for quantized caches (int8-qk +
+        # payload-aware pps since r4) — scripts/decode_defaults_confirm.py
+        # runs just bf16 vs this pair
+        ("int8-default", jnp.int8, {}, True, None),
         ("int8", jnp.int8, {"FAT_PAGED_INT8_MXU": "0"}, True, None),
         ("int8-full", jnp.int8, {"FAT_PAGED_INT8_MXU": "full"}, True, None),
         ("int8-qk", jnp.int8, {"FAT_PAGED_INT8_MXU": "qk"}, True, None),
