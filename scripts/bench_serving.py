@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--ctx", type=int, default=1024, help="cache fill level")
     ap.add_argument("--page", type=int, default=256)
     ap.add_argument("--quant", default=None, choices=[None, "int8", "fp8"])
+    ap.add_argument("--moe", type=int, default=0,
+                    help="experts per MLP (0 = dense); top-k 2, dropless "
+                         "inference routing (models/moe.py)")
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--prefill-len", type=int, default=4096,
@@ -49,6 +52,7 @@ def main():
         n_heads=ns.heads, n_kv_heads=ns.kv_heads,
         d_ff=4 * ns.d_model, max_seq_len=ns.ctx + ns.iters * ns.trials + 64,
         block_size=128, dropout_rate=0.0, dtype=jnp.bfloat16,
+        moe_experts=ns.moe,
     )
     b = ns.batch
     pages_per_seq = -(-cfg.max_seq_len // ns.page)
@@ -145,6 +149,7 @@ def main():
             "batch": b, "layers": cfg.n_layers, "d_model": cfg.d_model,
             "heads": ns.heads, "kv_heads": ns.kv_heads, "ctx": ns.ctx,
             "page": ns.page, "quant": ns.quant or "bf16",
+            "moe": ns.moe,
             "params_m": round(n_params / 1e6, 1),
             "backend": jax.default_backend(),
         },
