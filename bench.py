@@ -78,6 +78,7 @@ def emit_from_state(state):
     t_bwd = state.get("bwd", float("inf"))
     t_fp8 = state.get("fp8", float("inf"))
     t_fp8bwd = state.get("fp8bwd", float("inf"))
+    t_i8bwd = state.get("int8bwd", float("inf"))
     fwd_flops = state.get("fwd_flops", 0)
     total_flops = state.get("total_flops", 0)
     target = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS
@@ -133,6 +134,16 @@ def emit_from_state(state):
         # semantics), so bwd time is bf16-class by design.
         detail["fp8_fwdbwd_tflops"] = round(total_flops / t_fp8bwd / 1e12, 2)
         detail["fp8_fwdbwd_call_ms"] = round(t_fp8bwd * 1e3, 3)
+    if finite(t_i8bwd):
+        # int8 leg: the TPU-NATIVE 8-bit attention (fmt="int8", raw s8
+        # matmuls on the v5e int8 MXU). The reference's FA3 fp8 targets
+        # H100 fp8 tensor cores; v5e's MXU has no fp8 mode — its native
+        # 8-bit datapath is int8 (2x bf16 peak). This leg is therefore the
+        # architecture-equivalent 8-bit headline on this chip; e4m3 rides
+        # the same kernels via a bit-surgery decode (fp8_fwdbwd_tflops
+        # above) and its decode-chain floor is pinned in RESULTS.md.
+        detail["int8_fwdbwd_tflops"] = round(total_flops / t_i8bwd / 1e12, 2)
+        detail["int8_fwdbwd_call_ms"] = round(t_i8bwd * 1e3, 3)
     # What "fp8 roofline" MEANS on this chip, machine-readable (VERDICT r2
     # missing #1): the v5e MXU is bf16 — fp8 operands are decoded to bf16
     # before the systolic array, so fp8 peak FLOP/s == bf16 peak (197) and
@@ -234,7 +245,7 @@ def measure():
     fwd_flops = 4 * b * h * n * n * d
     total_flops = 3 * fwd_flops          # fwd + 2x-fwd bwd (reference model)
     state = {"fwd": float("inf"), "bwd": float("inf"), "fp8": float("inf"),
-             "fp8bwd": float("inf"),
+             "fp8bwd": float("inf"), "int8bwd": float("inf"),
              "sol": 0.0, "rounds": [], "fwd_flops": fwd_flops,
              "total_flops": total_flops, "shape": [b, h, n, d],
              "blocks": [spec.block_q, spec.block_k,
@@ -301,6 +312,15 @@ def measure():
         dq, dk, dv = jax.grad(_fp8_loss)((q_, k_, v_))
         return (dq + dk + dv).astype(q_.dtype)
 
+    def _int8_loss(t):
+        o, _ = pallas_fp8_attention(t[0], t[1], t[2], fmt="int8")
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def int8_grad_one(q_, k_, v_):
+        # 8-bit leg on the chip's NATIVE 8-bit datapath (see emit note).
+        dq, dk, dv = jax.grad(_int8_loss)((q_, k_, v_))
+        return (dq + dk + dv).astype(q_.dtype)
+
     target = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS
     mm_flops = 2 * m**3
 
@@ -319,11 +339,13 @@ def measure():
         "fp8": (make_loop(fp8_one, 3), (q, k, v), fwd_lens, fwd_flops),
         "fp8bwd": (make_loop(fp8_grad_one, 3), (q, k, v), bwd_lens,
                    3 * fwd_flops),
+        "int8bwd": (make_loop(int8_grad_one, 3), (q, k, v), bwd_lens,
+                    3 * fwd_flops),
     }
     mm_loop = make_loop(mm_one, 2)
 
     # Compile everything (one executable per kernel; lengths are runtime).
-    for key in ("fwd", "bwd", "fp8", "fp8bwd"):
+    for key in ("fwd", "bwd", "fp8", "fp8bwd", "int8bwd"):
         checkpoint(f"wedged during compile/warmup of {key}")
         run_loop(loops[key][0], loops[key][1], 2)
     checkpoint("wedged during compile/warmup of matmul SOL probe")
@@ -340,11 +362,14 @@ def measure():
             # fused bwd executes 7 matmul passes for 12-passes of credit:
             # credited ceiling = peak * 12/14 (plus fit slack).
             "bwd": V5E_BF16_PEAK_TFLOPS * 12 / 14,
-            "fp8bwd": V5E_BF16_PEAK_TFLOPS * 12 / 14}
+            "fp8bwd": V5E_BF16_PEAK_TFLOPS * 12 / 14,
+            # int8 QK runs on the 2x-rate s8 MXU path; cap vs the bf16
+            # 12/14 ceiling with the QK pass at half cost: 12/13 of peak.
+            "int8bwd": V5E_BF16_PEAK_TFLOPS * 12 / 13}
 
     while True:
         rnd = {}
-        for key in ("fwd", "bwd", "fp8", "fp8bwd"):
+        for key in ("fwd", "bwd", "fp8", "fp8bwd", "int8bwd"):
             loop, args, lens, flops = loops[key]
             t_iter, ovh = two_point(loop, args, *lens)
             tf = flops / t_iter / 1e12

@@ -52,8 +52,9 @@ def moe_mlp(x: jax.Array, p: dict, cfg, *,
     tokens (GShard token grouping) so the dispatch/combine tensors stay
     LINEAR in sequence length — capacity is per (group, expert), and the
     one-hot tensors are O(B * N * k * E * C) with C fixed by the group
-    size, not by N. Sequences whose length doesn't divide the group size
-    route as one whole-N group.
+    size, not by N. When the configured group size doesn't divide N, the
+    largest divisor of N that fits it is used instead (never one whole-N
+    group — see the derivation at the `g =` line below).
 
     ``dropless=True`` (inference paths: eval forward, KV-cache decode,
     serving engine): capacity = group size (top-k experts are distinct

@@ -192,6 +192,45 @@ def _mosaic_tanh(x):
     return 1.0 - 2.0 / (jnp.exp(2.0 * x) + 1.0)
 
 
+# Odd-polynomial tanh (clamped at |x| = 3.5): degree-8 least-squares fit of
+# tanh(x)/x in x^2 on a Chebyshev-clustered [0, 3.5] grid; max abs error
+# 9.9e-4 over all of R (the clamp step at 3.5 contributes 1.5e-3 - fit
+# residual). For softcap the capped-score error is cap * 1e-3 — inside the
+# bf16 kernels' tolerance class. No divide, no exp: 8 FMAs + clamp + mul.
+_TANH_POLY = (
+    0.999807450335137, -0.32777769142457064, 0.11592520551627093,
+    -0.03222164234475877, 0.006222740533094912, -0.0007806413241847445,
+    5.9969083131884095e-05, -2.5485675382462395e-06, 4.5755599058353884e-08,
+)
+
+
+def _softcap_tanh(x):
+    """tanh used by the softcap chain — implementation picked at TRACE
+    time via FAT_SOFTCAP_IMPL (softcap measured 1.73x whole-kernel forward
+    with the exp-form chain, queue11/ab_softcap_inproc; candidates to buy
+    that back are A/B'd in scripts/tpu_queue18.sh):
+
+      - "exp" (default): _mosaic_tanh — exp + exact divide, error ~1e-7.
+      - "recip": exp + pl.reciprocal(approx=True) — the documented fast
+        VPU reciprocal replaces the exact divide; error ~2^-12 relative.
+      - "poly": clamped odd polynomial (_TANH_POLY) — no exp, no divide;
+        error <= 1e-3 absolute (capped-score error cap * 1e-3).
+    """
+    impl = os.environ.get("FAT_SOFTCAP_IMPL", "exp")
+    if impl == "poly":
+        xc = jnp.clip(x, -3.5, 3.5)
+        x2 = xc * xc
+        p = jnp.float32(_TANH_POLY[-1])
+        for c in _TANH_POLY[-2::-1]:
+            p = p * x2 + jnp.float32(c)
+        return xc * p
+    if impl == "recip" and hasattr(pl, "reciprocal"):
+        return 1.0 - 2.0 * pl.reciprocal(
+            jnp.exp(2.0 * x) + 1.0, approx=True
+        )
+    return _mosaic_tanh(x)
+
+
 def _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q, block_k, offset):
     """ALiBi bias for tile (iq, ik) of query head ``ih``:
     -slope_h * |key_pos(col) - key_pos(row)| — computed from positions
@@ -545,6 +584,12 @@ def _flash_fwd(
     n_k_pad = k.shape[2]
     grid = (b, h, n_q_pad // block_q, n_k_pad // block_k)
     segmented = q_seg is not None
+    if qoff is None:
+        # None = "caller did not specify a look-ahead offset": the
+        # default self-attention alignment. Kept as None through the
+        # custom_vjp residuals so _flash_bwd knows the geometry is its
+        # own to decompose (q-slab path).
+        qoff = jnp.asarray([n_k - n_q], jnp.int32)
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -1025,6 +1070,7 @@ def _flash_bwd(
     )
     if dlse is not None:
         di = di - dlse.astype(jnp.float32)
+    qoff_given = qoff is not None
     if qoff is None:
         qoff = jnp.asarray([n_k - n_q], jnp.int32)
 
@@ -1116,14 +1162,97 @@ def _flash_bwd(
         + 2 * 2 * (block_k * d * osz)    # dk, dv out-blocks
         + 2 * (block_q * d * isz)        # dq out-block (input dtype)
     )
-    resident = vmem_est <= 14 * 1024 * 1024
-    # When resident dQ does not fit (N*d > ~3.6M: d=128 beyond 28K, d=256
-    # beyond 14K), the fused fallback is a (b, h, n_k_tiles, N_q, d) fp32
-    # dQ-partial buffer — O(N^2/block_k) HBM, measured 4.9 GB peak at
-    # N=32K d=128 (memory_r03.json; VERDICT r3 item 6) plus its write+read
-    # traffic. The split pair stays O(N): route non-resident shapes to
-    # split unless FAT_BWD_PARTIAL=1 forces the partial path for A/Bs.
+    # Trace-time override for tests/A-Bs: forces the non-resident paths
+    # (slab decomposition, split) at CPU-sized shapes.
+    vmem_budget = int(
+        os.environ.get("FAT_BWD_VMEM_BUDGET", str(14 * 1024 * 1024))
+    )
+    resident = vmem_est <= vmem_budget
+    # Non-resident shapes, first choice (round 5, VERDICT r4 item 3 — the
+    # d=256 long-N cliff): Q-SLAB DECOMPOSITION. Split the q range into
+    # slabs whose resident-dQ scratch fits the budget and run the fused
+    # RESIDENT kernel once per slab, with K/V causally TRUNCATED to the
+    # slab's reachable columns — the (truncated-K, offset) representation
+    # preserves the causal/window/sinks/ALiBi geometry exactly (q global
+    # position = local row + offset), so each slab computes exactly its
+    # rows' tiles and the union is exactly the full tile set. dQ rows
+    # concatenate; dK/dV contributions sum (fp32). Costs vs a would-be
+    # whole-N resident kernel: K/V restream once per slab (HBM-cheap at
+    # these compute-bound shapes) + one pallas dispatch per slab inside
+    # the same jit. This keeps the MEASURED-best (512, 1024) blocks at
+    # d=256 — the smaller-block retuning space is fenced off by the
+    # deterministic Mosaic compile hangs ((256,512) and (1024,1024) at
+    # d=256, CLAUDE.md).
+    #
+    # Not taken with dropout (the counter-based keep-mask keys on GLOBAL
+    # q-tile indices; a slab's local indices would replay a different
+    # mask than the forward's) or an explicit qoff (look-ahead decode
+    # callers own the geometry). FAT_BWD_SLAB=0 disables for A/Bs.
     if fused and not resident:
+        non_dq_vmem = vmem_est - n_q_pad * d * 4
+        slab_budget = (vmem_budget - non_dq_vmem) // (d * 4)
+        slab = (slab_budget // block_q) * block_q
+        if (
+            os.environ.get("FAT_BWD_SLAB", "1") == "1"
+            and dropout_rate == 0.0
+            and not qoff_given
+            and block_q <= slab < n_q_pad
+        ):
+            offset = n_k - n_q
+            dq_parts = []
+            dk_acc = jnp.zeros((b, h_kv, n_k_pad, d), jnp.float32)
+            dv_acc = jnp.zeros((b, h_kv, n_k_pad, d), jnp.float32)
+            for a in range(0, n_q_pad, slab):
+                rows = min(slab, n_q_pad - a)
+                if causal:
+                    # UNclamped truncation keeps the inner offset exactly
+                    # k_end - rows = a + offset (the global geometry). A
+                    # slab whose rows attend nothing (negative-offset
+                    # cross-attention) contributes zero grads directly —
+                    # clamping k_end instead would shift the diagonal.
+                    k_end = min(n_k, a + rows + offset)
+                    if k_end <= 0:
+                        dq_parts.append(jnp.zeros(
+                            (b, h, rows, d), q.dtype
+                        ))
+                        continue
+                else:
+                    k_end = n_k
+                k_end_pad = min(-(-k_end // block_k) * block_k, n_k_pad)
+                sl_kv = (slice(None), slice(None), slice(0, k_end_pad))
+                dq_s, dk_s, dv_s = _flash_bwd(
+                    q[:, :, a:a + rows], k[sl_kv], v[sl_kv],
+                    o[:, :, a:a + rows], lse[:, :, a:a + rows],
+                    do[:, :, a:a + rows], seed,
+                    causal=causal, softmax_scale=softmax_scale,
+                    block_q=block_q, block_k=block_k, interpret=interpret,
+                    n_q=min(n_q - a, rows), n_k=k_end,
+                    dropout_rate=0.0,
+                    dlse=(dlse[:, :, a:a + rows]
+                          if dlse is not None else None),
+                    window=window,
+                    q_seg=(q_seg[:, a:a + rows]
+                           if q_seg is not None else None),
+                    kv_seg=(kv_seg[:, :, :k_end_pad]
+                            if kv_seg is not None else None),
+                    softcap=softcap, slopes=slopes, sinks=sinks,
+                )
+                dq_parts.append(dq_s)
+                dk_acc = dk_acc.at[:, :, :k_end_pad].add(
+                    dk_s.astype(jnp.float32)
+                )
+                dv_acc = dv_acc.at[:, :, :k_end_pad].add(
+                    dv_s.astype(jnp.float32)
+                )
+            return (
+                jnp.concatenate(dq_parts, axis=2),
+                dk_acc.astype(k.dtype),
+                dv_acc.astype(v.dtype),
+            )
+        # Fallbacks: the fused dQ-PARTIAL buffer ((b, h, n_k_tiles, N_q, d)
+        # fp32 — O(N^2/block_k) HBM, measured 4.9 GB peak at N=32K d=128,
+        # memory_r03.json) only under FAT_BWD_PARTIAL=1; else the split
+        # pair, which stays O(N).
         fused = os.environ.get("FAT_BWD_PARTIAL", "0") == "1"
 
     if fused:
@@ -1526,9 +1655,13 @@ def pallas_attention(
     if dropout_seed is None:
         dropout_seed = 0
     seed = jnp.asarray(dropout_seed, dtype=jnp.int32).reshape((1,))
-    if q_offset is None:
-        q_offset = k.shape[-2] - q.shape[-2]
-    qoff = jnp.asarray(q_offset, dtype=jnp.int32).reshape((1,))
+    # qoff stays None for the default alignment (q block ends at the KV
+    # end) — the backward uses None as the "geometry is canonical" signal
+    # that enables the q-slab decomposition at non-resident shapes.
+    qoff = (
+        None if q_offset is None
+        else jnp.asarray(q_offset, dtype=jnp.int32).reshape((1,))
+    )
     if stages not in (1, 2):
         raise ValueError(f"stages must be 1 or 2 (Mosaic limit), got {stages}")
     if window is not None:

@@ -81,7 +81,7 @@ def _fp8_fwd_kernel(
     *refs,
     softmax_scale, causal, n_q, n_k, block_q, block_k, groups,
     dropout_rate, window=None, sinks=0, int8_payload=False,
-    segmented=False, softcap=None, alibi=False,
+    segmented=False, softcap=None, alibi=False, cache_kv=False,
 ):
     # Ref layout: [sq, sk, sv, seed, (slopes)] scalar-prefetch in SMEM,
     # then [(qseg, kseg)], q, k, v, outputs, scratch — mirrors the
@@ -98,7 +98,8 @@ def _fp8_fwd_kernel(
         kseg_ref = refs.pop(0)
     else:
         qseg_ref = kseg_ref = None
-    (q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+    (q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+     *cache_scr) = refs
     bi = pl.program_id(0)
     hi = pl.program_id(1)
     iq = pl.program_id(2)
@@ -132,6 +133,50 @@ def _fp8_fwd_kernel(
             return _fp8_e5m2_to_bf16_bits(ref_val)
         return _fp8_e4m3_to_bf16_bits(ref_val)
 
+    # Decode-once cache (mode="fused_cached"): the plain fused kernel
+    # bit-decodes every K/V tile once PER Q TILE — O(N_q/bq) redundant VPU
+    # work that is the measured ~20% tax making "predecode" win at
+    # compute-bound shapes (RESULTS.md r3). Here each K/V tile is decoded
+    # on its FIRST VISIT into a whole-row VMEM scratch (and q once per q
+    # row), so the decode tax drops from O(n_q_tiles * N_k) to O(N_k) per
+    # (b, h) while K/V still stream from HBM at 1 byte/elem. First visit
+    # for tile ik = the smallest iq whose (iq, ik) tile runs; with causal/
+    # window bands the run-set per ik is contiguous in iq, so
+    # `run & ~run(iq-1)` identifies it exactly (sinks tiles run at iq=0).
+    if cache_kv:
+        qc_scr, kc_scr, vc_scr = cache_scr
+
+        if causal:
+            _run_now = _causal_should_run(iq, ik, block_q, block_k, offset,
+                                          window, sinks)
+            _ran_prev = _causal_should_run(jnp.maximum(iq - 1, 0), ik,
+                                           block_q, block_k, offset,
+                                           window, sinks)
+            fv = _run_now & ((iq == 0) | jnp.logical_not(_ran_prev))
+        else:
+            fv = iq == 0
+
+        @pl.when(ik == 0)
+        def _fill_q():
+            qc_scr[...] = _decode(q_ref[0, 0])
+
+        @pl.when(fv)
+        def _fill_kv():
+            off = pl.multiple_of(ik * block_k, block_k)
+            kc_scr[pl.ds(off, block_k), :] = _decode(k_ref[0, 0])
+            vc_scr[pl.ds(off, block_k), :] = _decode(v_ref[0, 0])
+
+    def _cached_q():
+        return qc_scr[...]
+
+    def _cached_k():
+        off = pl.multiple_of(ik * block_k, block_k)
+        return kc_scr[pl.ds(off, block_k), :]
+
+    def _cached_v():
+        off = pl.multiple_of(ik * block_k, block_k)
+        return vc_scr[pl.ds(off, block_k), :]
+
     def _update(use_mask, lagged_tile=False):
         if int8_payload:
             # int8 payloads hit the MXU RAW: s8xs8->s32 is native on v5e
@@ -145,8 +190,11 @@ def _fp8_fwd_kernel(
             # Upcast fp8 tiles in VMEM via integer bit surgery (v5e has no
             # fp8 MXU and its native fp8 cast is slow — see pallas_paged);
             # the FP8 win here is halved HBM traffic, MXU runs bf16.
-            q = _decode(q_ref[0, 0])
-            k = _decode(k_ref[0, 0])
+            if cache_kv:
+                q, k = _cached_q(), _cached_k()
+            else:
+                q = _decode(q_ref[0, 0])
+                k = _decode(k_ref[0, 0])
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -246,7 +294,8 @@ def _fp8_fwd_kernel(
                 preferred_element_type=jnp.float32,
             )
         return jax.lax.dot(
-            p.astype(jnp.bfloat16), _decode(v_ref[0, 0]),
+            p.astype(jnp.bfloat16),
+            _cached_v() if cache_kv else _decode(v_ref[0, 0]),
             preferred_element_type=jnp.float32,
         )
 
@@ -334,7 +383,7 @@ def _fp8_fwd(
     q8, k8, v8, sq, sk, sv, *, causal, softmax_scale, block_q, block_k,
     out_dtype, interpret, n_q, n_k, stages=2, seed=None, dropout_rate=0.0,
     window=None, sinks=0, q_seg=None, kv_seg=None, softcap=None,
-    slopes=None,
+    slopes=None, cache_kv=False,
 ):
     b, h, n_q_pad, d = q8.shape
     h_kv = k8.shape[1]
@@ -344,6 +393,7 @@ def _fp8_fwd(
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     segmented = q_seg is not None
+    cache_kv = cache_kv and q8.dtype != jnp.int8  # int8 has no decode chain
 
     kernel = functools.partial(
         _fp8_fwd_kernel,
@@ -352,6 +402,7 @@ def _fp8_fwd(
         dropout_rate=dropout_rate, window=window, sinks=sinks,
         int8_payload=q8.dtype == jnp.int8,
         segmented=segmented, softcap=softcap, alibi=slopes is not None,
+        cache_kv=cache_kv,
     )
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda b_, h_, iq, ik, *_refs: (b_, h_, iq, 0)
@@ -401,7 +452,13 @@ def _fp8_fwd(
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, LANES), jnp.float32),
             pltpu.VMEM((block_q, d), jnp.float32),
-        ],
+        ] + ([
+            # Decode-once cache: q per row + whole decoded K/V rows (bf16).
+            # Sized by the caller's VMEM gate (_cached_fused_fits).
+            pltpu.VMEM((block_q, d), jnp.bfloat16),
+            pltpu.VMEM((n_k_pad, d), jnp.bfloat16),
+            pltpu.VMEM((n_k_pad, d), jnp.bfloat16),
+        ] if cache_kv else []),
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -411,7 +468,14 @@ def _fp8_fwd(
             jax.ShapeDtypeStruct((b, h, n_q_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # The decode-once cache carries state ACROSS iq steps (tile
+            # decoded at its first visiting q row, read by later rows), so
+            # iq stops being a parallel dimension under cache_kv.
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary", "arbitrary")
+                if cache_kv else
+                ("parallel", "parallel", "parallel", "arbitrary")
+            ),
         ),
         interpret=interpret,
     )(*prefetch, *args)
@@ -486,13 +550,43 @@ def _fp8_attention(q, k, v, seed, q_ids, kv_ids, slopes, causal,
     )[0]
 
 
-def _prepare_fp8(q, k, v, block_q, block_k, fmt="fp8"):
-    n_q, n_k = q.shape[2], k.shape[2]
-    d = q.shape[3]
+def _fp8_blocks(n_q, n_k, block_q, block_k):
+    """Effective (bq, bk) after clamping to the (padded) sequence lengths —
+    shared by _prepare_fp8 and the mode="auto" VMEM gate so the gate always
+    estimates the blocks the kernel will actually use."""
     bq = min(block_q, max(128, ((n_q + 31) // 32) * 32))
     bk = min(block_k, max(128, ((n_k + 127) // 128) * 128))
     bq = max(32, (bq // 32) * 32)
     bk = max(128, (bk // 128) * 128)
+    return bq, bk
+
+
+def _cached_fused_fits(n_q, n_k, d, block_q, block_k, out_bytes=2):
+    """TOTAL-VMEM gate for mode="fused_cached" (the resident-dQ lesson,
+    pallas_attn vmem_est: budget scratches + double-buffered pipeline
+    blocks, never one buffer alone). True when the decode-once scratch
+    plus the kernel's standing allocation fits 14 MB of the 16 MB scoped
+    budget."""
+    bq, bk = _fp8_blocks(n_q, n_k, block_q, block_k)
+    d_pad = d if (d % LANES == 0 or d == 64) else -(-d // LANES) * LANES
+    n_k_pad = -(-n_k // bk) * bk
+    est = (
+        # decode-once cache: q row + whole decoded K/V rows, bf16
+        bq * d_pad * 2 + 2 * n_k_pad * d_pad * 2
+        # m/l (fp32, LANES wide) + acc (fp32, d wide)
+        + 2 * bq * LANES * 4 + bq * d_pad * 4
+        # fp8 payload pipeline: q + k + v blocks, double-buffered
+        + 2 * (bq * d_pad + 2 * bk * d_pad)
+        # out + lse blocks, double-buffered
+        + 2 * (bq * d_pad * out_bytes + bq * 4)
+    )
+    return est <= 14 * 1024 * 1024
+
+
+def _prepare_fp8(q, k, v, block_q, block_k, fmt="fp8"):
+    n_q, n_k = q.shape[2], k.shape[2]
+    d = q.shape[3]
+    bq, bk = _fp8_blocks(n_q, n_k, block_q, block_k)
     q = _pad_dim(q, 2, bq)
     k = _pad_dim(k, 2, bk)
     v = _pad_dim(v, 2, bk)
@@ -545,6 +639,7 @@ def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
             n_q=n_q, n_k=n_k, stages=stages, seed=seed,
             dropout_rate=dropout_rate, window=window, sinks=sinks,
             q_seg=q_seg, kv_seg=kv_seg, softcap=softcap, slopes=slopes,
+            cache_kv=mode == "fused_cached",
         )
     o_out = o[:, :, :n_q, :d]
     lse_out = lse[:, :, :n_q, 0]
@@ -569,9 +664,13 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
     (q8, k8, v8, sq, sk, sv, seed, q_ids, kv_ids, slopes, o, lse, bq, bk,
      n_k, kd_tag, vd_tag) = residuals
     do, dlse = cotangents
-    qd = _dequant(q8, sq, bq).astype(jnp.bfloat16)
-    kd = _dequant(k8, sk, bk).astype(jnp.bfloat16)
-    vd = _dequant(v8, sv, bk).astype(jnp.bfloat16)
+    # _dequant_bf16 = bit-surgery decode (exact for every e4m3fn/e5m2
+    # value): identical values to the native-cast path but avoids v5e's
+    # slow fp8 .astype, and is the SAME expression the predecode forward
+    # emits — XLA CSEs the two passes when fwd+bwd trace into one jit.
+    qd = _dequant_bf16(q8, sq, bq)
+    kd = _dequant_bf16(k8, sk, bk)
+    vd = _dequant_bf16(v8, sv, bk)
     n_q, d = o.shape[2], o.shape[3]
     op = _pad_dim(o.astype(jnp.bfloat16), 2, bq)
     dop = _pad_dim(do.astype(jnp.bfloat16), 2, bq)
@@ -670,14 +769,21 @@ def pallas_fp8_attention(
     (src/fa3/torch/impl.py:118-133).
 
     ``mode`` picks the execution strategy for the quantized math:
-      - "fused": in-kernel bit decode of the fp8 payloads — halves the K/V
-        HBM stream; the win at bandwidth-bound shapes (decode, long KV,
-        single q tile).
+      - "fused": in-kernel bit decode of the fp8 payloads, once per
+        (q tile, kv tile) — halves the K/V HBM stream; the win at
+        bandwidth-bound shapes (decode, long KV, single q tile).
+      - "fused_cached" (round 5): fused with a decode-ONCE VMEM cache —
+        each K/V tile is decoded on first visit into a whole-row bf16
+        scratch and reused by every later q tile, so the 1-byte HBM
+        stream is kept while the decode tax drops to O(N_k) total. The
+        win at compute-bound multi-q-tile shapes; needs the decoded rows
+        to fit the VMEM budget (_cached_fused_fits).
       - "predecode": one O(N*D) XLA dequant pass, then the bf16 kernel —
-        the win at compute-bound shapes, where the fused kernel re-decodes
-        every K/V tile once per q tile (~20% VPU tax at N=8K, RESULTS.md).
-      - "auto" (default): "predecode" when the q length spans multiple
-        q tiles (n_q > block_q), "fused" otherwise.
+        full bf16 HBM traffic, zero in-kernel decode; the fallback when
+        the cached scratch doesn't fit.
+      - "auto" (default): "fused" for int8 or single-q-tile shapes,
+        else "fused_cached" when it fits (FAT_FP8_CACHED=0 disables),
+        else "predecode".
     Both modes feed the MXU the same quantize->dequantize values; outputs
     agree to bf16 rounding class.
 
@@ -714,9 +820,9 @@ def pallas_fp8_attention(
     seed = jnp.asarray(
         [0 if dropout_seed is None else dropout_seed], jnp.int32
     ).ravel()[:1]
-    if mode not in ("auto", "fused", "predecode"):
+    if mode not in ("auto", "fused", "fused_cached", "predecode"):
         raise ValueError(
-            f"mode must be auto|fused|predecode, got {mode!r}"
+            f"mode must be auto|fused|fused_cached|predecode, got {mode!r}"
         )
     if window is not None:
         if not causal:
@@ -731,16 +837,31 @@ def pallas_fp8_attention(
     if fmt not in ("fp8", "int8", "e5m2"):
         raise ValueError(f"fmt must be fp8|int8|e5m2, got {fmt!r}")
     if mode == "auto":
-        # fp8's fused kernel re-decodes K/V once per q tile (~20% VPU tax
-        # at N=8K), so multi-q-tile shapes predecode. int8 payloads have
-        # NO decode chain — the raw s8 tiles feed the MXU directly — so
-        # fused is optimal at every shape. softcap/segment_ids/alibi are
-        # fused-native since round 4 (VERDICT r3 item 7) and no longer
-        # force predecode: at the bandwidth-bound shapes where fused is
-        # the point, a featured decode would otherwise pay full bf16 HBM
-        # traffic.
-        fused_ok = fmt == "int8" or q.shape[2] <= block_q
-        mode = "fused" if fused_ok else "predecode"
+        # int8 payloads have NO decode chain — the raw s8 tiles feed the
+        # MXU directly — so plain fused is optimal at every shape; ditto
+        # single-q-tile fp8 (each K/V tile is decoded exactly once anyway).
+        # Multi-q-tile fp8/e5m2 previously fell back to "predecode" (the
+        # plain fused kernel re-decodes K/V once per q tile, a ~20% VPU
+        # tax at N=8K) which pays an O(N*D) XLA dequant pre-pass at full
+        # bf16 HBM traffic — since round 5, "fused_cached" decodes each
+        # tile ONCE into a whole-row VMEM scratch instead, keeping the
+        # 1-byte HBM stream with an O(N_k)-total decode cost. Predecode
+        # remains the fallback when the decoded-row scratch exceeds the
+        # VMEM budget (or under FAT_FP8_CACHED=0 for A/Bs).
+        # softcap/segment_ids/alibi are fused-native since round 4
+        # (VERDICT r3 item 7) and no longer force predecode.
+        import os
+
+        if fmt == "int8" or q.shape[2] <= block_q:
+            mode = "fused"
+        elif (
+            os.environ.get("FAT_FP8_CACHED", "1") == "1"
+            and _cached_fused_fits(q.shape[2], k.shape[2], d,
+                                   block_q, block_k)
+        ):
+            mode = "fused_cached"
+        else:
+            mode = "predecode"
     q_ids = kv_ids = None
     if segment_ids is not None:
         if isinstance(segment_ids, (tuple, list)):

@@ -615,28 +615,17 @@ def pallas_paged_attention(
         {"1": "full", "full": "full", "qk": "qk"}.get(_mxu_env)
         if quantized and k_pages.dtype == jnp.int8 else None
     )
-    if pages_per_step is None:
+    # TENTATIVE step width: the 4-page step is tuned for the MERGED
+    # int8-qk kernel specifically; whether merged actually engages is
+    # decided by the VMEM gate below, so a defaulted pps is re-derived
+    # after that decision (ADVICE r4) — an explicit pages_per_step (arg
+    # or FAT_PAGED_PPS at the caller) is always honored as-is.
+    pps_defaulted = pages_per_step is None
+    if pps_defaulted:
         pages_per_step = max(
             1, (256 if _mxu_mode == "qk" else 512) // page_size
         )
     s_count = max(1, min(pages_per_step, pages_per_seq))
-
-    # Pad the page table so every grid step has s_count entries; edge-pad so
-    # the padded slots re-point at an already-resident page (no extra fetch).
-    n_steps = -(-pages_per_seq // s_count)
-    if window is not None:
-        if window < 1:
-            raise ValueError(f"window must be >= 1, got {window}")
-        # The band spans window + q_len - 1 slots -> at most that many
-        # pages + 1 for straddle; the walk starts at the band's first page.
-        band_pages = -(-(window + q_len - 1) // page_size) + 1
-        if sinks:
-            band_pages += -(-sinks // page_size)
-        n_steps = min(n_steps, -(-band_pages // s_count))
-    pps_pad = max(n_steps * s_count, pages_per_seq)
-    pi = page_indices
-    if pps_pad != pages_per_seq:
-        pi = jnp.pad(pi, [(0, 0), (0, pps_pad - pages_per_seq)], mode="edge")
 
     # Row layout: row = g * q_len + t, padded UP to an fp32 sublane multiple
     # (not just a minimum of 8): every per-head scratch slice
@@ -698,6 +687,30 @@ def pallas_paged_attention(
     # (92,987 vs 82,957 tok/s, both at their best arms —
     # queue12/decode_ablate_v2, VERDICT r3 item 1 done-criterion).
     int8_mxu = _mxu_mode if merged else None
+    if pps_defaulted and int8_mxu != "qk" and _mxu_mode == "qk":
+        # Merged int8-qk was the basis for the 4-page default but the
+        # VMEM/page-size gate disabled merged — the flat convert path's
+        # measured-best is the 8-page step (queue12/decode_ablate_v2).
+        pages_per_step = max(1, 512 // page_size)
+        s_count = max(1, min(pages_per_step, pages_per_seq))
+
+    # Pad the page table so every grid step has s_count entries; edge-pad so
+    # the padded slots re-point at an already-resident page (no extra fetch).
+    n_steps = -(-pages_per_seq // s_count)
+    if window is not None:
+        if window < 1:
+            raise ValueError(f"window must be >= 1, got {window}")
+        # The band spans window + q_len - 1 slots -> at most that many
+        # pages + 1 for straddle; the walk starts at the band's first page.
+        band_pages = -(-(window + q_len - 1) // page_size) + 1
+        if sinks:
+            band_pages += -(-sinks // page_size)
+        n_steps = min(n_steps, -(-band_pages // s_count))
+    pps_pad = max(n_steps * s_count, pages_per_seq)
+    pi = page_indices
+    if pps_pad != pages_per_seq:
+        pi = jnp.pad(pi, [(0, 0), (0, pps_pad - pages_per_seq)], mode="edge")
+
     kernel = functools.partial(
         _decode_kernel_merged if merged else _decode_kernel,
         softmax_scale=float(softmax_scale),

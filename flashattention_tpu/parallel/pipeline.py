@@ -216,10 +216,14 @@ def make_pipeline_forward(
 
         act0 = jnp.zeros_like(x_micro[0])
         _, (outs, auxs) = lax.scan(tick, act0, jnp.arange(ticks))
-        # Aux: per-microbatch means summed over ticks -> divide by M to
-        # match the dense forward's full-batch per-layer mean; psum over
-        # 'pipe' totals the stages' layers, pmean over 'data' averages
-        # the batch shards. Fully replicated afterwards (out_specs P()).
+        # Aux: per-microbatch means summed over ticks -> divide by M,
+        # a per-microbatch ESTIMATOR of the dense forward's full-batch
+        # per-layer aux (Switch f_e*P_e is nonlinear in the batch, so
+        # averaging per-micro statistics equals the full-batch statistic
+        # only as M->1; the estimator is unbiased in expectation and is
+        # the standard microbatched-MoE choice). psum over 'pipe' totals
+        # the stages' layers, pmean over 'data' averages the batch
+        # shards. Fully replicated afterwards (out_specs P()).
         aux = jnp.sum(auxs) / m_total
         aux = lax.pmean(lax.psum(aux, "pipe"), "data")
         # The last stage emits microbatch m at tick m + S - 1: a STATIC

@@ -1000,7 +1000,15 @@ class ServingEngine:
             # Stats count what actually LANDED: accepted = emitted tokens
             # that came from the draft (the last emitted slot is the
             # correction/bonus only when emission was not clamped).
-            self.spec_proposed += g
+            # Proposed counts only draft slots that COULD have landed this
+            # round: when max_new_tokens clamps emission to `remaining`,
+            # at most min(g, remaining) draft tokens were seatable, so the
+            # unseatable tail is excluded and the acceptance rate reflects
+            # draft quality, not sequence-end clamping (ADVICE r4). EOS
+            # truncation is not re-attributed — the rate stays a lower
+            # bound on EOS rounds (the draft can't be blamed or credited
+            # for tokens past the stop).
+            self.spec_proposed += min(g, remaining)
             self.spec_accepted += min(a, len(emitted))
             slot.length += len(emitted)
             slot.generated.extend(emitted)

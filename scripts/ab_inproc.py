@@ -37,7 +37,10 @@ def parse_kw(s):
         return out
     for kv in s.split(","):
         k, v = kv.split("=", 1)
-        out[k] = float(v) if "." in v else int(v)
+        try:
+            out[k] = float(v) if "." in v else int(v)
+        except ValueError:
+            out[k] = v  # string kwargs (e.g. mode=fused_cached)
     return out
 
 
@@ -45,7 +48,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shape", default="1,8,8192,128")
     ap.add_argument("--what", default="fwd",
-                    choices=["fwd", "bwd", "fp8feat"])
+                    choices=["fwd", "bwd", "fp8feat", "fp8fwd", "fp8bwd"])
     ap.add_argument("--causal", action="store_true")
     ap.add_argument("--env-a", default=None)
     ap.add_argument("--env-b", default=None)
@@ -110,6 +113,34 @@ def main():
                     )
                     return o.astype(q_.dtype)
                 return lax.fori_loop(0, n_, body, q_)
+            return loop
+        if args.what in ("fp8fwd", "fp8bwd"):
+            # Full-shape fp8 A/B (e.g. mode=fused_cached vs predecode, or
+            # fmt=int8 vs fp8) at the headline geometry.
+            from flashattention_tpu.ops.pallas_fp8 import (
+                pallas_fp8_attention,
+            )
+
+            fkw = dict(causal=args.causal, block_q=bq, block_k=bk,
+                       **extra_kw)
+            if args.what == "fp8fwd":
+                @jax.jit
+                def loop(n_, q_, k_, v_):
+                    def body(i, acc):
+                        o, _ = pallas_fp8_attention(acc, k_, v_, **fkw)
+                        return o.astype(q_.dtype)
+                    return lax.fori_loop(0, n_, body, q_)
+            else:
+                def floss(t):
+                    o, _ = pallas_fp8_attention(t[0], t[1], t[2], **fkw)
+                    return jnp.sum(o.astype(jnp.float32) ** 2)
+
+                @jax.jit
+                def loop(n_, q_, k_, v_):
+                    def body(i, acc):
+                        dq, dk, dv = jax.grad(floss)((acc, k_, v_))
+                        return (dq + dk + dv).astype(q_.dtype)
+                    return lax.fori_loop(0, n_, body, q_)
             return loop
         kw = dict(causal=args.causal, block_q=bq, block_k=bk,
                   bwd_block_q=bwd_bq, bwd_block_k=bwd_bk, **extra_kw)
@@ -186,7 +217,7 @@ def main():
         return round(2 * m ** 3 * 480 / (t2 - t1) / 1e12, 1)
 
     scale = max(1, 8192 // n)
-    if args.what == "fwd":
+    if args.what in ("fwd", "fp8fwd"):
         i1, i2 = 30, 30 + 300 * scale
     elif args.what == "fp8feat":
         i1, i2 = 30, 330
@@ -196,7 +227,7 @@ def main():
         flops = 4 * b * h * n_q * min(4096, n) * d  # windowed band
     else:
         flops = 4 * b * h * n * n * d / (2 if args.causal else 1)
-    if args.what == "bwd":
+    if args.what in ("bwd", "fp8bwd"):
         flops *= 3
 
     ratios = []

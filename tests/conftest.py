@@ -31,6 +31,15 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long e2e tests (serving engine, process-isolated multihost, "
+        "pipeline/MoE train steps). Fast lane: pytest -m 'not slow' "
+        "(<10 min); the full suite (~35 min) remains the merge gate.",
+    )
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     """2x4 (data, model) mesh over the 8 virtual CPU devices."""

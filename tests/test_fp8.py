@@ -60,9 +60,10 @@ def test_fp8_kernel_vs_quantized_oracle(shape, causal, mode):
 
 
 def test_fp8_modes_agree_and_auto_resolves():
-    """The two execution strategies compute the same quantized math (to
-    bf16 rounding), and auto picks predecode only when n_q spans multiple
-    q tiles."""
+    """The execution strategies compute the same quantized math (to bf16
+    rounding); auto picks fused for single-q-tile shapes, fused_cached
+    (bit-identical to fused) for multi-q-tile, and predecode under
+    FAT_FP8_CACHED=0."""
     q, k, v = make_qkv(1, 2, 384, 64, dtype=jnp.bfloat16)
     o_f, lse_f = pallas_fp8_attention(
         q, k, v, causal=True, block_q=BQ, block_k=BK, mode="fused"
@@ -72,10 +73,27 @@ def test_fp8_modes_agree_and_auto_resolves():
     )
     assert_allclose(o_p, o_f, rtol=2.5e-2, atol=2.5e-2)
     assert_allclose(lse_p, lse_f, rtol=1e-2, atol=1e-2)
+    # auto -> fused_cached at multi-q-tile shapes (round 5): decode-once
+    # VMEM cache, bit-identical to the plain fused kernel's math.
     o_a, _ = pallas_fp8_attention(
-        q, k, v, causal=True, block_q=BQ, block_k=BK  # auto -> predecode
+        q, k, v, causal=True, block_q=BQ, block_k=BK
     )
-    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_p))
+    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_f))
+    o_c, _ = pallas_fp8_attention(
+        q, k, v, causal=True, block_q=BQ, block_k=BK, mode="fused_cached"
+    )
+    np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_f))
+    # FAT_FP8_CACHED=0 restores the predecode fallback.
+    import os
+
+    os.environ["FAT_FP8_CACHED"] = "0"
+    try:
+        o_a0, _ = pallas_fp8_attention(
+            q, k, v, causal=True, block_q=BQ, block_k=BK
+        )
+        np.testing.assert_array_equal(np.asarray(o_a0), np.asarray(o_p))
+    finally:
+        del os.environ["FAT_FP8_CACHED"]
     o_a1, _ = pallas_fp8_attention(
         q[:, :, :BQ], k, v, causal=True, block_q=BQ, block_k=BK
     )  # single q tile -> auto stays fused

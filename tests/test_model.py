@@ -219,6 +219,7 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_large_batch():
     """MultiSteps(k) over k microbatches == one step on the concatenated batch."""
     cfg = TINY
@@ -342,6 +343,7 @@ def test_separate_qkv_projections():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pos_encoding", ["learned", "rope"])
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 def test_packed_forward_equals_unpacked(pos_encoding, backend):
@@ -501,6 +503,7 @@ def test_sinks_model_decode_matches_full_forward():
         )
 
 
+@pytest.mark.slow
 def test_chunked_cross_entropy_matches_dense():
     """loss_chunk: scan-chunked CE (O(B*chunk*V) peak logits) must equal
     the dense loss in value AND gradients, with and without packing."""

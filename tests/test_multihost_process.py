@@ -141,3 +141,8 @@ def test_process_spec_engines_match_in_process():
         for p in procs:
             p.close()
     assert got == expected
+
+# Fast-lane marker (VERDICT r4 item 8): these files hold the long e2e
+# tests (serving engine ticks, process-isolated multihost, pipeline/MoE
+# train steps). `pytest -m "not slow"` is the <10 min lane.
+pytestmark = pytest.mark.slow

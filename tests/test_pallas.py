@@ -268,6 +268,7 @@ def test_pallas_backward_impls_match_oracle(impl, monkeypatch):
     assert_allclose(dv, dv_r, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("window", [37, 128, 300])
 def test_sliding_window_matches_oracle(window):
     """Sliding-window (local) attention: fwd o/lse and all grads must match
@@ -398,6 +399,7 @@ def test_pallas_odd_head_dims(d):
         assert_allclose(g, gr, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_pallas_causal_rows_with_no_valid_keys():
     """n_q > n_k causal: leading query rows attend to nothing and must emit
     exactly 0 with zero gradient contribution (previously they produced a
@@ -680,6 +682,7 @@ def test_softcap_matches_oracle(causal):
                   - np.asarray(o_r, np.float32)).max() > 1e-2
 
 
+@pytest.mark.slow
 def test_softcap_grads_match_oracle():
     """Backward chains through the cap exactly: ds *= 1 - tanh^2 on the
     dq/dk path, dv untouched. Oracle grads come from jax.grad through the
@@ -949,3 +952,54 @@ def test_lagged_max_grads(monkeypatch):
     assert_allclose(dq, dq_r, rtol=2e-3, atol=2e-3)
     assert_allclose(dk, dk_r, rtol=2e-3, atol=2e-3)
     assert_allclose(dv, dv_r, rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_bwd_q_slab_decomposition_matches_resident(causal, monkeypatch):
+    """Non-resident backward shapes decompose over q-slabs (round 5, the
+    d=256 long-N fix): each slab runs the fused RESIDENT kernel with
+    causally-truncated K/V, dQ rows concatenate, dK/dV sum. Forcing a tiny
+    VMEM budget triggers the path at CPU shapes; grads must match the
+    single-call resident backward (fp32 exact-class)."""
+    import flashattention_tpu.ops.pallas_attn as pa
+
+    q, k, v = make_qkv(1, 2, 1024, 64, dtype=jnp.float32)
+    do = jax.random.normal(jax.random.key(9), q.shape, dtype=jnp.float32)
+
+    def grads():
+        def loss(q_, k_, v_):
+            o, _ = pallas_attention(
+                q_, k_, v_, causal=causal, block_q=128, block_k=128
+            )
+            return jnp.sum(o * do)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    g_full = grads()
+    # Budget window: too small for resident (est ~786 KB at this shape)
+    # but big enough that a >=1-block-q slab fits.
+    monkeypatch.setenv("FAT_BWD_VMEM_BUDGET", "600000")
+    calls = []
+    orig = pa._flash_bwd
+
+    def spy(*a, **kw):
+        calls.append(kw.get("n_q"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pa, "_flash_bwd", spy)
+    g_slab = grads()
+    assert len(calls) > 2, f"slab path did not recurse: {calls}"
+    for a, b in zip(g_full, g_slab):
+        assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # Slab must NOT engage when the caller owns the geometry (explicit
+    # q_offset) — it falls back to the split pair instead.
+    calls.clear()
+
+    def loss_off(q_, k_, v_):
+        o, _ = pallas_attention(
+            q_[:, :, :512], k_, v_, causal=True, block_q=128, block_k=128,
+            q_offset=512,
+        )
+        return jnp.sum(o * do[:, :, :512])
+
+    jax.grad(loss_off, argnums=(0, 1, 2))(q, k, v)
+    assert len(calls) == 1, calls

@@ -209,3 +209,8 @@ def test_remat_pipeline_forward(params):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+# Fast-lane marker (VERDICT r4 item 8): these files hold the long e2e
+# tests (serving engine ticks, process-isolated multihost, pipeline/MoE
+# train steps). `pytest -m "not slow"` is the <10 min lane.
+pytestmark = pytest.mark.slow

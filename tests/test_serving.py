@@ -1392,3 +1392,8 @@ def test_append_dus_matches_scatter(monkeypatch, quant):
             np.asarray(a, np.float32), np.asarray(r, np.float32),
             err_msg=f"{quant} {name}",
         )
+
+# Fast-lane marker (VERDICT r4 item 8): these files hold the long e2e
+# tests (serving engine ticks, process-isolated multihost, pipeline/MoE
+# train steps). `pytest -m "not slow"` is the <10 min lane.
+pytestmark = pytest.mark.slow

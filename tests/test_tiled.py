@@ -76,6 +76,7 @@ def test_tiled_elementwise_mask_matches_oracle_mask():
     assert_allclose(lse, lse_ref, rtol=LSE_TOL, atol=LSE_TOL)
 
 
+@pytest.mark.slow
 def test_tiled_dropout_statistics_and_backward():
     b, h, n, d = 1, 2, 64, 32
     q, k, v = make_qkv(b, h, n, d)
@@ -103,6 +104,7 @@ def test_tiled_dropout_statistics_and_backward():
     assert np.all(np.isfinite(np.asarray(g1, dtype=np.float32)))
 
 
+@pytest.mark.slow
 def test_tiled_lse_cotangent_flows():
     """Tiled-path analogue of test_pallas.test_lse_cotangent_flows: a loss
     that reads only lse must get real (nonzero, oracle-matching) grads —
