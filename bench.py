@@ -79,6 +79,7 @@ def emit_from_state(state):
     t_fp8 = state.get("fp8", float("inf"))
     t_fp8bwd = state.get("fp8bwd", float("inf"))
     t_i8bwd = state.get("int8bwd", float("inf"))
+    t_i8obwd = state.get("int8obwd", float("inf"))
     fwd_flops = state.get("fwd_flops", 0)
     total_flops = state.get("total_flops", 0)
     target = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS
@@ -144,6 +145,23 @@ def emit_from_state(state):
         # above) and its decode-chain floor is pinned in RESULTS.md.
         detail["int8_fwdbwd_tflops"] = round(total_flops / t_i8bwd / 1e12, 2)
         detail["int8_fwdbwd_call_ms"] = round(t_i8bwd * 1e3, 3)
+    if finite(t_i8obwd):
+        # Same int8 kernels under the CLASSIC straight-through estimator
+        # (FAT_STE_GRADS=original: backward on the original inputs,
+        # Bengio et al. 2013 — the other established STE flavor; the
+        # default leg above keeps the reference's dequant flavor,
+        # fa3_bwd.cu:134-146). Structurally this is the only 8-bit leg
+        # whose grad path carries NO dequant pass: the dequant-STE floor
+        # is bf16_call + one O(N*D) HBM-bound dequant (~0.18 ms at this
+        # shape => ceiling ~141.7 TF when bf16 reads 146.2), which no
+        # dequant-flavor 8-bit leg can beat — see RESULTS.md "8-bit
+        # fwd+bwd floor model".
+        detail["int8_fwdbwd_ste_original_tflops"] = round(
+            total_flops / t_i8obwd / 1e12, 2
+        )
+        detail["int8_fwdbwd_ste_original_call_ms"] = round(
+            t_i8obwd * 1e3, 3
+        )
     # What "fp8 roofline" MEANS on this chip, machine-readable (VERDICT r2
     # missing #1): the v5e MXU is bf16 — fp8 operands are decoded to bf16
     # before the systolic array, so fp8 peak FLOP/s == bf16 peak (197) and
@@ -246,6 +264,7 @@ def measure():
     total_flops = 3 * fwd_flops          # fwd + 2x-fwd bwd (reference model)
     state = {"fwd": float("inf"), "bwd": float("inf"), "fp8": float("inf"),
              "fp8bwd": float("inf"), "int8bwd": float("inf"),
+             "int8obwd": float("inf"),
              "sol": 0.0, "rounds": [], "fwd_flops": fwd_flops,
              "total_flops": total_flops, "shape": [b, h, n, d],
              "blocks": [spec.block_q, spec.block_k,
@@ -321,6 +340,20 @@ def measure():
         dq, dk, dv = jax.grad(_int8_loss)((q_, k_, v_))
         return (dq + dk + dv).astype(q_.dtype)
 
+    def traced_with_env(key, val, build):
+        """Trace/compile a loop with a trace-time env knob set, restore
+        after (the knob is read at trace time; the compiled executable
+        keeps the traced behavior)."""
+        saved = os.environ.get(key)
+        os.environ[key] = val
+        try:
+            return build()
+        finally:
+            if saved is None:
+                os.environ.pop(key, None)
+            else:
+                os.environ[key] = saved
+
     target = TARGET_FRACTION * V5E_BF16_PEAK_TFLOPS
     mm_flops = 2 * m**3
 
@@ -341,13 +374,30 @@ def measure():
                    3 * fwd_flops),
         "int8bwd": (make_loop(int8_grad_one, 3), (q, k, v), bwd_lens,
                     3 * fwd_flops),
+        # Same kernels, classic-STE gradients (FAT_STE_GRADS=original:
+        # backward on the original inputs, Bengio et al. 2013) — the
+        # flavor with NO dequant pass in the grad path. The default leg
+        # above keeps the reference's dequant-STE (fa3_bwd.cu:134-146),
+        # whose floor is bf16_call + one O(N*D) dequant pass (see the
+        # emit note / RESULTS.md floor model).
+        # (the env is applied at the first run_loop below — the jit trace
+        # point — via traced_with_env; make_loop itself traces nothing)
+        "int8obwd": (make_loop(int8_grad_one, 3), (q, k, v), bwd_lens,
+                     3 * fwd_flops),
     }
     mm_loop = make_loop(mm_one, 2)
 
     # Compile everything (one executable per kernel; lengths are runtime).
-    for key in ("fwd", "bwd", "fp8", "fp8bwd", "int8bwd"):
+    for key in ("fwd", "bwd", "fp8", "fp8bwd", "int8bwd", "int8obwd"):
         checkpoint(f"wedged during compile/warmup of {key}")
-        run_loop(loops[key][0], loops[key][1], 2)
+        if key == "int8obwd":
+            # Trace happens at first call — keep the env live through it.
+            traced_with_env(
+                "FAT_STE_GRADS", "original",
+                lambda: run_loop(loops[key][0], loops[key][1], 2),
+            )
+        else:
+            run_loop(loops[key][0], loops[key][1], 2)
     checkpoint("wedged during compile/warmup of matmul SOL probe")
     run_loop(mm_loop, (a0, b0), 2)
 
@@ -365,11 +415,12 @@ def measure():
             "fp8bwd": V5E_BF16_PEAK_TFLOPS * 12 / 14,
             # int8 QK runs on the 2x-rate s8 MXU path; cap vs the bf16
             # 12/14 ceiling with the QK pass at half cost: 12/13 of peak.
-            "int8bwd": V5E_BF16_PEAK_TFLOPS * 12 / 13}
+            "int8bwd": V5E_BF16_PEAK_TFLOPS * 12 / 13,
+            "int8obwd": V5E_BF16_PEAK_TFLOPS * 12 / 13}
 
     while True:
         rnd = {}
-        for key in ("fwd", "bwd", "fp8", "fp8bwd", "int8bwd"):
+        for key in ("fwd", "bwd", "fp8", "fp8bwd", "int8bwd", "int8obwd"):
             loop, args, lens, flops = loops[key]
             t_iter, ovh = two_point(loop, args, *lens)
             tf = flops / t_iter / 1e12

@@ -48,6 +48,17 @@ from flashattention_tpu.ops.pallas_attn import (
 from flashattention_tpu.ops.quant import FP8_DTYPE, FP8_MAX, SCALE_EPS
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
+def _ste_original() -> bool:
+    """STE gradient flavor (FAT_STE_GRADS, read at TRACE time): "dequant"
+    (default) = backward on dequantized payloads (reference
+    fa3_bwd.cu:134-146 semantics); "original" = classic straight-through
+    (backward on the original inputs — no dequant pass in the grad path).
+    See the fwd rule's residual note."""
+    import os
+
+    return os.environ.get("FAT_STE_GRADS", "dequant") == "original"
+
+
 def _int8_pv_s8() -> bool:
     """int8 PV strategy (FAT_INT8_PV, read at trace time): "bf16" (default)
     converts the v tile with a single cheap s8->bf16 astype and keeps p in
@@ -647,6 +658,20 @@ def _fp8_attention_fwd_rule(q, k, v, seed, q_ids, kv_ids, slopes, causal,
     # (custom_vjp rejects mismatched cotangent avals under mixed precision).
     kd_tag = jnp.zeros((0,), k.dtype)
     vd_tag = jnp.zeros((0,), v.dtype)
+    # STE flavor (FAT_STE_GRADS, trace time): "dequant" (default) saves
+    # the payloads and the backward runs on DEQUANTIZED values — the
+    # reference's fa3_bwd.cu:134-146 choice (the backward linearizes the
+    # quantized forward). "original" is the classic straight-through
+    # estimator (Bengio et al. 2013: treat quantize as identity in the
+    # backward) — the backward runs on the ORIGINAL inputs, which are
+    # free residuals: no dequant pass exists anywhere in the grad path
+    # (the 8-bit fwd+bwd's only structural overhead vs bf16 otherwise —
+    # one 144 MB HBM-bound pass at the N=8K headline shape).
+    if _ste_original():
+        return (o_out, lse_out), (
+            q, k, v, None, None, None, seed, q_ids, kv_ids, slopes, o_out,
+            lse_out, bq, bk, n_k, kd_tag, vd_tag,
+        )
     return (o_out, lse_out), (
         q8, k8, v8, sq, sk, sv, seed, q_ids, kv_ids, slopes, o_out,
         lse_out, bq, bk, n_k, kd_tag, vd_tag,
@@ -664,13 +689,25 @@ def _fp8_attention_bwd_rule(causal, softmax_scale, block_q, block_k,
     (q8, k8, v8, sq, sk, sv, seed, q_ids, kv_ids, slopes, o, lse, bq, bk,
      n_k, kd_tag, vd_tag) = residuals
     do, dlse = cotangents
-    # _dequant_bf16 = bit-surgery decode (exact for every e4m3fn/e5m2
-    # value): identical values to the native-cast path but avoids v5e's
-    # slow fp8 .astype, and is the SAME expression the predecode forward
-    # emits — XLA CSEs the two passes when fwd+bwd trace into one jit.
-    qd = _dequant_bf16(q8, sq, bq)
-    kd = _dequant_bf16(k8, sk, bk)
-    vd = _dequant_bf16(v8, sv, bk)
+    if _ste_original():
+        # Classic STE (see fwd rule): residuals hold the ORIGINAL inputs;
+        # pad to the backward tiling like _prepare_fp8 does for payloads.
+        qd = _pad_dim(q8.astype(jnp.bfloat16), 2, bq)
+        kd = _pad_dim(k8.astype(jnp.bfloat16), 2, bk)
+        vd = _pad_dim(v8.astype(jnp.bfloat16), 2, bk)
+        if qd.shape[-1] % LANES and qd.shape[-1] != 64:
+            qd = _pad_dim(qd, 3, LANES)
+            kd = _pad_dim(kd, 3, LANES)
+            vd = _pad_dim(vd, 3, LANES)
+    else:
+        # _dequant_bf16 = bit-surgery decode (exact for every e4m3fn/e5m2
+        # value): identical values to the native-cast path but avoids
+        # v5e's slow fp8 .astype, and is the SAME expression the
+        # predecode forward emits — XLA CSEs the two passes when fwd+bwd
+        # trace into one jit.
+        qd = _dequant_bf16(q8, sq, bq)
+        kd = _dequant_bf16(k8, sk, bk)
+        vd = _dequant_bf16(v8, sv, bk)
     n_q, d = o.shape[2], o.shape[3]
     op = _pad_dim(o.astype(jnp.bfloat16), 2, bq)
     dop = _pad_dim(do.astype(jnp.bfloat16), 2, bq)
@@ -840,14 +877,18 @@ def pallas_fp8_attention(
         # int8 payloads have NO decode chain — the raw s8 tiles feed the
         # MXU directly — so plain fused is optimal at every shape; ditto
         # single-q-tile fp8 (each K/V tile is decoded exactly once anyway).
-        # Multi-q-tile fp8/e5m2 previously fell back to "predecode" (the
-        # plain fused kernel re-decodes K/V once per q tile, a ~20% VPU
-        # tax at N=8K) which pays an O(N*D) XLA dequant pre-pass at full
-        # bf16 HBM traffic — since round 5, "fused_cached" decodes each
-        # tile ONCE into a whole-row VMEM scratch instead, keeping the
-        # 1-byte HBM stream with an O(N_k)-total decode cost. Predecode
-        # remains the fallback when the decoded-row scratch exceeds the
-        # VMEM budget (or under FAT_FP8_CACHED=0 for A/Bs).
+        # Multi-q-tile fp8/e5m2 default to "predecode" (one O(N*D) XLA
+        # dequant pass + the full-speed bf16 kernel): the round-5
+        # "fused_cached" kernel (decode each tile ONCE into a whole-row
+        # VMEM scratch) removes the per-q-tile re-decode tax but measures
+        # PARITY with predecode on wall clock (queue17 A/Bs: fwd median
+        # 1.006, bwd 0.96 — the one-time decode's VPU cost ~= the dequant
+        # pass's HBM cost on this chip), while predecode additionally
+        # lets XLA CSE the STE backward's dequant with the forward's
+        # (fused_cached as auto default cost fp8_fwdbwd ~6 TF, queue17
+        # bench). FAT_FP8_CACHED=1 opts auto into fused_cached where its
+        # actual win matters: no materialized bf16 q/k/v copies (96 MB at
+        # the headline shape) on inference-only paths.
         # softcap/segment_ids/alibi are fused-native since round 4
         # (VERDICT r3 item 7) and no longer force predecode.
         import os
@@ -855,7 +896,7 @@ def pallas_fp8_attention(
         if fmt == "int8" or q.shape[2] <= block_q:
             mode = "fused"
         elif (
-            os.environ.get("FAT_FP8_CACHED", "1") == "1"
+            os.environ.get("FAT_FP8_CACHED", "0") == "1"
             and _cached_fused_fits(q.shape[2], k.shape[2], d,
                                    block_q, block_k)
         ):

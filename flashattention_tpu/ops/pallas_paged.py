@@ -338,6 +338,7 @@ def _decode_kernel_merged(
     softcap=None,
     sinks=0,
     int8_mxu=None,
+    ablate=None,
 ):
     """Step-merged decode: one online-softmax update per (head, STEP).
 
@@ -383,6 +384,13 @@ def _decode_kernel_merged(
         m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        if ablate == "noconvert":
+            # Measurement-only arm (FAT_PAGED_ABLATE, scripts/tpu_queue18):
+            # the landing/convert stores below are skipped, so zero the
+            # scratch once to keep the arithmetic finite. Output is wrong
+            # BY DESIGN; only the timing is read.
+            kc_scr[...] = jnp.zeros_like(kc_scr)
+            vc_scr[...] = jnp.zeros_like(vc_scr)
 
     # Land the step's pages contiguously: kc/vc hold S*page slots per head.
     # int8-MXU paths (int8_mxu in {None, "full", "qk"}): the K scratch keeps
@@ -392,7 +400,7 @@ def _decode_kernel_merged(
     # ONE cheap s8->bf16 astype and keeps p in bf16 — the decode analogue of
     # the FA3 hybrid-PV verdict (pallas_fp8._int8_pv_s8: the p-requant VPU
     # chain serializes against the MXU and measured slower).
-    for s in range(s_count):
+    for s in range(s_count if ablate != "noconvert" else 0):
         if int8_mxu:
             kc_scr[:, s * page_size: (s + 1) * page_size, :] = k_refs[s][:, 0]
         else:
@@ -446,7 +454,7 @@ def _decode_kernel_merged(
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32 else None
     )
-    for h in range(h_kv):
+    for h in range(h_kv if ablate != "onehead" else 1):
         r0, r1 = h * g_pad, (h + 1) * g_pad
         if int8_mxu:
             # Quantize q per ROW (g_pad x d — tiny vs the width x d cache):
@@ -687,6 +695,11 @@ def pallas_paged_attention(
     # (92,987 vs 82,957 tok/s, both at their best arms —
     # queue12/decode_ablate_v2, VERDICT r3 item 1 done-criterion).
     int8_mxu = _mxu_mode if merged else None
+    # Measurement-only kernel ablations (merged kernel, timing attribution
+    # for queue18 — outputs are WRONG under these; never set in serving):
+    # "noconvert" skips the landing/convert stores, "onehead" runs one
+    # head's update. Read at trace time like every FAT_* knob.
+    _ablate = os.environ.get("FAT_PAGED_ABLATE") or None
     if pps_defaulted and int8_mxu != "qk" and _mxu_mode == "qk":
         # Merged int8-qk was the basis for the 4-page default but the
         # VMEM/page-size gate disabled merged — the flat convert path's
@@ -725,6 +738,7 @@ def pallas_paged_attention(
         softcap=float(softcap) if softcap is not None else None,
         sinks=int(sinks),
         **({"int8_mxu": int8_mxu} if int8_mxu else {}),
+        **({"ablate": _ablate} if (_ablate and merged) else {}),
     )
 
     def idx_q(b_, j, pi_, ln):

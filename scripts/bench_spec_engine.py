@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--quant", default=None,
                     choices=[None, "int8", "fp8", "e5m2"])
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint dir from scripts/distill_draft.py: "
+                    "swaps the random-init target/draft for the TRAINED "
+                    "pair (realistic acceptance) and uses in-distribution "
+                    "prose prompts via the saved tokenizer")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -73,12 +78,44 @@ def main():
         cfg, n_layers=args.draft_layers, d_model=args.draft_d_model,
         n_heads=args.draft_d_model // 128, d_ff=4 * args.draft_d_model,
     )
-    params = init_transformer(jax.random.key(0), cfg)
-    dparams = init_transformer(jax.random.key(1), dcfg)
+    if args.ckpt:
+        import pickle
+        from pathlib import Path
 
-    rng = np.random.default_rng(0)
-    prompts = [list(rng.integers(0, cfg.vocab_size, size=32))
-               for _ in range(args.batch)]
+        from flashattention_tpu.tokenizer import BPETokenizer
+
+        ck = Path(args.ckpt)
+        with open(ck / "target.pkl", "rb") as f:
+            tgt = pickle.load(f)
+        with open(ck / "draft.pkl", "rb") as f:
+            drf = pickle.load(f)
+        cfg = TransformerConfig(**tgt["cfg"])
+        dcfg = TransformerConfig(**drf["cfg"])
+        params = jax.tree_util.tree_map(jnp.asarray, tgt["params"])
+        dparams = jax.tree_util.tree_map(jnp.asarray, drf["params"])
+        tok = BPETokenizer.from_files(ck / "encoder.json", ck / "vocab.bpe")
+        # In-distribution prompts: the draft was distilled on stdlib
+        # docstring prose, so prompt with stdlib docstrings (acceptance on
+        # out-of-distribution random tokens would undersell the draft).
+        import json as _json
+        import os as _os
+        import textwrap as _tw
+
+        texts = [m.__doc__ or "" for m in (_os, _json, _tw, time)]
+        prompts = [
+            list(tok.encode(" ".join((t or "module").split())[:200]))[:32]
+            for t in texts
+        ]
+        while len(prompts) < args.batch:
+            prompts.append(prompts[len(prompts) % max(len(texts), 1)])
+        prompts = prompts[: args.batch]
+    else:
+        params = init_transformer(jax.random.key(0), cfg)
+        dparams = init_transformer(jax.random.key(1), dcfg)
+
+        rng = np.random.default_rng(0)
+        prompts = [list(rng.integers(0, cfg.vocab_size, size=32))
+                   for _ in range(args.batch)]
 
     base_kw = dict(
         max_batch_size=args.batch, page_size=64, num_pages=512,
@@ -229,6 +266,7 @@ def main():
             "tokens_per_req": args.tokens, "layers": args.layers,
             "d_model": args.d_model, "draft_layers": args.draft_layers,
             "draft_d_model": args.draft_d_model, "quant": args.quant,
+            "ckpt": args.ckpt,
         },
         "note": ("engine-level wall clock incl host ticks; spec does "
                  "2 dispatches per round of <=gamma+1 tokens vs plain's "

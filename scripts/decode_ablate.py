@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--variants", default=None,
                     help="comma list of base variants to run (default all); "
                          "pps arms filter by their base name")
+    ap.add_argument("--ablate", action="store_true",
+                    help="add kernel-stage attribution arms (noconvert/"
+                         "onehead; outputs wrong by design, timing only)")
     ap.add_argument("--pps", default=None,
                     help="comma list of pages_per_step for extra int8 rows")
     ap.add_argument("--out", default=None)
@@ -134,6 +137,22 @@ def main():
             (f"fp8-pps{p}", jnp.float8_e4m3fn, {"FAT_FP8_DECODE": "magic"},
              True, p),
         ]
+
+    if args.ablate:
+        # Timing-attribution arms (outputs WRONG by design — kernel skips
+        # the named stage; only the delta vs the prod arm is read):
+        # noconvert = landing/convert stores skipped, onehead = one head's
+        # softmax/PV update. Per-path, same pps as the prod arm.
+        for base, dtype, env, quant in [
+            ("int8-qk", jnp.int8, {"FAT_PAGED_INT8_MXU": "qk"}, True),
+            ("bf16", jnp.bfloat16, {}, False),
+            ("fp8", jnp.float8_e4m3fn, {"FAT_FP8_DECODE": "magic"}, True),
+        ]:
+            for ab in ("noconvert", "onehead"):
+                variants.append((
+                    f"{base}-{ab}", dtype,
+                    {**env, "FAT_PAGED_ABLATE": ab}, quant, None,
+                ))
 
     if args.variants:
         want = set(args.variants.split(","))

@@ -61,9 +61,9 @@ def test_fp8_kernel_vs_quantized_oracle(shape, causal, mode):
 
 def test_fp8_modes_agree_and_auto_resolves():
     """The execution strategies compute the same quantized math (to bf16
-    rounding); auto picks fused for single-q-tile shapes, fused_cached
-    (bit-identical to fused) for multi-q-tile, and predecode under
-    FAT_FP8_CACHED=0."""
+    rounding); auto picks fused for single-q-tile shapes, predecode for
+    multi-q-tile (STE-dequant CSE — queue17), and fused_cached
+    (bit-identical to fused) under FAT_FP8_CACHED=1."""
     q, k, v = make_qkv(1, 2, 384, 64, dtype=jnp.bfloat16)
     o_f, lse_f = pallas_fp8_attention(
         q, k, v, causal=True, block_q=BQ, block_k=BK, mode="fused"
@@ -73,25 +73,26 @@ def test_fp8_modes_agree_and_auto_resolves():
     )
     assert_allclose(o_p, o_f, rtol=2.5e-2, atol=2.5e-2)
     assert_allclose(lse_p, lse_f, rtol=1e-2, atol=1e-2)
-    # auto -> fused_cached at multi-q-tile shapes (round 5): decode-once
-    # VMEM cache, bit-identical to the plain fused kernel's math.
+    # auto -> predecode at multi-q-tile shapes (wall-clock parity with
+    # fused_cached but the STE backward's dequant CSEs with it — queue17);
+    # FAT_FP8_CACHED=1 opts auto into the decode-once VMEM-cache kernel,
+    # which is bit-identical to plain fused.
     o_a, _ = pallas_fp8_attention(
         q, k, v, causal=True, block_q=BQ, block_k=BK
     )
-    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_f))
+    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_p))
     o_c, _ = pallas_fp8_attention(
         q, k, v, causal=True, block_q=BQ, block_k=BK, mode="fused_cached"
     )
     np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_f))
-    # FAT_FP8_CACHED=0 restores the predecode fallback.
     import os
 
-    os.environ["FAT_FP8_CACHED"] = "0"
+    os.environ["FAT_FP8_CACHED"] = "1"
     try:
-        o_a0, _ = pallas_fp8_attention(
+        o_a1, _ = pallas_fp8_attention(
             q, k, v, causal=True, block_q=BQ, block_k=BK
         )
-        np.testing.assert_array_equal(np.asarray(o_a0), np.asarray(o_p))
+        np.testing.assert_array_equal(np.asarray(o_a1), np.asarray(o_f))
     finally:
         del os.environ["FAT_FP8_CACHED"]
     o_a1, _ = pallas_fp8_attention(
@@ -506,3 +507,36 @@ def test_int8_fmt_validation():
     q, k, v = make_qkv(1, 1, 128, 64)
     with pytest.raises(ValueError, match="fmt"):
         pallas_fp8_attention(q, k, v, fmt="int4")
+
+
+def test_ste_original_grads_in_quant_class(monkeypatch):
+    """FAT_STE_GRADS=original (classic straight-through: backward on the
+    ORIGINAL inputs — no dequant pass in the grad path) must produce
+    gradients within the quantization class of both the default dequant
+    flavor (the reference's fa3_bwd choice) and the exact bf16 grads."""
+    from flashattention_tpu.ops.pallas_attn import pallas_attention
+
+    q, k, v = make_qkv(1, 2, 384, 64, dtype=jnp.float32)
+
+    def loss(fn):
+        def f(t):
+            o, _ = fn(t[0], t[1], t[2])
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        return f
+
+    fn = lambda a, b, c: pallas_fp8_attention(  # noqa: E731
+        a, b, c, causal=True, block_q=BQ, block_k=BK, fmt="int8"
+    )
+    g_deq = jax.grad(loss(fn))((q, k, v))
+    monkeypatch.setenv("FAT_STE_GRADS", "original")
+    g_orig = jax.grad(loss(fn))((q, k, v))
+    monkeypatch.delenv("FAT_STE_GRADS")
+    g_exact = jax.grad(loss(
+        lambda a, b, c: pallas_attention(
+            a, b, c, causal=True, block_q=BQ, block_k=BK
+        )
+    ))((q, k, v))
+    for d_, o_, e_ in zip(g_deq, g_orig, g_exact):
+        scale = float(jnp.max(jnp.abs(e_)))
+        assert float(jnp.max(jnp.abs(o_ - d_))) / scale < 5e-2
+        assert float(jnp.max(jnp.abs(o_ - e_))) / scale < 5e-2
