@@ -95,9 +95,10 @@ def main() -> None:
     )
     dcfg = dataclasses.replace(cfg, d_model=128, n_layers=2, d_ff=512,
                                n_heads=4)
+    warm = min(20, max(1, ns.steps // 4))
     tc = TrainConfig(
         batch_size=8, seq_len=seq_len, total_steps=ns.steps, grad_accum=1,
-        warmup_steps=20, log_every=50, learning_rate=3e-4,
+        warmup_steps=warm, log_every=50, learning_rate=3e-4,
     )
 
     # --- target ---
@@ -111,8 +112,9 @@ def main() -> None:
 
     # --- distill draft on teacher argmax ---
     dparams = init_transformer(jax.random.key(7), dcfg)
+    dwarm = min(20, max(1, ns.draft_steps // 4))
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(
-        0.0, 1e-3, 20, max(ns.draft_steps, 21)))
+        0.0, 1e-3, dwarm, max(ns.draft_steps, dwarm + 1)))
     opt_state = tx.init(dparams)
 
     def distill_loss(dp, tp, batch_x):
