@@ -268,8 +268,10 @@ def _bwd_scores(q, k, *, alibi, slopes_ref, ih, softcap, use_mask,
                                    block_k, offset)
     dcap = None
     if softcap is not None:
-        # d(cap*tanh(x/cap))/dx = 1 - tanh^2
-        tcap = _mosaic_tanh(s2 * jnp.float32(1.0 / softcap))
+        # d(cap*tanh(x/cap))/dx = 1 - tanh^2 (with the poly/recip impls
+        # the derivative is evaluated at the approximated tanh — error
+        # within the impl's documented bound, _softcap_tanh)
+        tcap = _softcap_tanh(s2 * jnp.float32(1.0 / softcap))
         s2 = jnp.float32(softcap) * tcap
         dcap = 1.0 - tcap * tcap
     mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
@@ -374,9 +376,53 @@ def _fwd_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    lagged_env = _lagged_env()
+    # Lagged-max is SOUND only while one tile's rowmax cannot exceed the
+    # previous running max by >= 60 (the clamp that stops exp overflow;
+    # see the lagged branch note). ALiBi breaks that bound STRUCTURALLY:
+    # for causal+alibi each successive KV tile's best column is nearer
+    # the diagonal, so the rowmax climbs by slope * block_k per tile
+    # (256 at slope 0.5, block 1024 — H=8's steepest standard slope) and
+    # the clamp corrupts p (measured 3.9 abs error at N=1000; round-5
+    # find — shallow-slope tests never tripped it). Softcap bounds
+    # |s| <= cap, so the climb is <= 2*cap: safe iff cap <= 30.
+    lagged_env = _lagged_env() and not alibi and (
+        softcap is None or softcap <= 30.0
+    )
+
+    # Sub-tile interleave (FAT_FWD_SUBTILES, round 5 — the d=64 lever):
+    # process the (block_q, block_k) tile as `subs` sequential online-
+    # softmax sub-updates over block_k/subs-wide K/V slices. Sub-update
+    # si+1's QK^T matmul is data-independent of sub-update si's softmax
+    # chain, so Mosaic can co-issue the next slice's MXU work with the
+    # current slice's VPU work. At d=128 the VPU chain is ~37% of MXU
+    # time and this measured within noise (round 2, CLAUDE.md); at d=64
+    # both matmuls run at ~half MXU rate while the per-element VPU chain
+    # is unchanged (~2x relative) — the serialization is the measured
+    # ~45%-of-ceiling gap (RESULTS.md r5 d=64 cost model). Gated off
+    # under segments (kseg block layout is per-tile) and dropout (the
+    # keep-mask counter keys on full-tile indices shared with the bwd).
+    subs = int(os.environ.get("FAT_FWD_SUBTILES", "1"))
+    if (segmented or dropout_rate > 0.0 or subs < 2
+            or block_k % subs or (block_k // subs) % LANES):
+        subs = 1
 
     def _update(use_mask, lagged_tile=False):
+        if subs == 1:
+            _sub_update(use_mask, lagged_tile, k_ref[0, 0], v_ref[0, 0],
+                        ik, block_k)
+            return
+        sub_k = block_k // subs
+        for si in range(subs):
+            _sub_update(
+                use_mask,
+                lagged_tile or si > 0,
+                k_ref[0, 0, si * sub_k:(si + 1) * sub_k, :],
+                v_ref[0, 0, si * sub_k:(si + 1) * sub_k, :],
+                ik * subs + si,
+                sub_k,
+            )
+
+    def _sub_update(use_mask, lagged_tile, k, v, eff_ik, eff_bk):
         # NOTE: exp2-domain softmax was tried and reverted — Mosaic lowers
         # jnp.exp2 through a slow path on v5e (5-8x whole-kernel regression,
         # measured 2026-08-16). Natural exp it is.
@@ -396,23 +442,22 @@ def _fwd_kernel(
             q = q_ref[0, 0] * softmax_scale
         else:
             q = q_ref[0, 0]
-        k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if not scale_fold:
             s = s * jnp.float32(softmax_scale)
         if alibi:
-            s = s + _alibi_tile_bias(slopes_ref, ih, iq, ik, block_q,
-                                     block_k, offset)
+            s = s + _alibi_tile_bias(slopes_ref, ih, iq, eff_ik, block_q,
+                                     eff_bk, offset)
         if softcap is not None:
             # Logit soft-capping (Gemma-2 / flash-attn softcap): bound the
             # scaled scores BEFORE masking — tanh saturates the mask value.
-            s = jnp.float32(softcap) * _mosaic_tanh(
+            s = jnp.float32(softcap) * _softcap_tanh(
                 s * jnp.float32(1.0 / softcap)
             )
         mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,
-                              iq, ik, block_q, block_k, n_q, n_k, causal,
+                              iq, eff_ik, block_q, eff_bk, n_q, n_k, causal,
                               offset, window, sinks)
         if mask is not None:
             s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -452,7 +497,6 @@ def _fwd_kernel(
                     seed_ref[0], bh, iq, ik, block_q, block_k, dropout_rate,
                 )
                 p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
-            v = v_ref[0, 0]
             acc_mid = acc_scr[...] + jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
@@ -487,7 +531,6 @@ def _fwd_kernel(
             )
             p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
 
-        v = v_ref[0, 0]
         acc_scr[...] = acc_scr[...] * alpha[:, :1] + jax.lax.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )

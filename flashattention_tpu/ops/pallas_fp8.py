@@ -42,6 +42,7 @@ from flashattention_tpu.ops.pallas_attn import (
     _interpret_default,
     _keep_mask,
     _mosaic_tanh,
+    _softcap_tanh,
     _pad_dim,
     _seg_layouts,
 )
@@ -132,7 +133,10 @@ def _fp8_fwd_kernel(
     # same rowmax -> exp -> PV chain. Same env knob, read at trace time.
     from flashattention_tpu.ops.pallas_attn import _lagged_env as _le
 
-    lagged_env = _le()
+    # Same soundness gate as the bf16 kernel (round 5): ALiBi climbs the
+    # per-tile rowmax by slope * block_k — beyond the lagged frame's +60
+    # clamp — and softcap bounds the climb by 2*cap.
+    lagged_env = _le() and not alibi and (softcap is None or softcap <= 30.0)
 
     from flashattention_tpu.ops.pallas_paged import (
         _fp8_e4m3_to_bf16_bits,
@@ -218,8 +222,9 @@ def _fp8_fwd_kernel(
                                      block_k, offset)
         if softcap is not None:
             # Same placement as the bf16 kernel: cap the (descaled) scores
-            # BEFORE masking — tanh saturates the mask value.
-            s = jnp.float32(softcap) * _mosaic_tanh(
+            # BEFORE masking — tanh saturates the mask value. Impl picked
+            # by FAT_SOFTCAP_IMPL (pallas_attn._softcap_tanh).
+            s = jnp.float32(softcap) * _softcap_tanh(
                 s * jnp.float32(1.0 / softcap)
             )
         mask = _combined_mask(use_mask, segmented, qseg_ref, kseg_ref,

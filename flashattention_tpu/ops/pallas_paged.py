@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flashattention_tpu.ops.pallas_attn import _mosaic_tanh
+from flashattention_tpu.ops.pallas_attn import _mosaic_tanh, _softcap_tanh
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE as _MASK_VALUE
 
 
@@ -262,7 +262,7 @@ def _decode_kernel(
                     scores = scores * ks_refs[s][h, 0]
                 if softcap is not None:
                     # Cap BEFORE masking (tanh saturates mask values).
-                    scores = softcap * _mosaic_tanh(scores * (1.0 / softcap))
+                    scores = softcap * _softcap_tanh(scores * (1.0 / softcap))
                 if window is None:
                     # -inf is exact here: page 0 always holds a valid slot
                     # for every row, so the running max is finite before any
@@ -486,7 +486,7 @@ def _decode_kernel_merged(
                 # multiply.
                 scores = scores * ks_row[h:h + 1, :]
         if softcap is not None:
-            scores = softcap * _mosaic_tanh(scores * (1.0 / softcap))
+            scores = softcap * _softcap_tanh(scores * (1.0 / softcap))
         # Unlike the flat kernel, a whole step CAN be past a short
         # sequence (no per-page predicate), making every column masked:
         # use the finite mask value + explicit p zeroing unconditionally

@@ -6,6 +6,7 @@ fori_loop with a TRACED trip count (bench.py docstring — per-dispatch tunnel
 overhead is 0.4-1.7 s and would swamp a fixed short loop).
 """
 import functools
+import os
 import sys
 import time
 
@@ -18,7 +19,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B, H, N, D = 1, 8, 8192, 128
+# FAT_ABLATE_DIM switches the whole study's head dim (round 5: the d=64
+# cell runs at ~45% of its matmul ceiling and the suspect is VPU/MXU
+# serialization — the twostep/mm_only variants at D=64 attribute it).
+B, H, N = 1, 8, 8192
+D = int(os.environ.get("FAT_ABLATE_DIM", "128"))
 FWD_FLOPS = 4 * B * H * N * N * D
 
 

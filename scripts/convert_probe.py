@@ -58,14 +58,16 @@ def make_loop(name):
     dtype, fn = CASES[name]
 
     def kernel(x_ref, o_ref):
-        # Data-dependent chain: each iteration converts the payload and
-        # folds a scalar from the result back into the accumulator, so
-        # Mosaic can neither hoist nor DCE the converts.
+        # Each iteration converts a DIFFERENT row-slice of the (4x-tall)
+        # payload buffer (offset varies with the loop index), so Mosaic
+        # cannot hoist the convert out of the loop; the accumulator fold
+        # stops DCE.
         acc = jnp.zeros((8, 128), jnp.float32)
 
         def body(i, acc):
-            f = fn(x_ref[...]).astype(jnp.float32)
-            return acc + f[:8, :128] + i.astype(jnp.float32) * 1e-9
+            off = pl.multiple_of((i % 4) * ROWS, ROWS)
+            f = fn(x_ref[:, pl.ds(off, ROWS), :]).astype(jnp.float32)
+            return acc + f[0, :8, :128] + i.astype(jnp.float32) * 1e-9
 
         o_ref[...] = lax.fori_loop(0, CHAIN, body, acc)
 
@@ -106,11 +108,11 @@ def main():
     for name, (dtype, _) in CASES.items():
         if dtype == jnp.int8:
             x = jax.random.randint(
-                jax.random.key(0), (H, ROWS, D), -127, 128, jnp.int32
+                jax.random.key(0), (H, 4 * ROWS, D), -127, 128, jnp.int32
             ).astype(jnp.int8)
         else:
             x = jax.random.normal(
-                jax.random.key(0), (H, ROWS, D), jnp.float32
+                jax.random.key(0), (H, 4 * ROWS, D), jnp.float32
             ).astype(dtype)
         loops[name] = (make_loop(name), x)
         loops[name][0](jnp.int32(2), x)

@@ -138,6 +138,10 @@ def main():
              True, p),
         ]
 
+    if args.variants:
+        want = set(args.variants.split(","))
+        variants = [v for v in variants if v[0].split("-pps")[0] in want]
+
     if args.ablate:
         # Timing-attribution arms (outputs WRONG by design — kernel skips
         # the named stage; only the delta vs the prod arm is read):
@@ -153,10 +157,6 @@ def main():
                     f"{base}-{ab}", dtype,
                     {**env, "FAT_PAGED_ABLATE": ab}, quant, None,
                 ))
-
-    if args.variants:
-        want = set(args.variants.split(","))
-        variants = [v for v in variants if v[0].split("-pps")[0] in want]
 
     built = []
     for name, dtype, env, quantized, pps in variants:

@@ -1003,3 +1003,58 @@ def test_bwd_q_slab_decomposition_matches_resident(causal, monkeypatch):
 
     jax.grad(loss_off, argnums=(0, 1, 2))(q, k, v)
     assert len(calls) == 1, calls
+
+
+def test_lagged_gate_alibi_steep_slopes_and_deep_softcap(monkeypatch):
+    """Round-5 correctness find: the lagged-max frame's +60 clamp assumes
+    one tile's rowmax never exceeds the previous running max by >= 60.
+    Causal ALiBi VIOLATES that structurally (the rowmax climbs by
+    slope * block_k per KV tile — 3.9 abs output error at slope 0.5,
+    block 512, N=1000), and softcap > 30 can too (climb <= 2*cap). The
+    kernel must fall back to the standard schedule for those configs —
+    lagged env ON must produce standard-path outputs exactly."""
+    q, k, v = make_qkv(1, 2, 1000, 64, dtype=jnp.float32)
+    steep = jnp.asarray([0.25, 0.5])  # H=8's standard schedule peaks at 0.5
+    for kw in (
+        dict(alibi_slopes=steep),
+        dict(softcap=50.0),
+    ):
+        monkeypatch.setenv("FAT_FWD_LAGGED_MAX", "0")
+        o_std, lse_std = pallas_attention(
+            q, k, v, causal=True, block_q=256, block_k=512, **kw
+        )
+        monkeypatch.setenv("FAT_FWD_LAGGED_MAX", "1")
+        o_lag, lse_lag = pallas_attention(
+            q, k, v, causal=True, block_q=256, block_k=512, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(o_lag), np.asarray(o_std))
+        np.testing.assert_array_equal(
+            np.asarray(lse_lag), np.asarray(lse_std)
+        )
+
+
+@pytest.mark.parametrize("subs", ["2", "4"])
+def test_fwd_subtile_interleave_parity(subs, monkeypatch):
+    """FAT_FWD_SUBTILES (the d=64 MXU/VPU-overlap lever) must reproduce
+    the single-pass tile results across causal/window/sinks/softcap and
+    both lagged modes (fp32 CPU: exact class)."""
+    q, k, v = make_qkv(1, 2, 1000, 64, dtype=jnp.float32)
+    for lag in ("0", "1"):
+        monkeypatch.setenv("FAT_FWD_LAGGED_MAX", lag)
+        for kw in (
+            dict(causal=True),
+            dict(causal=False),
+            dict(causal=True, window=256, sinks=32),
+            dict(causal=True, softcap=20.0),
+        ):
+            monkeypatch.delenv("FAT_FWD_SUBTILES", raising=False)
+            o1, l1 = pallas_attention(
+                q, k, v, block_q=256, block_k=512, **kw
+            )
+            monkeypatch.setenv("FAT_FWD_SUBTILES", subs)
+            o2, l2 = pallas_attention(
+                q, k, v, block_q=256, block_k=512, **kw
+            )
+            monkeypatch.delenv("FAT_FWD_SUBTILES")
+            assert_allclose(o2, o1, rtol=1e-5, atol=1e-5)
+            assert_allclose(l2, l1, rtol=1e-4, atol=1e-4)
