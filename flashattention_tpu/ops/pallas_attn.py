@@ -206,17 +206,31 @@ _TANH_POLY = (
 
 def _softcap_tanh(x):
     """tanh used by the softcap chain — implementation picked at TRACE
-    time via FAT_SOFTCAP_IMPL (softcap measured 1.73x whole-kernel forward
-    with the exp-form chain, queue11/ab_softcap_inproc; candidates to buy
-    that back are A/B'd in scripts/tpu_queue18.sh):
+    time via FAT_SOFTCAP_IMPL (softcap measured 1.73-1.9x whole-kernel
+    forward with the exp-form chain — queue11 + the queue18 triple
+    control):
 
-      - "exp" (default): _mosaic_tanh — exp + exact divide, error ~1e-7.
-      - "recip": exp + pl.reciprocal(approx=True) — the documented fast
-        VPU reciprocal replaces the exact divide; error ~2^-12 relative.
+      - "recip" (DEFAULT on real TPU since round 5): exp +
+        pl.reciprocal(approx=True) — the fast VPU reciprocal replaces
+        the exact divide, which the A/B shows is the chain's expensive
+        op: softcap overhead drops to median 1.24x
+        (queue18b/ab_softcap_recip; TPU parity vs the capped oracle
+        7.8e-3 = the same bf16 class as exp).
+      - "exp" (default under interpret/CPU): _mosaic_tanh — exp + exact
+        divide, error ~1e-7. Interpret's emulation of the approx
+        reciprocal is far coarser than the hardware (4.8e-2 vs 7.8e-3
+        output class), so the CPU exactness gate keeps the exact chain;
+        this is the same backend-precision split the fp32-matmul notes
+        document.
       - "poly": clamped odd polynomial (_TANH_POLY) — no exp, no divide;
-        error <= 1e-3 absolute (capped-score error cap * 1e-3).
+        error <= 1e-3 absolute, but MEASURED SLOWER than the exp chain
+        (median 2.10x, queue18b — 8 serial FMAs beat a divide on latency
+        but lose on the VPU's issue width).
     """
-    impl = os.environ.get("FAT_SOFTCAP_IMPL", "exp")
+    default = (
+        "recip" if jax.default_backend() == "tpu" else "exp"
+    )
+    impl = os.environ.get("FAT_SOFTCAP_IMPL", default)
     if impl == "poly":
         xc = jnp.clip(x, -3.5, 3.5)
         x2 = xc * xc
