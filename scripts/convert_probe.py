@@ -65,7 +65,12 @@ def make_loop(name):
         acc = jnp.zeros((8, 128), jnp.float32)
 
         def body(i, acc):
-            off = pl.multiple_of((i % 4) * ROWS, ROWS)
+            # Offset depends on the ACCUMULATOR (never-true predicate, but
+            # the compiler can't prove it), so iterations can be neither
+            # unroll-CSE'd to 4 hoisted converts (the first revision's
+            # failure: negative two-point fits, queue18b) nor reordered.
+            bump = jnp.where(acc[0, 0] > 1e30, 1, 0).astype(jnp.int32)
+            off = pl.multiple_of(((i + bump) % 4) * ROWS, ROWS)
             f = fn(x_ref[:, pl.ds(off, ROWS), :]).astype(jnp.float32)
             return acc + f[0, :8, :128] + i.astype(jnp.float32) * 1e-9
 

@@ -58,6 +58,15 @@ step() {
   fi
 }
 
+# d64 in-kernel matmul ceiling (queue18b's run wedged before a reading)
+step d64_mm_only 1800 env FAT_ABLATE_DIM=64 \
+  python scripts/ablate_fwd.py mm_only 1024 1024
+
+# convert-chain probe (fixed: accumulator-dependent slice defeats the
+# unroll-CSE that produced queue18b's negative fits)
+step convert_probe 2400 python scripts/convert_probe.py \
+  --out "$REPO/benchmarks/results/convert_probe_r05.json"
+
 step sweep_main 14400 python -m flashattention_tpu.bench.sweep \
   --algos fa2 --backends pallas --directions forward backward \
   --seqlens 512 1024 2048 4096 8192 16384 --dims 64 128 256 \
