@@ -37,6 +37,7 @@ online-softmax reduction sequentially.
 
 from __future__ import annotations
 
+import contextvars
 import functools
 import os
 
@@ -204,6 +205,25 @@ _TANH_POLY = (
 )
 
 
+_SOFTCAP_INTERPRET = contextvars.ContextVar(
+    "_fat_softcap_interpret", default=False
+)
+
+
+def _softcap_launch(call, interpret, *args):
+    """Invoke a built ``pl.pallas_call`` with ``_SOFTCAP_INTERPRET`` bound
+    to this launch's ``interpret`` flag. Kernel tracing happens inside this
+    dynamic extent, so ``_softcap_tanh``'s default-impl pick can see
+    interpret=True even on a TPU-backend process (interpret's emulation of
+    the approx reciprocal is ~6x coarser than hardware — docstring there);
+    kernels are module-level functions, so the flag can't ride a closure."""
+    tok = _SOFTCAP_INTERPRET.set(bool(interpret))
+    try:
+        return call(*args)
+    finally:
+        _SOFTCAP_INTERPRET.reset(tok)
+
+
 def _softcap_tanh(x):
     """tanh used by the softcap chain — implementation picked at TRACE
     time via FAT_SOFTCAP_IMPL (softcap measured 1.73-1.9x whole-kernel
@@ -216,19 +236,23 @@ def _softcap_tanh(x):
         op: softcap overhead drops to median 1.24x
         (queue18b/ab_softcap_recip; TPU parity vs the capped oracle
         7.8e-3 = the same bf16 class as exp).
-      - "exp" (default under interpret/CPU): _mosaic_tanh — exp + exact
-        divide, error ~1e-7. Interpret's emulation of the approx
-        reciprocal is far coarser than the hardware (4.8e-2 vs 7.8e-3
-        output class), so the CPU exactness gate keeps the exact chain;
-        this is the same backend-precision split the fp32-matmul notes
-        document.
+      - "exp" (default under interpret/CPU — including interpret=True on
+        a TPU-backend process, seen via _SOFTCAP_INTERPRET): _mosaic_tanh
+        — exp + exact divide, error ~1e-7. Interpret's emulation of the
+        approx reciprocal is far coarser than the hardware (4.8e-2 vs
+        7.8e-3 output class), so the interpret exactness gate keeps the
+        exact chain; this is the same backend-precision split the
+        fp32-matmul notes document. An explicit FAT_SOFTCAP_IMPL is
+        honored anywhere (the A/B harnesses set it deliberately).
       - "poly": clamped odd polynomial (_TANH_POLY) — no exp, no divide;
         error <= 1e-3 absolute, but MEASURED SLOWER than the exp chain
         (median 2.10x, queue18b — 8 serial FMAs beat a divide on latency
         but lose on the VPU's issue width).
     """
     default = (
-        "recip" if jax.default_backend() == "tpu" else "exp"
+        "recip"
+        if jax.default_backend() == "tpu" and not _SOFTCAP_INTERPRET.get()
+        else "exp"
     )
     impl = os.environ.get("FAT_SOFTCAP_IMPL", default)
     if impl == "poly":
@@ -704,7 +728,7 @@ def _flash_fwd(
         )
         args.insert(1, seed)
     flops_mm = 4 * b * h * n_q * n_k * d
-    o, lse = pl.pallas_call(
+    o, lse = _softcap_launch(pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -732,7 +756,7 @@ def _flash_fwd(
             transcendentals=b * h * n_q * n_k,
         ),
         interpret=interpret,
-    )(*args)
+    ), interpret, *args)
     return o, lse
 
 
@@ -1335,7 +1359,7 @@ def _flash_bwd(
                     jnp.where(i == n_k_tiles - 1, j, 0), 0,
                 ),
             )
-            dk, dv, dq = pl.pallas_call(
+            dk, dv, dq = _softcap_launch(pl.pallas_call(
                 functools.partial(_bwd_fused_kernel, resident=True, **common),
                 grid=(b, h, n_k_tiles, n_q_tiles),
                 in_specs=in_specs,
@@ -1358,12 +1382,12 @@ def _flash_bwd(
                     ),
                 ),
                 interpret=interpret,
-            )(*args)
+            ), interpret, *args)
         else:
             dq_part_spec = pl.BlockSpec(
                 (1, 1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, j, 0)
             )
-            dk, dv, dq_part = pl.pallas_call(
+            dk, dv, dq_part = _softcap_launch(pl.pallas_call(
                 functools.partial(
                     _bwd_fused_kernel, resident=False, **common
                 ),
@@ -1389,14 +1413,14 @@ def _flash_bwd(
                     ),
                 ),
                 interpret=interpret,
-            )(*args)
+            ), interpret, *args)
             dq = dq_part.sum(axis=2).astype(q.dtype)
         if groups > 1:
             dk = dk.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
             dv = dv.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
         return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
-    dk, dv = pl.pallas_call(
+    dk, dv = _softcap_launch(pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
         grid=(b, h, n_k_tiles, n_q_tiles),
         in_specs=in_specs,
@@ -1413,7 +1437,7 @@ def _flash_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*args)
+    ), interpret, *args)
     if groups > 1:
         dk = dk.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
         dv = dv.reshape(b, h_kv, groups, n_k_pad, d).sum(axis=2)
@@ -1448,7 +1472,7 @@ def _flash_bwd(
         in_specs2.insert(1, pl.BlockSpec(memory_space=pltpu.SMEM))
         args2.insert(1, seed)
 
-    dq = pl.pallas_call(
+    dq = _softcap_launch(pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(b, h, n_q_pad // block_q, n_k_pad // block_k),
         in_specs=in_specs2,
@@ -1459,7 +1483,7 @@ def _flash_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*args2)
+    ), interpret, *args2)
     return dq, dk, dv
 
 

@@ -41,7 +41,7 @@ from flashattention_tpu.ops.pallas_attn import (
     _flash_fwd,
     _interpret_default,
     _keep_mask,
-    _mosaic_tanh,
+    _softcap_launch,
     _softcap_tanh,
     _pad_dim,
     _seg_layouts,
@@ -476,7 +476,7 @@ def _fp8_fwd(
             pltpu.VMEM((n_k_pad, d), jnp.bfloat16),
         ] if cache_kv else []),
     )
-    o, lse = pl.pallas_call(
+    o, lse = _softcap_launch(pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -494,7 +494,7 @@ def _fp8_fwd(
             ),
         ),
         interpret=interpret,
-    )(*prefetch, *args)
+    ), interpret, *prefetch, *args)
     return o, lse
 
 
@@ -581,8 +581,14 @@ def _cached_fused_fits(n_q, n_k, d, block_q, block_k, out_bytes=2):
     """TOTAL-VMEM gate for mode="fused_cached" (the resident-dQ lesson,
     pallas_attn vmem_est: budget scratches + double-buffered pipeline
     blocks, never one buffer alone). True when the decode-once scratch
-    plus the kernel's standing allocation fits 14 MB of the 16 MB scoped
-    budget."""
+    plus the kernel's standing allocation fits 12 MB of the 16 MB scoped
+    budget — the same 4 MB headroom the backward gate reserves for
+    Mosaic's kernel-STACK temporaries (live (block_q, block_k) fp32
+    score/p planes, measured 2.68 MB at (512,1024) in queue17; a 14 MB
+    estimate compiled to a 16.68 MB scoped allocation there). An explicit
+    mode="fused_cached" bypasses this gate by design (A/B harnesses probe
+    over-budget shapes deliberately; the failure is a loud compile error,
+    not silent corruption)."""
     bq, bk = _fp8_blocks(n_q, n_k, block_q, block_k)
     d_pad = d if (d % LANES == 0 or d == 64) else -(-d // LANES) * LANES
     n_k_pad = -(-n_k // bk) * bk
@@ -596,7 +602,7 @@ def _cached_fused_fits(n_q, n_k, d, block_q, block_k, out_bytes=2):
         # out + lse blocks, double-buffered
         + 2 * (bq * d_pad * out_bytes + bq * 4)
     )
-    return est <= 14 * 1024 * 1024
+    return est <= 12 * 1024 * 1024
 
 
 def _prepare_fp8(q, k, v, block_q, block_k, fmt="fp8"):
@@ -903,7 +909,8 @@ def pallas_fp8_attention(
         elif (
             os.environ.get("FAT_FP8_CACHED", "0") == "1"
             and _cached_fused_fits(q.shape[2], k.shape[2], d,
-                                   block_q, block_k)
+                                   block_q, block_k,
+                                   out_bytes=q.dtype.itemsize)
         ):
             mode = "fused_cached"
         else:

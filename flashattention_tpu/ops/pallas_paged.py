@@ -52,7 +52,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flashattention_tpu.ops.pallas_attn import _mosaic_tanh, _softcap_tanh
+from flashattention_tpu.ops.pallas_attn import _softcap_launch, _softcap_tanh
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE as _MASK_VALUE
 
 
@@ -700,6 +700,17 @@ def pallas_paged_attention(
     # "noconvert" skips the landing/convert stores, "onehead" runs one
     # head's update. Read at trace time like every FAT_* knob.
     _ablate = os.environ.get("FAT_PAGED_ABLATE") or None
+    if _ablate and not merged:
+        # The ablation arms exist only in the merged kernel. Silently
+        # timing the unmodified flat path here would record a "stage
+        # costs nothing" delta into the attribution artifact (ADVICE r5)
+        # — fail loud instead; the arm's shape must keep merged engaged.
+        raise ValueError(
+            f"FAT_PAGED_ABLATE={_ablate!r} requires the merged kernel, "
+            f"but it is disabled at this shape (page_size={page_size}, "
+            "VMEM gate) — the ablation arm would silently time the "
+            "unmodified flat path"
+        )
     if pps_defaulted and int8_mxu != "qk" and _mxu_mode == "qk":
         # Merged int8-qk was the basis for the 4-page default but the
         # VMEM/page-size gate disabled merged — the flat convert path's
@@ -822,7 +833,7 @@ def pallas_paged_attention(
         scratch_shapes=scratch_shapes,
     )
 
-    o = pl.pallas_call(
+    o = _softcap_launch(pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h_kv, g_pad, d), q.dtype),
@@ -830,6 +841,6 @@ def pallas_paged_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(pi.reshape(-1), lengths, *args)
+    ), interpret, pi.reshape(-1), lengths, *args)
     o = o[:, :, :rows, :].reshape(b, h_q, q_len, d)
     return o[:, :, 0, :] if decode else o

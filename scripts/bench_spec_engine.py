@@ -263,9 +263,12 @@ def main():
         "metric": "spec_engine_tokens_per_s",
         "config": {
             "gamma": args.gamma, "batch": args.batch,
-            "tokens_per_req": args.tokens, "layers": args.layers,
-            "d_model": args.d_model, "draft_layers": args.draft_layers,
-            "draft_d_model": args.draft_d_model, "quant": args.quant,
+            # Model dims from the configs ACTUALLY benchmarked — with
+            # --ckpt these come from the checkpoint, not the CLI defaults
+            # (recording args here corrupted provenance; ADVICE r5).
+            "tokens_per_req": args.tokens, "layers": cfg.n_layers,
+            "d_model": cfg.d_model, "draft_layers": dcfg.n_layers,
+            "draft_d_model": dcfg.d_model, "quant": args.quant,
             "ckpt": args.ckpt,
         },
         "note": ("engine-level wall clock incl host ticks; spec does "

@@ -88,6 +88,11 @@ step ab_d64_subs4 2400 python scripts/ab_inproc.py \
   --what fwd --shape 1,8,8192,64 --blocks 1024,1024 \
   --env-b FAT_FWD_SUBTILES=4 --label-a subs1 --label-b subs4 --pairs 3
 
+# PROVENANCE (post-hoc, ADVICE r5): the step NAME says subs2 but the arm
+# that ran is FAT_FWD_SUBTILES=4 at blocks (512,2048) — the committed
+# ab_d64_subs2_2048.log records a subs=4 datapoint (label subs4w is the
+# truthful one). The subs=2/(512,2048) cell was never measured; the
+# interleave verdict (negative at every measured cell) does not rest on it.
 step ab_d64_subs2_2048 2400 python scripts/ab_inproc.py \
   --what fwd --shape 1,8,8192,64 --blocks 512,2048 \
   --env-b FAT_FWD_SUBTILES=4 --label-a subs1 --label-b subs4w --pairs 3

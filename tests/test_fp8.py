@@ -540,3 +540,22 @@ def test_ste_original_grads_in_quant_class(monkeypatch):
         scale = float(jnp.max(jnp.abs(e_)))
         assert float(jnp.max(jnp.abs(o_ - d_))) / scale < 5e-2
         assert float(jnp.max(jnp.abs(o_ - e_))) / scale < 5e-2
+
+
+def test_cached_fused_gate_budget_and_out_bytes():
+    """The fused_cached VMEM gate budgets 12 MB of the 16 MB scoped limit
+    (4 MB headroom for Mosaic kernel-stack temporaries — the r5 lesson:
+    a 14 MB estimate compiled to a 16.68 MB scoped allocation) and sizes
+    out blocks from the real output itemsize (ADVICE r5)."""
+    from flashattention_tpu.ops.pallas_fp8 import _cached_fused_fits
+
+    # Headline shape fits comfortably.
+    assert _cached_fused_fits(8192, 8192, 128, 512, 1024, out_bytes=2)
+    # The decode-once K/V cache alone (2*n_k*d*2B) crosses 12 MB near
+    # n_k=24K at d=128 — must be rejected (the 14 MB budget approved it).
+    assert not _cached_fused_fits(24576, 24576, 128, 512, 1024, out_bytes=2)
+    # Wider out blocks can only shrink the feasible region.
+    for n_k in (4096, 8192, 16384, 24576):
+        if not _cached_fused_fits(n_k, n_k, 128, 512, 1024, out_bytes=2):
+            assert not _cached_fused_fits(n_k, n_k, 128, 512, 1024,
+                                          out_bytes=4)

@@ -1058,3 +1058,41 @@ def test_fwd_subtile_interleave_parity(subs, monkeypatch):
             monkeypatch.delenv("FAT_FWD_SUBTILES")
             assert_allclose(o2, o1, rtol=1e-5, atol=1e-5)
             assert_allclose(l2, l1, rtol=1e-4, atol=1e-4)
+
+
+def test_softcap_impl_default_exp_under_interpret_on_tpu(monkeypatch):
+    """The recip chain's interpret emulation of pl.reciprocal(approx=True)
+    is ~6x coarser than hardware, so the DEFAULT impl must fall back to the
+    exact exp chain whenever the launch is interpreted — even on a process
+    whose default backend is TPU (ADVICE r5). Kernels are module-level, so
+    the launchers bind _SOFTCAP_INTERPRET around the pallas_call invocation
+    (_softcap_launch); an explicit FAT_SOFTCAP_IMPL is honored anywhere."""
+    from flashattention_tpu.ops import pallas_attn as pa
+
+    monkeypatch.delenv("FAT_SOFTCAP_IMPL", raising=False)
+    monkeypatch.setattr(pa.jax, "default_backend", lambda: "tpu")
+    x = jnp.float32(0.37)
+    exact = pa._mosaic_tanh(x)
+    tok = pa._SOFTCAP_INTERPRET.set(True)
+    try:
+        y_interp = pa._softcap_tanh(x)
+    finally:
+        pa._SOFTCAP_INTERPRET.reset(tok)
+    # interpret default == exp chain exactly (same trace, same value)
+    assert float(jnp.abs(y_interp - exact)) == 0.0
+    # explicit env wins even under interpret
+    monkeypatch.setenv("FAT_SOFTCAP_IMPL", "poly")
+    tok = pa._SOFTCAP_INTERPRET.set(True)
+    try:
+        y_poly = pa._softcap_tanh(x)
+    finally:
+        pa._SOFTCAP_INTERPRET.reset(tok)
+    assert float(jnp.abs(y_poly - exact)) > 1e-6  # poly != exp chain
+    # _softcap_launch restores the var even when the call raises
+    def boom(*a):
+        raise RuntimeError("x")
+    try:
+        pa._softcap_launch(boom, True)
+    except RuntimeError:
+        pass
+    assert pa._SOFTCAP_INTERPRET.get() is False

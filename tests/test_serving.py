@@ -1397,3 +1397,36 @@ def test_append_dus_matches_scatter(monkeypatch, quant):
 # tests (serving engine ticks, process-isolated multihost, pipeline/MoE
 # train steps). `pytest -m "not slow"` is the <10 min lane.
 pytestmark = pytest.mark.slow
+
+
+def test_paged_ablate_requires_merged_kernel(monkeypatch):
+    """FAT_PAGED_ABLATE arms exist only in the merged kernel; at shapes
+    where merged disengages (page_size % 16 != 0 here) the call must fail
+    loud rather than silently time the unmodified flat path — a silent
+    drop records 'stage costs nothing' into the attribution artifact
+    (ADVICE r5)."""
+    from flashattention_tpu.ops.pallas_paged import pallas_paged_attention
+
+    b, h, d, psize = 1, 2, 128, 8  # page size 8 -> merged always off
+    lengths = jnp.asarray([11])
+    cache = init_paged_cache(h, 8, psize, d, dtype=jnp.float32)
+    kf = jax.random.normal(jax.random.key(0), (b, h, 16, d))
+    vf = jax.random.normal(jax.random.key(1), (b, h, 16, d))
+    pi = jnp.asarray([[0, 1]])
+    cache = append_to_pages(
+        cache, kf, vf, pi, jnp.zeros((b,), jnp.int32), valid_len=lengths
+    )
+    q = jax.random.normal(jax.random.key(2), (b, h, d))
+    monkeypatch.setenv("FAT_PAGED_ABLATE", "onehead")
+    with pytest.raises(ValueError, match="merged"):
+        pallas_paged_attention(
+            q, cache.k_pages, cache.v_pages, pi, lengths,
+            compute_dtype=jnp.float32,
+        )
+    # And the prod path is untouched once the env is cleared.
+    monkeypatch.delenv("FAT_PAGED_ABLATE")
+    o = pallas_paged_attention(
+        q, cache.k_pages, cache.v_pages, pi, lengths,
+        compute_dtype=jnp.float32,
+    )
+    assert np.isfinite(np.asarray(o)).all()
