@@ -157,8 +157,13 @@ def make_sharded_train_step(mesh: Mesh, cfg, tx, loss_fn):
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, step_key):
+        # Every batch leaf is batch-leading — tokens AND the optional
+        # packed-varlen segment_ids (loss_fn's contract) — so shard them
+        # all on 'data'. The constraint pytree must match the batch
+        # structure exactly; a tokens-only dict crashed packed batches
+        # and left segment_ids unsharded (review r5).
         batch = jax.lax.with_sharding_constraint(
-            batch, {"tokens": batch_sharding}
+            batch, jax.tree.map(lambda _: batch_sharding, batch)
         )
         loss, grads = jax.value_and_grad(loss_fn)(
             params, batch, cfg, step_key

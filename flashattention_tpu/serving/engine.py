@@ -143,8 +143,17 @@ def _embed(params, tokens, cfg, position0):
     x = params["tok_emb"][tokens].astype(cfg.dtype) * math.sqrt(cfg.d_model)
     if cfg.pos_encoding == "learned":
         n = tokens.shape[1]
-        pos = jax.lax.dynamic_slice_in_dim(params["pos_emb"], position0, n, 0)
-        x = x + pos.astype(cfg.dtype)
+        # A PADDED chunk may overrun the table (base + chunk_pad >
+        # max_seq_len — reachable whenever prefix sharing makes the chunk
+        # base page-aligned rather than chunk-aligned). dynamic_slice
+        # would CLAMP the start and silently embed the valid TAIL rows
+        # with wrong positions; gather with per-row clipped indices keeps
+        # every valid row exact — only padding rows (masked downstream by
+        # valid_len / prompt_len) read the clamped last table row.
+        ids = jnp.clip(
+            position0 + jnp.arange(n), 0, params["pos_emb"].shape[0] - 1
+        )
+        x = x + params["pos_emb"][ids].astype(cfg.dtype)
     return x
 
 
@@ -791,6 +800,17 @@ class ServingEngine:
                     shared = 0  # unreachable while entries hold pins
             # all-or-nothing page reservation for prompt + one decode token
             need_total = self._pages_needed(prompt_len + 1)
+            if need_total > self.allocator.num_pages:
+                # Larger than the PHYSICAL pool: no amount of eviction or
+                # pin-shedding can ever satisfy it, and _admit always works
+                # on waiting[0] — leaving it queued would livelock every
+                # request behind it (review r5). Reject like too-long
+                # prompts. (Mid-flight growth past the pool is different:
+                # the evict-and-requeue ladder + max_steps bound it.)
+                self.waiting.pop(0)
+                self.allocator.release(req.request_id)  # undo adoption
+                self.finished[req.request_id] = []  # rejected: can't fit
+                continue
             if not self.allocator.grow(req.request_id, need_total):
                 # Pool pressure: drop LRU prefix-cache pins, then retry.
                 self._shrink_prefix_cache(need_total - shared)
@@ -940,8 +960,15 @@ class ServingEngine:
             if not self.allocator.grow(slot.request.request_id, need):
                 # Same pressure ladder as _decode_once: dropping an LRU
                 # prefix pin is far cheaper than evicting an in-flight
-                # sequence (full re-prefill).
-                self._shrink_prefix_cache(1)
+                # sequence (full re-prefill). Unlike plain decode (at most
+                # ONE new page per tick), a speculative grow can need
+                # several new pages (gamma tokens) — shed pins for the
+                # actual deficit, not 1, or the retry fails and the slot
+                # is evicted while droppable pins remain (review r5).
+                deficit = need - len(
+                    self.allocator.pages(slot.request.request_id)
+                )
+                self._shrink_prefix_cache(max(1, deficit))
                 if not self.allocator.grow(slot.request.request_id, need):
                     self._evict(slot)
                     page_rows.append(self._page_row(None))
@@ -1018,9 +1045,11 @@ class ServingEngine:
     def _register_prefix(self, req: GenerationRequest) -> None:
         """Pin this prompt's full pages into the prefix cache (LRU).
 
-        Keys are the exact prompt-prefix token bytes (no hash collisions);
-        each new entry takes one allocator pin so the page outlives the
-        sequence that computed it."""
+        Keys are chained SHA-1 digests over the prompt-prefix token bytes
+        (_prefix_keys) — two prompts share a page iff their prefixes match
+        up to SHA-1 collision (cryptographically negligible, but it IS a
+        hash, not the raw bytes); each new entry takes one allocator pin
+        so the page outlives the sequence that computed it."""
         psize = self.ecfg.page_size
         n_full = len(req.prompt) // psize
         chain = self.allocator.pages(req.request_id)

@@ -317,3 +317,37 @@ def test_zero1_optimizer_sharding_matches_single_device():
     # params stayed on the TP spec (not silently left data-sharded)
     for leaf in jax.tree.leaves(p_sh):
         assert not on_data(leaf.sharding.spec)
+
+
+def test_sharded_train_step_packed_varlen_batch():
+    """The dp x tp step must accept the packed-varlen batch loss_fn
+    documents ({'tokens', 'segment_ids'}): the sharding constraint pytree
+    is built from the batch itself, so every batch-leading leaf shards on
+    'data' (a tokens-only constraint dict crashed packed batches —
+    review r5)."""
+    from flashattention_tpu.models.train import (
+        TrainConfig, loss_fn, make_optimizer,
+    )
+    from flashattention_tpu.models.transformer import (
+        TransformerConfig, init_transformer,
+    )
+    from flashattention_tpu.parallel import (
+        make_mesh, make_sharded_train_state, make_sharded_train_step,
+    )
+
+    cfg = TransformerConfig(
+        vocab_size=128, d_model=64, n_layers=1, n_heads=2, d_ff=128,
+        max_seq_len=64, dropout_rate=0.0,
+    )
+    mesh = make_mesh(data=2, model=2)
+    tx = make_optimizer(TrainConfig(warmup_steps=2, total_steps=8))
+    params = init_transformer(jax.random.key(0), cfg)
+    p_sh, st_sh, _ = make_sharded_train_state(mesh, params, tx)
+    step = make_sharded_train_step(mesh, cfg, tx, loss_fn)
+    tokens = jax.random.randint(jax.random.key(1), (4, 32), 0, 128)
+    segs = jnp.zeros((4, 32), jnp.int32).at[:, 16:].set(1)
+    _, _, loss = step(
+        p_sh, st_sh, {"tokens": tokens, "segment_ids": segs},
+        jax.random.key(2),
+    )
+    assert np.isfinite(float(loss))

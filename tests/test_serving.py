@@ -1430,3 +1430,48 @@ def test_paged_ablate_requires_merged_kernel(monkeypatch):
         compute_dtype=jnp.float32,
     )
     assert np.isfinite(np.asarray(o)).all()
+
+
+def test_engine_rejects_request_larger_than_pool(params):
+    """A request whose page need exceeds the PHYSICAL pool can never be
+    satisfied by eviction or pin-shedding; _admit always works on
+    waiting[0], so leaving it queued livelocks every request behind it
+    (review r5). It must be rejected like a too-long prompt, and the
+    queue must keep moving."""
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=8, max_seq_len=128,
+        prefill_pad=16,
+    )
+    eng = ServingEngine(params, CFG, ecfg)
+    rng = np.random.default_rng(0)
+    big = list(rng.integers(0, CFG.vocab_size, size=100))  # 13 pages > 8
+    small = list(rng.integers(0, CFG.vocab_size, size=5))
+    eng.submit(GenerationRequest(request_id=0, prompt=big, max_new_tokens=4))
+    eng.submit(GenerationRequest(request_id=1, prompt=small, max_new_tokens=4))
+    res = eng.run()
+    assert res[0] == []          # rejected, not livelocked
+    assert len(res[1]) == 4      # the queue progressed past it
+
+
+def test_chunked_prefill_learned_pos_table_overrun(params):
+    """Prefix sharing page-aligns the chunk base, so the final PADDED
+    chunk can overrun the learned-position table (base + prefill_pad >
+    max_seq_len). dynamic_slice CLAMPED the start and embedded the valid
+    tail rows with wrong positions — silent generation corruption
+    (review r5); the clip-gather keeps every valid row exact. Shape: last
+    chunk base=120, pad 32 -> 152 > the 128-row table."""
+    ecfg = EngineConfig(
+        max_batch_size=2, page_size=8, num_pages=64, max_seq_len=128,
+        prefill_pad=32, prefix_cache=True,
+    )
+    eng = ServingEngine(params, CFG, ecfg)
+    rng = np.random.default_rng(3)
+    shared = list(rng.integers(0, CFG.vocab_size, size=24))  # 3 full pages
+    p0 = shared + list(rng.integers(0, CFG.vocab_size, size=16))
+    p1 = shared + list(rng.integers(0, CFG.vocab_size, size=98))  # 122 toks
+    eng.submit(GenerationRequest(request_id=0, prompt=p0, max_new_tokens=4))
+    res_a = eng.run()
+    eng.submit(GenerationRequest(request_id=1, prompt=p1, max_new_tokens=6))
+    res_b = eng.run()
+    assert res_a[0] == _naive_greedy(params, p0, 4)
+    assert res_b[1] == _naive_greedy(params, p1, 6)
