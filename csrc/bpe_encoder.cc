@@ -29,6 +29,7 @@
 //   fat_bpe_destroy(handle)
 
 #include <cstdint>
+#include <mutex>
 #include <string>
 #include <unordered_map>
 #include <utility>
@@ -53,6 +54,13 @@ struct BpeEngine {
   // themselves vocab entries. The word splitter below walks UTF-8
   // boundaries so "characters" match the Python side's symbol granularity.
   std::unordered_map<std::string, std::vector<int32_t>> cache;
+  // ctypes releases the GIL during fat_bpe_encode, so two Python threads
+  // sharing one tokenizer (e.g. a data.prefetch worker plus the main
+  // thread) reach the memo cache concurrently — guard it like
+  // page_allocator.cc guards its free list (review r5). One coarse lock
+  // per encode call: the GIL serialized callers anyway before the native
+  // engine existed, so this restores the old contract, not a new limit.
+  std::mutex mu;
 };
 
 // Split a UTF-8 word into its character symbols (each 1-4 bytes). The
@@ -147,12 +155,15 @@ void* fat_bpe_create(const char* vocab_blob, const int32_t* vocab_offs,
 void fat_bpe_destroy(void* h) { delete static_cast<BpeEngine*>(h); }
 
 int64_t fat_bpe_cache_size(void* h) {
-  return static_cast<int64_t>(static_cast<BpeEngine*>(h)->cache.size());
+  auto* e = static_cast<BpeEngine*>(h);
+  std::lock_guard<std::mutex> lock(e->mu);
+  return static_cast<int64_t>(e->cache.size());
 }
 
 int64_t fat_bpe_encode(void* h, const char* blob, const int32_t* offs,
                        int32_t n_words, int32_t* out, int64_t out_cap) {
   auto* e = static_cast<BpeEngine*>(h);
+  std::lock_guard<std::mutex> lock(e->mu);
   int64_t n = 0;
   bool err = false;
   for (int32_t i = 0; i < n_words; ++i) {

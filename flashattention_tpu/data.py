@@ -90,6 +90,15 @@ class TokenStreamDataset:
     ) -> Iterator[dict]:
         """Yields {"tokens": (B, seq_len+1) int32} batches."""
         rng = np.random.default_rng(seed)
+        if drop_last and self.n_examples < batch_size:
+            # Zero batches per epoch: with epochs=None the while loop
+            # would spin forever yielding nothing and next() would hang
+            # the training job at 100% CPU (review r5) — fail loud.
+            raise ValueError(
+                f"n_examples={self.n_examples} < batch_size={batch_size} "
+                "with drop_last=True yields no batches ever; shrink the "
+                "batch or pass drop_last=False"
+            )
         epoch = 0
         while epochs is None or epoch < epochs:
             order = np.arange(self.n_examples)
@@ -170,6 +179,10 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     fail the job, not truncate the stream."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    _ERR = object()  # identity sentinel: a string compared against an
+    # ndarray item ("x" == np.zeros(3)) broadcasts to a bool ARRAY and the
+    # `if` raises "truth value is ambiguous" on legitimate tuple batches
+    # (review r5); `is` can never collide with user data.
 
     def worker():
         try:
@@ -177,7 +190,7 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
                 q.put(item)
             q.put(_END)
         except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
-            q.put(("__prefetch_error__", e))
+            q.put((_ERR, e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -185,6 +198,6 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
         item = q.get()
         if item is _END:
             return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
             raise item[1]
         yield item

@@ -144,18 +144,27 @@ def convert_reference_state_dict(
     }
 
 
+def _lin(t, p):
+    """Apply a converted Linear; _linear omits "b" for bias-free
+    checkpoints (nn.Linear(bias=False)), so the forward must treat it as
+    optional too — unconditional p["b"] crashed exactly the checkpoints
+    the converter accepted (review r5)."""
+    out = t @ p["w"]
+    return out + p["b"] if "b" in p else out
+
+
 def _self_attention(x, p, *, num_heads, tau, causal, backend):
     """One reference attention block (MHA ln 41-92 / FeedForward ln 465-486
     share this shape: project, head-split, attend, merge, out-project)."""
     b, n, d = x.shape
     dh = d // num_heads
     if "qkv" in p:
-        qkv = x @ p["qkv"]["w"] + p["qkv"]["b"]
+        qkv = _lin(x, p["qkv"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:
-        q = x @ p["q"]["w"] + p["q"]["b"]
-        k = x @ p["k"]["w"] + p["k"]["b"]
-        v = x @ p["v"]["w"] + p["v"]["b"]
+        q = _lin(x, p["q"])
+        k = _lin(x, p["k"])
+        v = _lin(x, p["v"])
 
     def heads(t):  # (B, N, d) -> (B, H, N, dh)
         return t.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
@@ -167,7 +176,7 @@ def _self_attention(x, p, *, num_heads, tau, causal, backend):
         backend=backend,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
-    return o @ p["o"]["w"] + p["o"]["b"]
+    return _lin(o, p["o"])
 
 
 def apply_reference_transformer(

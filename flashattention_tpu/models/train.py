@@ -58,11 +58,24 @@ class TrainConfig:
 
 
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    # UNIT ALIGNMENT (review r5): warmup_steps/total_steps count
+    # MICRO-batches (the train loop's `step`), but under MultiSteps the
+    # inner adamw's schedule count advances once per grad_accum micros —
+    # feeding the micro-batch numbers straight in stretched the schedule
+    # by grad_accum x (the default run finished all 10000 micros still
+    # INSIDE warmup at lr ~learning_rate/1.6, never reaching peak or
+    # decay). Convert to optimizer-update units here so warmup completes
+    # at ~warmup_steps micros and decay ends at total_steps micros.
+    accum = max(1, tc.grad_accum)
+    warmup_updates = max(1, tc.warmup_steps // accum)
+    # decay_steps is the TOTAL schedule length including warmup; optax
+    # requires the cosine tail (decay - warmup) to be positive.
+    decay_updates = max(warmup_updates + 1, tc.total_steps // accum)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=tc.learning_rate,
-        warmup_steps=tc.warmup_steps,
-        decay_steps=tc.total_steps,
+        warmup_steps=warmup_updates,
+        decay_steps=decay_updates,
         end_value=tc.learning_rate * 0.1,
     )
     tx = optax.chain(

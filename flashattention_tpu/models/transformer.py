@@ -69,7 +69,6 @@ class TransformerConfig:
                                    # (B, chunk, V) per scan step instead of
                                    # materializing (B, N, V) (HBM saver for
                                    # big vocab; models/train.py loss_fn)
-    use_block_sparse: bool = False
     moe_experts: int = 0           # >0: every block's MLP becomes a top-k
                                    # mixture of this many experts
                                    # (models/moe.py; EP over 'model' axis)
@@ -353,10 +352,17 @@ def _attention(
                 "segment_ids (packed varlen) and a block-sparse pattern "
                 "cannot combine"
             )
-        if sparse_mask is not None and rate == 0.0:
+        if (sparse_mask is not None and rate == 0.0
+                and cfg.attn_softcap is None):
             # Block-sparse fast path: compacted-grid Pallas kernel — inactive
             # tiles cost neither DMA nor compute (reference L6 only *skips*
             # inside a dense loop, flashattention_pytorch.py:124).
+            # attn_softcap routes to the dense-mask fallback below instead:
+            # the sparse kernel has no softcap and silently dropping the cap
+            # made train (dropout fallback, capped) and eval (sparse path,
+            # uncapped) compute DIFFERENT functions (review r5). A native
+            # sparse softcap is the perf upgrade path if capped-sparse
+            # models become hot.
             from flashattention_tpu.ops.pallas_sparse import (
                 pallas_sparse_attention,
             )
@@ -577,9 +583,7 @@ def _decode_chunk_impl(params, caches, tokens, cache_index, cfg):
         mlp_out = _mlp(x, bp["mlp"], cfg)
         x = _layer_norm(x + mlp_out, bp["ln2"])
     x = _layer_norm(x, params["final_ln"])
-    logits = x.astype(jnp.float32) @ params["lm_head"]["w"].astype(jnp.float32)
-    logits = logits + params["lm_head"]["b"].astype(jnp.float32)
-    return logits, new_caches
+    return lm_head_logits(params["lm_head"], x), new_caches
 
 
 @functools.partial(

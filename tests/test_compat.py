@@ -111,3 +111,27 @@ def test_convert_validates(ref_l6):
     too_long = jnp.zeros((1, cfg.max_len + 1), jnp.int32)
     with pytest.raises(ValueError, match="max_len"):
         apply_reference_transformer(params, too_long)
+
+
+def test_bias_free_linear_checkpoints_forward():
+    """_linear omits 'b' for nn.Linear(bias=False) checkpoints; the
+    forward must treat the bias as optional too — it crashed with
+    KeyError on exactly the checkpoints the converter accepted
+    (review r5). Zero-bias and bias-free params must agree."""
+    d, h = 8, 2
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(d, 3 * d)),
+                    jnp.float32)
+    wo = jnp.asarray(np.random.default_rng(1).normal(size=(d, d)),
+                     jnp.float32)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 4, d)),
+                    jnp.float32)
+    from flashattention_tpu.models.compat import _self_attention
+
+    free = {"qkv": {"w": w}, "o": {"w": wo}}
+    zero = {"qkv": {"w": w, "b": jnp.zeros(3 * d)},
+            "o": {"w": wo, "b": jnp.zeros(d)}}
+    a = _self_attention(x, free, num_heads=h, tau=1.0, causal=True,
+                        backend="xla")
+    b = _self_attention(x, zero, num_heads=h, tau=1.0, causal=True,
+                        backend="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

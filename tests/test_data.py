@@ -59,3 +59,35 @@ def test_train_on_real_stream(tmp_path):
     )
     _, _, losses = train(cfg, tc, prefetch(ds.batches(4, seed=0)), verbose=False)
     assert losses[-1] < losses[0]  # byte-level text is very learnable
+
+
+def test_batches_raises_when_dataset_smaller_than_batch():
+    """n_examples < batch_size with drop_last=True yields ZERO batches per
+    epoch; with epochs=None the generator would spin forever and next()
+    would hang the training job (review r5) — it must fail loud instead."""
+    import pytest
+
+    ds = TokenStreamDataset(np.arange(200, dtype=np.int32), seq_len=16)
+    with pytest.raises(ValueError, match="drop_last"):
+        next(ds.batches(batch_size=10 ** 6))
+    # a feasible batch size still streams
+    assert next(ds.batches(batch_size=4))["tokens"].shape == (4, 17)
+
+
+def test_prefetch_tuple_batches_and_error_forwarding():
+    """The error sentinel must be an identity object: a string compared
+    against an ndarray item broadcasts to a bool array and the check
+    raised 'truth value is ambiguous' on legitimate (inputs, targets)
+    tuple batches (review r5)."""
+    import pytest
+
+    pairs = [(np.zeros(3), np.ones(3)) for _ in range(4)]
+    out = list(prefetch(iter(pairs)))
+    assert len(out) == 4 and all(isinstance(t, tuple) for t in out)
+
+    def failing():
+        yield (np.zeros(2), np.zeros(2))
+        raise RuntimeError("loader died")
+
+    with pytest.raises(RuntimeError, match="loader died"):
+        list(prefetch(failing()))

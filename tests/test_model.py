@@ -529,3 +529,45 @@ def test_chunked_cross_entropy_matches_dense():
     l_dp = float(loss_fn(params, batch_p, cfg_d, None))
     l_cp = float(loss_fn(params, batch_p, cfg_c, None))
     np.testing.assert_allclose(l_cp, l_dp, rtol=1e-6)
+
+
+def test_sparse_pattern_with_softcap_matches_dense():
+    """attn_softcap must survive a sparse_pattern: the sparse fast path
+    has no softcap, so capped configs route through the dense-mask
+    fallback — previously the cap was silently DROPPED on the sparse
+    path while the dropout fallback applied it, making train and eval
+    compute different functions (review r5). A full-True pattern must
+    equal the capped dense forward exactly."""
+    cfg = dataclasses.replace(TINY, attn_softcap=10.0, dropout_rate=0.0)
+    params = init_transformer(jax.random.key(0), cfg)
+    toks = jax.random.randint(jax.random.key(1), (1, 64), 0, cfg.vocab_size)
+    n_tiles = -(-64 // cfg.block_size)
+    pattern = jnp.ones((n_tiles, n_tiles), bool)
+    lg_sparse = apply_transformer(params, toks, cfg, sparse_pattern=pattern)
+    lg_dense = apply_transformer(params, toks, cfg)
+    np.testing.assert_allclose(
+        np.asarray(lg_sparse), np.asarray(lg_dense), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_lr_schedule_counts_optimizer_updates_not_micros():
+    """Under MultiSteps the inner adamw schedule count advances once per
+    grad_accum micro-batches; warmup/total (micro units) must be
+    converted to update units or the default run finishes all its micros
+    still inside warmup (review r5). After total_steps micros = total/
+    accum updates, the schedule must sit at the decayed END value."""
+    import optax
+
+    tc = TrainConfig()  # accum 16, warmup 1000, total 10000
+    accum = tc.grad_accum
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, tc.learning_rate, max(1, tc.warmup_steps // accum),
+        max(tc.warmup_steps // accum + 1, tc.total_steps // accum),
+        tc.learning_rate * 0.1,
+    )
+    assert abs(float(sched(tc.warmup_steps // accum))
+               - tc.learning_rate) < 1e-9          # peak IS reached
+    assert float(sched(tc.total_steps // accum)) <= (
+        tc.learning_rate * 0.1 + 1e-9)             # decay completes
+    # tiny smoke configs (warmup//accum == total//accum) must still build
+    make_optimizer(TrainConfig(warmup_steps=2, total_steps=8))

@@ -94,3 +94,33 @@ def test_native_bpe_engine_parity():
     # the memo cache actually populates (the hot-loop win)
     lib, handle = tok._native
     assert lib.fat_bpe_cache_size(handle) > 0
+
+
+def test_native_engine_concurrent_encode():
+    """ctypes releases the GIL during fat_bpe_encode, so threads sharing
+    one tokenizer reach the memo cache concurrently — the engine must
+    lock it (review r5; pre-fix this was UB under rehash)."""
+    import threading
+
+    tok = BPETokenizer.train(REAL_TEXT, vocab_size=400)
+    if tok._native_engine() is None:
+        import pytest
+
+        pytest.skip("native runtime library unavailable (no toolchain)")
+    errs: list = []
+
+    def run(seed):
+        try:
+            for i in range(30):
+                s = REAL_TEXT[i * 37 % 2000: i * 37 % 2000 + 300 + seed]
+                ids = tok.encode(s)
+                assert tok.decode(ids) == s
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=run, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
